@@ -1,0 +1,267 @@
+"""Alarm / deviation detection (SURVEY.md §2.6 W3-W5, §2.3 P13, §2.9 F9).
+
+In the reference these run *inside the simulator* as mutable per-key
+state (opcua_server/main.py:14-40,319-332,374-434); here they are
+first-class operators over the telemetry — batch forms via window
+functions (this module), streaming forms via keyed state
+(:mod:`..streaming.alarms`).
+
+Batch formulations are pure window functions: one shuffle on the
+partition key, then per-partition sorted evaluation — at 100 TB the
+key space (metric/user) distributes evenly and no driver-side state
+exists.
+
+Semantics pinned from the reference:
+
+* W3 DeviationTracker (opcua_server/main.py:26-40): per key, deviation
+  pct = (actual-target)/target*100 with a target==0 guard (:29-30);
+  3-deep ring buffer (:33-34); rule 1 ``|pct|>10`` checked BEFORE
+  rule 2 ``3 consecutive |pct|>2`` (elif at :37) — rule 2 only fires
+  when the current sample is not itself a rule-1 hit.
+* W4 edge detection (opcua_server/main.py:319-332): alarms fire on the
+  *transition* below a threshold (per-key state flag), not on level.
+* W5 latched error (opcua_server/main.py:398-434,212-221): an error
+  persists until an explicit clear event; implemented as
+  last(ignoreNulls) over an unbounded preceding frame with clear
+  markers encoded as empty strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .ingest import TELEMETRY_SQL, telemetry
+
+#: Fixed target for the driver-data deviation queries (the reference
+#: compares Actual* vs Target* metric pairs; driver events carry one
+#: value, so the target is a constant — the operator shape is the same).
+#: 77 deliberately: (v-77)/77*100 over 2-decimal inputs never lands on
+#: an exact binary %.2f midpoint (unlike /80, where *1.25 keeps dyadic
+#: values dyadic, e.g. -10.625), so Java's HALF_UP and C printf's
+#: half-even formatting agree on every value.
+_TARGET = 77.0
+
+
+def deviation_pct(actual: Column, target: Column) -> Column:
+    """F9 — percent deviation with divide-by-zero guard
+    (opcua_server/main.py:29-30: target==0 -> skip, i.e. NULL)."""
+    return F.when(target != 0, (actual - target) / target * 100)
+
+
+def deviation_alarms(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    target: Column | None = None,
+) -> DataFrame:
+    """W3 — trailing-3 deviation rules, batch form.
+
+    Output one row per input sample that fires an alarm, with the
+    reference's alarm text (opcua_server/main.py:36,38-39).
+    """
+    t = target if target is not None else F.lit(_TARGET)
+    pct = deviation_pct(F.col("value_num"), t)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-2, 0)
+    )
+    df = (
+        df.filter(F.col("value_num").isNotNull())
+        .withColumn("pct", pct)
+        .withColumn("frame_n", F.count("pct").over(w))
+        .withColumn(
+            "gt2_n", F.count(F.when(F.abs(F.col("pct")) > 2, 1)).over(w)
+        )
+    )
+    rule1 = F.abs(F.col("pct")) > 10
+    rule2 = (F.col("frame_n") == 3) & (F.col("gt2_n") == 3)
+    alarm = F.when(
+        rule1,
+        F.format_string("%s: Abweichung %.2f%% (>10%%)", F.col("metric"), F.col("pct")),
+    ).when(
+        rule2,
+        F.format_string(
+            "%s: 3x in Folge Abweichung >2%% (%.2f%%)", F.col("metric"), F.col("pct")
+        ),
+    )
+    return (
+        df.withColumn("alarm", alarm)
+        .filter(F.col("alarm").isNotNull())
+        .select(*key_cols, *order_cols, "pct", "alarm")
+    )
+
+
+def edge_alarms(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    threshold: float,
+) -> DataFrame:
+    """W4 — falling-edge detection: fire only on the transition below
+    ``threshold`` (prev >= t AND cur < t), mirroring the per-feeder
+    state flag at opcua_server/main.py:319-332 (reset when the value
+    recovers)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    prev = F.lag("value_num").over(w)
+    return (
+        df.filter(F.col("value_num").isNotNull())
+        .withColumn("prev_value", prev)
+        .filter(
+            (F.col("value_num") < threshold)
+            & F.col("prev_value").isNotNull()
+            & (F.col("prev_value") >= threshold)
+        )
+        .select(
+            *key_cols,
+            *order_cols,
+            "value_num",
+            "prev_value",
+            F.format_string(
+                "Info: Low Level (%.2f) - Please Refill!", F.col("value_num")
+            ).alias("alarm"),
+        )
+    )
+
+
+def latched_error(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    set_when: Column,
+    clear_when: Column,
+    message: Column,
+) -> DataFrame:
+    """W5 — value latched until reset: CurrentError persists until an
+    Acknowledge/Start clears it (opcua_server/main.py:212-221,398-434).
+
+    ``set_when`` rows latch ``message``; ``clear_when`` rows latch ''
+    (the reference writes the empty string on clear, :216)."""
+    marker = F.when(set_when, message).when(clear_when, F.lit(""))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        "current_error",
+        F.coalesce(F.last(marker, ignorenulls=True).over(w), F.lit("")),
+    )
+
+
+def threshold_alarms(df: DataFrame) -> DataFrame:
+    """P13 — stateless threshold predicates (opcua_server/main.py:381-390
+    shapes: accuracy |x|>25, vision <99, vacuum >-60, feeder <=0)."""
+    return df.filter(
+        F.col("value_num").isNotNull() & (F.abs(F.col("value_num") - _TARGET) > 25)
+    ).select("metric", "time", "event_id", "value_num")
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries (key = metric stream per user, ordered by time)
+# ---------------------------------------------------------------------------
+
+_KEYS = ["metric"]
+_ORDER = ["time", "event_id"]
+
+
+def q_deviation_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return deviation_alarms(telemetry(spark, sf_dir), _KEYS, _ORDER)
+
+
+def q_edge_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return edge_alarms(
+        telemetry(spark, sf_dir), ["metric", "operator"], _ORDER, 100.0
+    )
+
+
+def q_latched_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = telemetry(spark, sf_dir)
+    out = latched_error(
+        t,
+        key_cols=["operator"],
+        order_cols=_ORDER,
+        set_when=F.col("metric") == "error",
+        clear_when=F.col("metric") == "signup",
+        message=F.col("value_str"),
+    )
+    return out.filter(F.col("operator").isNotNull()).select(
+        "operator", "time", "event_id", "metric", "current_error"
+    )
+
+
+def q_threshold_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return threshold_alarms(telemetry(spark, sf_dir))
+
+
+QUERIES = {
+    "deviation_alarms": q_deviation_alarms,
+    "edge_alarms": q_edge_alarms,
+    "latched_error": q_latched_error,
+    "threshold_alarms": q_threshold_alarms,
+}
+
+ORACLES = {
+    "deviation_alarms": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+dev AS (
+  SELECT metric, "time", event_id,
+         CASE WHEN {_TARGET} <> 0
+              THEN (value_num - {_TARGET}) / {_TARGET} * 100 END AS pct
+  FROM telemetry WHERE value_num IS NOT NULL
+),
+framed AS (
+  SELECT *,
+         COUNT(pct) OVER w AS frame_n,
+         COUNT(CASE WHEN ABS(pct) > 2 THEN 1 END) OVER w AS gt2_n
+  FROM dev
+  WINDOW w AS (PARTITION BY metric ORDER BY "time", event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT metric, "time", event_id, pct,
+       CASE WHEN ABS(pct) > 10
+            THEN printf('%s: Abweichung %.2f%% (>10%%)', metric, pct)
+            WHEN frame_n = 3 AND gt2_n = 3
+            THEN printf('%s: 3x in Folge Abweichung >2%% (%.2f%%)', metric, pct)
+       END AS alarm
+FROM framed
+WHERE (ABS(pct) > 10) OR (frame_n = 3 AND gt2_n = 3)
+""",
+    "edge_alarms": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+lagged AS (
+  SELECT metric, operator, "time", event_id, value_num,
+         LAG(value_num) OVER (PARTITION BY metric, operator
+                              ORDER BY "time", event_id) AS prev_value
+  FROM telemetry WHERE value_num IS NOT NULL
+)
+SELECT metric, operator, "time", event_id, value_num, prev_value,
+       printf('Info: Low Level (%.2f) - Please Refill!', value_num) AS alarm
+FROM lagged
+WHERE value_num < 100.0 AND prev_value IS NOT NULL AND prev_value >= 100.0
+""",
+    "latched_error": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+marked AS (
+  SELECT operator, "time", event_id, metric,
+         CASE WHEN metric = 'error' THEN value_str
+              WHEN metric = 'signup' THEN '' END AS marker
+  FROM telemetry
+)
+SELECT operator, "time", event_id, metric,
+       COALESCE(
+         LAST_VALUE(marker IGNORE NULLS) OVER (
+           PARTITION BY operator ORDER BY "time", event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         '') AS current_error
+FROM marked
+WHERE operator IS NOT NULL
+""",
+    "threshold_alarms": f"""
+WITH telemetry AS ({TELEMETRY_SQL})
+SELECT metric, "time", event_id, value_num
+FROM telemetry
+WHERE value_num IS NOT NULL AND ABS(value_num - {_TARGET}) > 25
+""",
+}

@@ -1,0 +1,202 @@
+"""Dashboard query pack — the 16 Grafana rawSql shapes (SURVEY.md §2.3-2.7).
+
+Each of the reference's embedded SQL statements
+(grafana/dashboards/machine_dashboard.json:109,177,245,283,...,948)
+reduces to one of four shapes, implemented here as parameterized
+DataFrame builders:
+
+* W2/O1  latest value of one metric  (ORDER BY time DESC LIMIT 1)
+* W1/P9  latest-per-metric           (DISTINCT ON (metric) ... ORDER BY
+                                      metric, time DESC)
+* J2     alarm feed                  (scalar-subquery cross join +
+                                      LIKE/translate scrubbing + top-50)
+* P11    time-range scan             ($__timeFilter BETWEEN)
+
+Scale notes:
+* top-1/top-k per ORDER BY...LIMIT compiles to TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows) — no global sort.
+* latest-per-metric uses max_by/row_number after a metric-pruned scan;
+  the metric equality/IN filters push to parquet (PushedFilters).
+* the 1-row scalar-subquery side becomes a BroadcastNestedLoopJoin —
+  broadcast of one row, never a shuffle of the fact side.
+* tie-breaking on (time, event_id) keeps LIMIT deterministic — the
+  DISTINCT ON fidelity risk from SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .ingest import TELEMETRY_SQL, telemetry
+
+def _num_as_text() -> F.Column:
+    """Portable numeric->text rendering (F3/F15): going through
+    DECIMAL(18,2) pins the string form ('40.00', not '40.0'/'4e1')
+    identically in Spark and DuckDB, avoiding Java-vs-C++ double-repr
+    drift.  (Function, not module constant: Column construction needs
+    an active session.)"""
+    return F.col("value_num").cast("decimal(18,2)").cast("string")
+
+
+_NUM_AS_TEXT_SQL = "CAST(CAST(value_num AS DECIMAL(18,2)) AS VARCHAR)"
+
+
+def latest_value(df: DataFrame, metric: str) -> DataFrame:
+    """W2/O1 — latest reading of one metric
+    (machine_dashboard.json:109,177,245,...: ``WHERE metric = ?
+    ORDER BY time DESC LIMIT 1``)."""
+    return (
+        df.filter(F.col("metric") == metric)
+        .orderBy(F.col("time").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select("metric", "time", "value_num")
+    )
+
+
+def latest_per_metric(df: DataFrame, metrics: list[str]) -> DataFrame:
+    """W1/P9 — DISTINCT ON (metric) over an IN-list
+    (machine_dashboard.json:283): first row per metric by recency,
+    value rendered as text via COALESCE(value_str, CAST(value_num)).
+    """
+    w = Window.partitionBy("metric").orderBy(
+        F.col("time").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.filter(F.col("metric").isin(metrics))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "metric",
+            F.coalesce(F.col("value_str"), _num_as_text()).alias("value"),
+            "time",
+        )
+    )
+
+
+def alarm_feed(df: DataFrame, clear_metric: str = "signup") -> DataFrame:
+    """J2/F5/F6/P12/O2 — the recent-alarms panel
+    (machine_dashboard.json:948).
+
+    A 1-row aggregate (first `clear_metric` event ~ the reference's
+    ``last_running`` CTE) is cross-joined to filter alarm rows, the
+    alarm text is scrubbed with ``translate(value_str,'[]\'"','')``
+    (list-repr hazard, SURVEY.md §1.2), LIKE predicates select
+    Info:/Error: entries, and the newest 50 survive.
+    """
+    clear = df.filter(F.col("metric") == clear_metric).agg(
+        F.coalesce(F.min("time"), F.to_timestamp(F.lit("1970-01-01"))).alias(
+            "clear_time"
+        )
+    )
+    v = F.col("value_str")
+    return (
+        df.crossJoin(F.broadcast(clear))
+        .filter(
+            (F.col("metric") == "error")
+            & v.isNotNull()
+            & (v != "")
+            & (v != "[]")
+            & (v.like("%Error:%") | v.like("%Info:%"))
+            & (F.col("time") > F.col("clear_time"))
+        )
+        .orderBy(F.col("time").desc(), F.col("event_id").desc())
+        .limit(50)
+        .select(
+            "time",
+            F.translate(v, "[]'\"", "").alias("alarm_text"),
+            "operator",
+        )
+    )
+
+
+def time_range_scan(df: DataFrame, metric: str, start: str, end: str) -> DataFrame:
+    """S4/P8/P11/O3 — Grafana time-series panel scan:
+    ``WHERE metric=? AND $__timeFilter(time) ORDER BY time``."""
+    return (
+        df.filter(
+            (F.col("metric") == metric)
+            & F.col("time").between(F.lit(start), F.lit(end))
+            & F.col("value_num").isNotNull()
+        )
+        .select("time", "value_num", "operator", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries
+# ---------------------------------------------------------------------------
+
+_STATUS_METRICS = ["signup", "purchase", "view"]
+_RANGE = ("2024-01-10 00:00:00", "2024-01-12 00:00:00")
+
+
+def q_latest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latest_value(telemetry(spark, sf_dir), "purchase")
+
+
+def q_latest_per_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latest_per_metric(telemetry(spark, sf_dir), _STATUS_METRICS)
+
+
+def q_alarm_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return alarm_feed(telemetry(spark, sf_dir))
+
+
+def q_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_range_scan(telemetry(spark, sf_dir), "click", *_RANGE)
+
+
+QUERIES = {
+    "latest_value": q_latest_value,
+    "latest_per_metric": q_latest_per_metric,
+    "alarm_feed": q_alarm_feed,
+    "time_range_scan": q_time_range_scan,
+}
+
+_METRIC_IN = ", ".join(f"'{m}'" for m in _STATUS_METRICS)
+
+ORACLES = {
+    "latest_value": f"""
+WITH telemetry AS ({TELEMETRY_SQL})
+SELECT metric, "time", value_num
+FROM telemetry WHERE metric = 'purchase'
+ORDER BY "time" DESC, event_id DESC LIMIT 1
+""",
+    "latest_per_metric": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+ranked AS (
+  SELECT metric,
+         COALESCE(value_str, {_NUM_AS_TEXT_SQL}) AS value,
+         "time",
+         ROW_NUMBER() OVER (PARTITION BY metric
+                            ORDER BY "time" DESC, event_id DESC) AS rn
+  FROM telemetry WHERE metric IN ({_METRIC_IN})
+)
+SELECT metric, value, "time" FROM ranked WHERE rn = 1
+""",
+    "alarm_feed": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+last_clear AS (
+  SELECT COALESCE(MIN("time"), TIMESTAMP '1970-01-01') AS clear_time
+  FROM telemetry WHERE metric = 'signup'
+)
+SELECT o."time",
+       translate(o.value_str, '[]''"', '') AS alarm_text,
+       o.operator
+FROM telemetry o, last_clear lc
+WHERE o.metric = 'error'
+  AND o.value_str IS NOT NULL AND o.value_str <> '' AND o.value_str <> '[]'
+  AND (o.value_str LIKE '%Error:%' OR o.value_str LIKE '%Info:%')
+  AND o."time" > lc.clear_time
+ORDER BY o."time" DESC, o.event_id DESC LIMIT 50
+""",
+    "time_range_scan": f"""
+WITH telemetry AS ({TELEMETRY_SQL})
+SELECT "time", value_num, operator, event_id
+FROM telemetry
+WHERE metric = 'click'
+  AND "time" BETWEEN TIMESTAMP '{_RANGE[0]}' AND TIMESTAMP '{_RANGE[1]}'
+  AND value_num IS NOT NULL
+""",
+}

@@ -1,0 +1,123 @@
+"""Windowed rollups — continuous-aggregate equivalents (SURVEY.md §2.5).
+
+The reference materializes ``machine_stats_minute`` /
+``machine_stats_hourly`` as TimescaleDB continuous aggregates
+(database/init.sql:18-29,37-48): ``time_bucket('1 minute'|'1 hour',
+time) x metric -> avg,min,max,count of value_num`` over non-null
+values.  Batch form here; the incremental-refresh policies (G3/G4,
+init.sql:31-34,51-54) live in :mod:`..streaming.rollup` as
+watermarked Structured Streaming aggregations.
+
+Scale notes:
+* `groupBy(date_trunc, metric)` is ONE shuffle with map-side partial
+  aggregation (HashAggregate partial->final); at 100 TB the partials
+  shrink the exchange to #buckets x #metrics rows per task.
+* ``time_bucket`` ≡ ``date_trunc`` for minute/hour granularity with a
+  UTC session (epoch-aligned origins) — SURVEY.md §7 risk list.
+
+Float determinism: Spark and DuckDB sum partitions in different
+orders, so a double SUM/AVG differs in final ulps between engines.
+Every mean here is computed as an exact DECIMAL sum (associative,
+order-independent) cast once to double and divided by the count —
+bit-identical in both engines, no rounding tolerance needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ingest import TELEMETRY_SQL, telemetry
+
+#: Decimal type wide enough for ~1e9 rows of 1e6-magnitude measures
+#: while staying inside both engines' 38-digit ceiling after SUM.
+_DEC = "decimal(28,6)"
+
+
+def exact_avg(col: str | Column, count_col: str | Column | None = None) -> Column:
+    """Order-independent mean: exact decimal sum -> double -> / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c) if count_col is None else (
+        F.col(count_col) if isinstance(count_col, str) else count_col
+    )
+    return F.sum(c.cast(_DEC)).cast("double") / n
+
+
+def _avg_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE) / COUNT({expr})"
+
+
+def machine_stats(df: DataFrame, granularity: str) -> DataFrame:
+    """G1/G2 — tumbling-bucket stats per metric (init.sql:22-28,41-47).
+
+    ``granularity`` is 'minute' or 'hour'.  Filter before aggregate so
+    the NULL-skip (init.sql:28,47 ``WHERE value_num IS NOT NULL``)
+    also prunes rows ahead of the shuffle.
+    """
+    return (
+        df.filter(F.col("value_num").isNotNull())
+        .groupBy(
+            F.date_trunc(granularity, F.col("time")).alias("bucket"),
+            F.col("metric"),
+        )
+        .agg(
+            exact_avg("value_num").alias("avg_value"),
+            F.min("value_num").alias("min_value"),
+            F.max("value_num").alias("max_value"),
+            F.count("value_num").alias("sample_count"),
+        )
+    )
+
+
+def _machine_stats_sql(granularity: str) -> str:
+    return f"""
+WITH telemetry AS ({TELEMETRY_SQL})
+SELECT date_trunc('{granularity}', "time") AS bucket,
+       metric,
+       {_avg_sql("value_num")} AS avg_value,
+       MIN(value_num) AS min_value,
+       MAX(value_num) AS max_value,
+       COUNT(value_num) AS sample_count
+FROM telemetry
+WHERE value_num IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def last_event_time(df: DataFrame, metric: str) -> DataFrame:
+    """G5 — ungrouped MAX with COALESCE default
+    (machine_dashboard.json:948 ``last_running`` CTE)."""
+    return df.filter(F.col("metric") == metric).agg(
+        F.coalesce(
+            F.max("time"), F.to_timestamp(F.lit("1970-01-01"))
+        ).alias("clear_time")
+    )
+
+
+def q_rollup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return machine_stats(telemetry(spark, sf_dir), "minute")
+
+
+def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return machine_stats(telemetry(spark, sf_dir), "hour")
+
+
+def q_last_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return last_event_time(telemetry(spark, sf_dir), "signup")
+
+
+QUERIES = {
+    "rollup_minute": q_rollup_minute,
+    "rollup_hourly": q_rollup_hourly,
+    "last_running_time": q_last_running,
+}
+
+ORACLES = {
+    "rollup_minute": _machine_stats_sql("minute"),
+    "rollup_hourly": _machine_stats_sql("hour"),
+    "last_running_time": f"""
+WITH telemetry AS ({TELEMETRY_SQL})
+SELECT COALESCE(MAX("time"), TIMESTAMP '1970-01-01') AS clear_time
+FROM telemetry WHERE metric = 'signup'
+""",
+}

@@ -1,0 +1,59 @@
+"""Table loaders for the driver-generated parquet test data (TESTDATA.md).
+
+At 100 TB these reads become partitioned-table scans; nothing here
+collects to the driver, and all filtering on top of these loaders is
+declarative so Catalyst pushes predicates and prunes columns down to
+the parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_confs
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+#: Columns stored as TIMESTAMP(NANOS) in the driver parquet — read as
+#: int64 (see session.RUNTIME_CONFS) and truncated to microseconds,
+#: matching DuckDB's nanos->micros behavior bit-for-bit.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table; column pruning/pushdown applies on top."""
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in _NANO_TS_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (mirrors the DuckDB oracle's
+    pre-registered views) so Spark SQL strings can be used 1:1."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
