@@ -18,12 +18,27 @@ from pyspark.sql import DataFrame, SparkSession
 from opc_ua_data_pipeline_spark.operators import (
     alarms,
     dashboard,
+    dedup,
     ingest,
+    multimodal,
+    relational,
     rollups,
+    similarity,
+    text,
 )
 from opc_ua_data_pipeline_spark.session import apply_runtime_confs
 
-_MODULES = [ingest, rollups, dashboard, alarms]
+_MODULES = [
+    ingest,
+    rollups,
+    dashboard,
+    alarms,
+    relational,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

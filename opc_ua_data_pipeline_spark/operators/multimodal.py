@@ -1,0 +1,157 @@
+"""Multimodal column plumbing (extension phase).
+
+Images/audio/video ride through Spark as opaque ``binary`` columns
+with a typed metadata struct alongside.  The Spark-side plumbing —
+schema, partition sizing, Arrow-batched UDF signatures — is real and
+tested; the codec step itself is stubbed (no image/audio libraries in
+this container) behind either a deterministic fake decoder or an
+explicit ``NotImplementedError``, clearly marked below.
+
+Scale notes:
+* binary payloads dominate row size: ``spark.sql.files.maxPartitionBytes``
+  (set in session.py) keeps scan partitions bounded by bytes, not rows;
+* decode/feature-extract runs in ``mapInPandas`` — Arrow moves the
+  binary batches zero-copy into Python, one batch at a time, so peak
+  executor memory is one Arrow batch of payloads, not a partition;
+* everything before/after the UDF (digests, length stats, joins on
+  metadata) stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..tables import load_table
+
+#: Metadata carried next to every binary payload.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def as_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Wrap a column as an opaque binary payload + typed metadata.
+
+    (`documents.text` stands in for real media bytes; with true image
+    columns only `media_type` changes.)  Digest and length are computed
+    JVM-side — the payload never crosses into Python here.
+    """
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+
+
+def decode_and_featurize(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow-batched).
+
+    STUB: the real decoder (PIL/ffmpeg/torchvision) is not available
+    in this container.  ``fake=True`` substitutes a deterministic
+    byte-statistics "feature" so the plumbing (batch iteration, schema,
+    shapes) is fully exercised; ``fake=False`` raises
+    ``NotImplementedError`` exactly where the codec call belongs.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media codec not available in this environment; "
+                    "plug PIL/ffmpeg decode here"
+                )
+            feats, widths, heights = [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                # Deterministic fake "decode": fixed-shape byte stats.
+                n = max(len(b), 1)
+                feats.append(
+                    [
+                        float(len(b)),
+                        float(sum(b[:64])) / min(n, 64) if b else 0.0,
+                        float(b[0]) if b else 0.0,
+                        float(b[-1]) if b else 0.0,
+                    ]
+                )
+                widths.append(64)
+                heights.append(64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 256) -> DataFrame:
+    """Frame-sampling plumbing: explode a payload into fixed-stride
+    chunk offsets JVM-side (for video this is the keyframe index); the
+    per-frame decode then batches through `decode_and_featurize`."""
+    n_frames = F.greatest(
+        F.lit(1), F.floor(F.col("n_bytes") / every_n_bytes).cast("int")
+    )
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries (JVM-side metadata path has a SQL oracle; the
+# mapInPandas featurize path is non-SQL-expressible -> rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return as_media(load_table(spark, sf_dir, "documents")).drop("payload")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media(load_table(spark, sf_dir, "documents"))
+    return decode_and_featurize(media, fake=True)
+
+
+QUERIES = {
+    "media_metadata": q_media_metadata,
+    "media_features": q_media_features,  # rows-only: mapInPandas stub
+}
+
+ORACLES = {
+    "media_metadata": """
+SELECT doc_id,
+       'application/octet-stream' AS media_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""",
+}

@@ -1,0 +1,272 @@
+"""Relational core at scale — joins/aggregations on the star schema.
+
+The reference's relational surface is thin (§2.4: one broadcast-shaped
+enrichment join, one scalar-subquery cross join), so these queries are
+where the engine demonstrates the join/aggregation machinery a 100 TB
+deployment actually exercises: multi-way joins with broadcast dims,
+partial aggregation, semi joins, top-k, and sessionization.
+
+Scale notes per query are inline; common principles:
+* dimension tables (region/nation/customer/supplier/part) are
+  broadcast — the fact side (lineitem/orders/events) never shuffles
+  for a dim join;
+* fact-fact joins (orders x lineitem) shuffle on the join key once,
+  and AQE coalesces/splits post-shuffle partitions at runtime;
+* every aggregate uses map-side partials; measures are summed as
+  DECIMAL for engine-independent exactness (see rollups.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .rollups import _avg_sql, exact_avg
+
+_DEC = "decimal(28,6)"
+
+
+def _dsum(expr) -> F.Column:
+    """Order-independent SUM: exact decimal accumulation -> double."""
+    c = F.col(expr) if isinstance(expr, str) else expr
+    return F.sum(c.cast(_DEC)).cast("double")
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan->filter->partial-agg rollup.
+
+    One parquet scan (only 7 of 11 columns read), filter pushed to the
+    scan, single shuffle on the 4-group key with map-side combine.
+    """
+    li = lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """TPC-H Q5 shape: fact-fact shuffle join + broadcast dims.
+
+    orders x lineitem shuffles once on orderkey; customer and nation
+    are broadcast (customer is the largest dim at ~150k rows/SF —
+    still broadcastable at 100 TB where lineitem is the 100 TB side).
+    """
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def top_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 10
+) -> DataFrame:
+    """Top-k revenue customers: pre-aggregate the fact side FIRST
+    (shrinks the join input from |lineitem| to |custkey| rows), then
+    broadcast-join the dim, then TakeOrderedAndProject for the top-k —
+    no global sort, no full-fact join."""
+    rev = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    return (
+        rev.join(F.broadcast(customer), rev.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(k)
+    )
+
+
+def priority_with_late_items(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join (never materializes
+    the probe side's payload columns past the join)."""
+    joined = orders.join(
+        lineitem.select("l_orderkey", "l_shipdate"),
+        (orders.o_orderkey == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > orders.o_orderdate),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per-user event streams split on inactivity gaps.
+
+    lag + conditional cumsum over a per-user window — one shuffle on
+    user_id; at 100 TB the key space is uniform (user ids), and the
+    same semantics stream via session_window() (streaming module).
+    Output: one row per session with span + activity stats.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond precision: cast("long") would truncate to seconds and
+    # disagree with the oracle's interval comparison at gap boundaries.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    with_session = (
+        events.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        with_session.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            _dsum("value").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return revenue_by_nation(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return priority_with_late_items(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_customers": q_top_customers,
+    "priority_late_items": q_priority_late,
+    "sessionize": q_sessionize,
+}
+
+_DSUM_SQL = "CAST(SUM(CAST({e} AS DECIMAL(28,6))) AS DOUBLE)"
+
+ORACLES = {
+    "pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+       {_DSUM_SQL.format(e="l_quantity")} AS sum_qty,
+       {_DSUM_SQL.format(e="l_extendedprice")} AS sum_base_price,
+       {_DSUM_SQL.format(e="l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {_DSUM_SQL.format(e="l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       {_avg_sql("l_quantity")} AS avg_qty,
+       {_avg_sql("l_extendedprice")} AS avg_price,
+       {_avg_sql("l_discount")} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "revenue_by_nation": f"""
+SELECT n_name,
+       {_DSUM_SQL.format(e="l_extendedprice * (1 - l_discount)")} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "top_customers": f"""
+WITH rev AS (
+  SELECT o_custkey,
+         {_DSUM_SQL.format(e="l_extendedprice * (1 - l_discount)")} AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, c_mktsegment, revenue
+FROM rev JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+""",
+    "priority_late_items": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+    "sessionize": f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTES
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM gaps
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       {_DSUM_SQL.format(e="value")} AS total_value
+FROM numbered
+GROUP BY user_id, session_seq
+""",
+}

@@ -1,0 +1,216 @@
+"""Text analysis for training-data curation (extension phase).
+
+All operators are single-pass, shuffle-free projections (or one
+groupBy for corpus stats) over `documents` — the shape that matters
+at 100 TB, where text quality filtering is a narrow map ahead of the
+expensive dedup/tokenize stages.  Zero Python UDFs: everything is
+built-in string/array expressions inside whole-stage codegen.
+
+Ratios are BIGINT/BIGINT divisions (exact inputs), so results are
+bit-identical across engines without rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+#: Tiny per-language stopword lists for the n-gram language heuristic.
+#: (Real pipelines use fastText-style models; the *operator shape* —
+#: token-set scoring + argmax — is what scales.)
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of"],
+    "de": ["der", "die", "das"],
+    "fr": ["le", "la", "les"],
+    "es": ["el", "los", "una"],
+}
+
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+def _toks(text_col: str = "text") -> Column:
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def token_stats(df: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, byte/char
+    sizes, mean token length — the unigram stats every curation
+    pipeline records per document."""
+    toks = _toks()
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.octet_length("text").alias("n_bytes"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            / F.size(toks)
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_scores(df: DataFrame) -> DataFrame:
+    """Quality scoring: length, stopword ratio, type-token ratio,
+    short-doc flag — standard heuristic filters (C4/Gopher style)."""
+    toks = _toks()
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+    return df.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        (n_stop / n).alias("stopword_ratio"),
+        (n_distinct / n).alias("type_token_ratio"),
+        (n < 30).alias("too_short"),
+    )
+
+
+def language_id(df: DataFrame) -> DataFrame:
+    """Language-ID heuristic: score = stopword hits per language,
+    argmax with deterministic tie-break on language order."""
+    toks = _toks()
+    scores = [
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(w) for w in ws]), t))
+        ).alias(f"score_{lang}")
+        for lang, ws in LANG_STOPWORDS.items()
+    ]
+    scored = df.select("doc_id", "lang", *scores)
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    guess = F.lit("unk")
+    for lang in reversed(langs):  # earlier langs win ties
+        guess = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(guess)
+    return scored.select("doc_id", "lang", *[f"score_{lang}" for lang in langs], guess.alias("lang_guess"))
+
+
+def fingerprints(df: DataFrame) -> DataFrame:
+    """Document fingerprinting: exact digest + order-insensitive
+    bag-of-words digest (sorted distinct tokens) — the cheap
+    canonical-form keys used before any pairwise near-dup work."""
+    toks = _toks()
+    return df.select(
+        "doc_id",
+        F.md5("text").alias("exact_fp"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("bow_fp"),
+    )
+
+
+def corpus_stats(df: DataFrame) -> DataFrame:
+    """Corpus rollup by (lang, source): doc counts and size stats —
+    one partial-aggregated shuffle."""
+    return (
+        df.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.octet_length("text")).alias("total_bytes"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_stats(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "text_token_stats": q_token_stats,
+    "text_quality_scores": q_quality,
+    "text_language_id": q_lang_id,
+    "text_fingerprints": q_fingerprints,
+    "text_corpus_stats": q_corpus_stats,
+}
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+def _stop_hits(words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({_TOKS}, t -> list_contains({arr}, t)))"
+
+
+_LANG_SCORES = ",\n       ".join(
+    f"{_stop_hits(ws)} AS score_{lang}" for lang, ws in LANG_STOPWORDS.items()
+)
+
+_BEST = "GREATEST(" + ", ".join(f"score_{lang}" for lang in LANG_STOPWORDS) + ")"
+_GUESS = "CASE "
+for _lang in LANG_STOPWORDS:
+    _GUESS += f"WHEN score_{_lang} = {_BEST} AND {_BEST} > 0 THEN '{_lang}' "
+_GUESS += "ELSE 'unk' END"
+
+ORACLES = {
+    "text_token_stats": f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       len(list_distinct({_TOKS})) AS n_distinct_tokens,
+       length(text) AS n_chars_measured,
+       strlen(text) AS n_bytes,
+       CAST(list_reduce(list_transform({_TOKS}, t -> CAST(length(t) AS BIGINT)),
+                        (acc, x) -> acc + x) AS DOUBLE)
+         / len({_TOKS}) AS mean_token_len
+FROM documents
+""",
+    "text_quality_scores": f"""
+SELECT doc_id, lang,
+       len({_TOKS}) AS n_tokens,
+       CAST({_stop_hits(QUALITY_STOPWORDS)} AS DOUBLE) / len({_TOKS}) AS stopword_ratio,
+       CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) AS type_token_ratio,
+       len({_TOKS}) < 30 AS too_short
+FROM documents
+""",
+    "text_language_id": f"""
+SELECT doc_id, lang,
+       {_LANG_SCORES},
+       {_GUESS} AS lang_guess
+FROM (SELECT doc_id, lang, text FROM documents)
+""",
+    "text_fingerprints": f"""
+SELECT doc_id,
+       md5(text) AS exact_fp,
+       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS bow_fp
+FROM documents
+""",
+    "text_corpus_stats": """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(strlen(text)) AS total_bytes,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+""",
+}
