@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query end-to-end (full materialization via the
+noop sink — no driver-side collect) and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}``.
+
+Headliners cover every operator family: ingest projection, windowed
+rollup, dashboard top-k/scalar-subquery, window-function alarms,
+multi-join aggregation, sessionization, dedup (hash + LSH), ANN, and
+text analysis.  The quadratic Jaccard baseline is deliberately NOT a
+headliner (it exists to verify LSH, not to race it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from opc_ua_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "bronze_telemetry",
+    "rollup_minute",
+    "rollup_hourly",
+    "latest_per_metric",
+    "alarm_feed",
+    "deviation_alarms",
+    "latched_error",
+    "sessionize",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "priority_late_items",
+    "dedup_exact",
+    "minhash_candidate_pairs",
+    "simhash",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "text_quality_scores",
+    "text_fingerprints",
+    "media_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("opc-ua-pipeline-bench")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        # Build the plan fresh, then fully materialize through the noop
+        # sink (exercises the whole plan incl. writes, returns nothing).
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

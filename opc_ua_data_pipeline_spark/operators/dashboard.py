@@ -110,6 +110,38 @@ def alarm_feed(df: DataFrame, clear_metric: str = "signup") -> DataFrame:
     )
 
 
+def reference_alarm_feed(df: DataFrame, limit: int = 50) -> DataFrame:
+    """The VERBATIM J2 panel semantics (machine_dashboard.json:948) on
+    an opcua_data-shaped frame: alarms (ActiveAlarms rows, list-repr
+    scrubbed with translate) newer than the last ``Status='Running'``
+    event, newest ``limit`` first.  Differs from :func:`alarm_feed`
+    (the events-mapped variant) only in the metric/filter constants.
+    """
+    last_running = (
+        df.filter((F.col("metric") == "Status") & (F.col("value_str") == "Running"))
+        .agg(
+            F.coalesce(F.max("time"), F.to_timestamp(F.lit("1970-01-01"))).alias(
+                "clear_time"
+            )
+        )
+    )
+    v = F.col("value_str")
+    return (
+        df.crossJoin(F.broadcast(last_running))
+        .filter(
+            (F.col("metric") == "ActiveAlarms")
+            & v.isNotNull()
+            & (v != "")
+            & (v != "[]")
+            & (v.like("%Error:%") | v.like("%Info:%"))
+            & (F.col("time") > F.col("clear_time"))
+        )
+        .orderBy(F.col("time").desc())
+        .limit(limit)
+        .select("time", F.translate(v, "[]'\"", "").alias("alarm_text"), "operator")
+    )
+
+
 def time_range_scan(df: DataFrame, metric: str, start: str, end: str) -> DataFrame:
     """S4/P8/P11/O3 — Grafana time-series panel scan:
     ``WHERE metric=? AND $__timeFilter(time) ORDER BY time``."""
@@ -147,11 +179,67 @@ def q_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_range_scan(telemetry(spark, sf_dir), "click", *_RANGE)
 
 
+def q_progress_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 — the production-progress clamp ``min(100, done/total*100)``
+    (opcua_server/main.py:344): running event count per user over its
+    total, clamped with least()."""
+    from .ingest import telemetry
+
+    t = telemetry(spark, sf_dir)
+    w_run = (
+        Window.partitionBy("operator")
+        .orderBy("time", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("operator")
+    return (
+        t.filter(F.col("operator").isNotNull())
+        .select(
+            "operator",
+            "time",
+            "event_id",
+            F.least(
+                F.lit(100.0),
+                F.count("*").over(w_run)
+                / F.count("*").over(w_all)
+                * 110.0,
+            ).alias("progress_pct"),
+        )
+    )
+
+
+def q_alarm_list_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — keep-last-N list truncation (opcua_server/main.py:326-327:
+    active alarms capped to the 20 newest): per metric, the ordered
+    alarm texts sliced to the trailing 20."""
+    from .ingest import telemetry
+
+    t = telemetry(spark, sf_dir)
+    return (
+        t.filter(F.col("value_str").isNotNull())
+        .groupBy("metric")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("time", "event_id", "value_str"))
+                    ),
+                    lambda x: x["value_str"],
+                ),
+                -20,
+                20,
+            ).alias("last_alarms")
+        )
+    )
+
+
 QUERIES = {
     "latest_value": q_latest_value,
     "latest_per_metric": q_latest_per_metric,
     "alarm_feed": q_alarm_feed,
     "time_range_scan": q_time_range_scan,
+    "progress_clamp": q_progress_clamp,
+    "alarm_list_trunc": q_alarm_list_trunc,
 }
 
 _METRIC_IN = ", ".join(f"'{m}'" for m in _STATUS_METRICS)
@@ -198,5 +286,24 @@ FROM telemetry
 WHERE metric = 'click'
   AND "time" BETWEEN TIMESTAMP '{_RANGE[0]}' AND TIMESTAMP '{_RANGE[1]}'
   AND value_num IS NOT NULL
+""",
+    "progress_clamp": f"""
+WITH telemetry AS ({TELEMETRY_SQL})
+SELECT operator, "time", event_id,
+       LEAST(100.0,
+             CAST(COUNT(*) OVER (PARTITION BY operator ORDER BY "time", event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY operator) * 110.0) AS progress_pct
+FROM telemetry
+WHERE operator IS NOT NULL
+""",
+    "alarm_list_trunc": f"""
+WITH telemetry AS ({TELEMETRY_SQL})
+SELECT metric,
+       (array_agg(value_str ORDER BY "time", event_id))[-20:] AS last_alarms
+FROM telemetry
+WHERE value_str IS NOT NULL
+GROUP BY metric
 """,
 }

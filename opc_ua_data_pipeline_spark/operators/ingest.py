@@ -56,16 +56,9 @@ TELEMETRY_SQL = """
 """
 
 
-def telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events` reshaped to the bronze ``opcua_data`` schema (+event_id).
-
-    Mirrors P2 (JSON parse), P5 (runtime type dispatch: numeric ->
-    value_num, else string -> value_str; kafka_db_agent/main.py:82-89)
-    and the nullable-operator semantics (hydration_agent/main.py:73).
-    All expressions are built-in (JVM/codegen); zero Python UDFs.
-    """
-    apply_runtime_confs(spark)
-    ev = load_table(spark, sf_dir, "events")
+def telemetry_transform(ev: DataFrame) -> DataFrame:
+    """The events->opcua_data reshape as a pure transformation —
+    identical on batch and streaming DataFrames (narrow ops only)."""
     is_err = F.col("event_type") == "error"
     return ev.select(
         F.col("ts").alias("time"),
@@ -81,6 +74,18 @@ def telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("operator"),
         F.col("event_id"),
     )
+
+
+def telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` reshaped to the bronze ``opcua_data`` schema (+event_id).
+
+    Mirrors P2 (JSON parse), P5 (runtime type dispatch: numeric ->
+    value_num, else string -> value_str; kafka_db_agent/main.py:82-89)
+    and the nullable-operator semantics (hydration_agent/main.py:73).
+    All expressions are built-in (JVM/codegen); zero Python UDFs.
+    """
+    apply_runtime_confs(spark)
+    return telemetry_transform(load_table(spark, sf_dir, "events"))
 
 
 def write_bronze(df: DataFrame, path: str) -> None:
@@ -153,6 +158,21 @@ def type_dispatch(df: DataFrame, value_col: str = "raw_value") -> DataFrame:
     ).drop(value_col)
 
 
+def wire_to_bronze(wire: DataFrame) -> DataFrame:
+    """Raw wire rows (node_id, value, timestamp — the opcua_mqtt_agent
+    payload, main.py:48-52) -> bronze opcua_data shape: P3 projection,
+    P6 timestamp coalesce, P5 type dispatch.  Works on batch and
+    streaming frames (narrow ops only)."""
+    projected = wire.select(
+        F.col("node_id").alias("metric"),
+        F.col("value").alias("raw_value"),
+        F.coalesce(F.to_timestamp("timestamp"), F.current_timestamp()).alias("time"),
+    )
+    return type_dispatch(projected).select(
+        "time", "metric", "value_num", "value_str"
+    )
+
+
 def enrich_with_context(events: DataFrame, context: DataFrame) -> DataFrame:
     """J1 — stream-static KV enrichment as a broadcast join.
 
@@ -198,10 +218,104 @@ def q_bronze_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return telemetry(spark, sf_dir)
 
 
+def q_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the Redis-lookup enrichment as a stream-static broadcast
+    join: every event gains the (1-row) context dimension, then the
+    P4 struct nesting is flattened back out (checked columns)."""
+    apply_runtime_confs(spark)
+    ctx = spark.createDataFrame(
+        [("John Doe", "2025-10-01")], schema=CONTEXT_SCHEMA
+    )
+    ev = load_table(spark, sf_dir, "events")
+    enriched = enrich_with_context(ev, ctx)
+    # P4: nest, then project nested fields (proves the struct shape).
+    nested = enriched.select(
+        F.struct("event_id", "ts", "event_type", "value").alias("original_data"),
+        F.struct("operator", "last_maintenance").alias("context"),
+    )
+    return nested.select(
+        F.col("original_data.event_id").alias("event_id"),
+        F.col("original_data.event_type").alias("metric"),
+        F.col("original_data.value").alias("value_num"),
+        F.col("context.operator").alias("operator"),
+        F.col("context.last_maintenance").alias("last_maintenance"),
+    )
+
+
+def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+P5 — serialize each event to the reference's wire JSON
+    (hydration_agent/main.py:76-83), parse it back with the declared
+    schema, and runtime-type-dispatch the variant value — including
+    boolean payloads, which must stringify Python-style ('True', not
+    'true'; kafka_db_agent/main.py:86-89, F15 hazard).
+    """
+    apply_runtime_confs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    # Variant payload: signups carry a boolean, everything else numeric.
+    payload = F.when(
+        F.col("event_type") == "signup",
+        F.when(F.col("user_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+    ).otherwise(F.col("value").cast("string"))
+    wire = ev.select(
+        F.col("event_id"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("event_type").alias("node_id"),
+                    payload.alias("value"),
+                    F.date_format(
+                        "ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+                    ).alias("timestamp"),
+                ).alias("original_data"),
+                F.struct(
+                    F.lit("John Doe").alias("operator"),
+                    F.lit("2025-10-01").alias("last_maintenance"),
+                    F.lit(0.0).alias("enriched_at"),
+                ).alias("context"),
+            )
+        ).alias("value"),
+    )
+    parsed = wire.select(
+        "event_id", F.from_json(F.col("value"), ENRICHED_EVENT_SCHEMA).alias("m")
+    ).select(
+        "event_id",
+        F.col("m.original_data.node_id").alias("metric"),
+        F.col("m.original_data.value").alias("raw_value"),
+        F.to_timestamp("m.original_data.timestamp").alias("time"),
+        F.col("m.context.operator").alias("operator"),
+    )
+    return type_dispatch(parsed)
+
+
 QUERIES = {
     "bronze_telemetry": q_bronze_telemetry,
+    "enrichment_join": q_enrichment_join,
+    "wire_roundtrip": q_wire_roundtrip,
 }
 
 ORACLES = {
     "bronze_telemetry": f"WITH telemetry AS ({TELEMETRY_SQL}) SELECT * FROM telemetry",
+    "enrichment_join": """
+SELECT event_id,
+       event_type AS metric,
+       value AS value_num,
+       ctx.operator,
+       ctx.last_maintenance
+FROM events
+CROSS JOIN (SELECT 'John Doe' AS operator, '2025-10-01' AS last_maintenance) ctx
+""",
+    # The JSON hop is an identity round-trip; the oracle states the
+    # end-to-end semantics directly (numeric -> value_num, bool ->
+    # Python-repr string in value_str).
+    "wire_roundtrip": """
+SELECT event_id,
+       event_type AS metric,
+       ts AS "time",
+       'John Doe' AS operator,
+       CASE WHEN event_type <> 'signup' THEN value END AS value_num,
+       CASE WHEN event_type = 'signup'
+            THEN CASE WHEN user_id % 2 = 0 THEN 'True' ELSE 'False' END
+       END AS value_str
+FROM events
+""",
 }

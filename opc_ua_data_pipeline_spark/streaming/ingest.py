@@ -1,0 +1,72 @@
+"""Streaming ingest — the reference's write path as one Spark job.
+
+Reference chain (SURVEY.md §3.1): OPC-UA subscription -> MQTT publish
+-> Redis enrichment -> Kafka -> row-at-a-time INSERT
+(opcua_mqtt_agent/main.py:93-130, hydration_agent/main.py:64-86,
+kafka_db_agent/main.py:68-103).  Five process boundaries collapse to
+source -> executors -> sink; the narrow transforms are the *same
+functions* the batch path uses (operators/ingest.py), so batch and
+stream cannot drift.
+
+Sources: Kafka in production (``kafka_stream``), file/rate sources for
+tests and replay (``file_stream``).  The Kafka reader is gated behind
+the kafka-sql package being on the classpath (not bundled here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.ingest import parse_enriched_json, telemetry_transform, type_dispatch
+from ..schemas import EVENTS_SCHEMA
+
+
+def file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Replay `events`-shaped parquet files as a stream (test/backfill
+    source; one file per micro-batch with maxFilesPerTrigger=1)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def kafka_stream(
+    spark: SparkSession, brokers: str, topic: str = "machine_events"
+) -> DataFrame:
+    """S3 — Kafka source (kafka_db_agent/main.py:50-57): earliest
+    offsets, JSON values parsed with the declared enriched schema and
+    then type-dispatched exactly as the DB writer does."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    parsed = parse_enriched_json(raw.select(F.col("value").cast("string")))
+    return type_dispatch(parsed)
+
+
+def start_bronze_ingest(
+    stream: DataFrame, table_path: str, checkpoint: str, trigger_seconds: int = 30
+) -> StreamingQuery:
+    """K3 — the append sink with exactly-once semantics.
+
+    The reference commits per row with Kafka auto-commit decoupled from
+    the DB transaction (at-least/at-most-once mix); here the checkpoint
+    + idempotent parquet append give end-to-end exactly-once.  Output is
+    date-partitioned (hypertable-chunking equivalent, init.sql:11).
+    """
+    telemetry = telemetry_transform(stream).withColumn("date", F.to_date("time"))
+    return (
+        telemetry.writeStream.format("parquet")
+        .option("path", table_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("date")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .outputMode("append")
+        .start()
+    )

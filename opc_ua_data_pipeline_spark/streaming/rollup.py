@@ -1,0 +1,98 @@
+"""Streaming rollups — continuous-aggregate maintenance (G3/G4).
+
+TimescaleDB policy -> Structured Streaming mapping (SURVEY.md §2.10):
+
+| CA policy knob (init.sql:31-34,51-54) | Streaming equivalent       |
+|---------------------------------------|----------------------------|
+| refresh schedule (30 s / 30 min)      | trigger(processingTime)    |
+| end_offset (1 min / 1 h)              | withWatermark delay        |
+| start_offset (1 h / 3 d)              | state retention bound      |
+
+Semantic contract (pinned by tests): for data arriving within
+end_offset of event time, stream output ≡ the batch rollup
+(operators/rollups.machine_stats).  Later stragglers are dropped by
+the watermark, where the reference's refresh policy would still
+revise a bucket within start_offset — reconciled, when needed, by a
+periodic batch repair over the trailing start_offset window
+(:func:`backfill`), which is also the bootstrap path.
+
+State sizing at 100 TB: state rows = #open-buckets x #metrics —
+independent of input volume; the shuffle carries partial aggregates
+(HashAggregate partials into the state store), never raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.rollups import machine_stats
+
+GRANULARITY_SPEC = {
+    # granularity: (window duration, watermark ≡ end_offset, trigger)
+    "minute": ("1 minute", "1 minute", "30 seconds"),
+    "hour": ("1 hour", "1 hour", "30 minutes"),
+}
+
+
+def streaming_machine_stats(telemetry: DataFrame, granularity: str) -> DataFrame:
+    """Watermarked tumbling-window stats per metric over a *streaming*
+    telemetry frame — same measures as the batch rollup.
+
+    ``window(time, d).start`` equals ``date_trunc(d, time)`` for
+    epoch-aligned minute/hour durations, so bucket keys line up with
+    the batch/oracle form exactly.
+    """
+    duration, watermark, _ = GRANULARITY_SPEC[granularity]
+    return (
+        telemetry.filter(F.col("value_num").isNotNull())
+        .withWatermark("time", watermark)
+        .groupBy(F.window("time", duration), F.col("metric"))
+        .agg(
+            (
+                F.sum(F.col("value_num").cast("decimal(28,6)")).cast("double")
+                / F.count("value_num")
+            ).alias("avg_value"),
+            F.min("value_num").alias("min_value"),
+            F.max("value_num").alias("max_value"),
+            F.count("value_num").alias("sample_count"),
+        )
+        .select(
+            F.col("window.start").alias("bucket"),
+            "metric",
+            "avg_value",
+            "min_value",
+            "max_value",
+            "sample_count",
+        )
+    )
+
+
+def start_rollup(
+    telemetry: DataFrame,
+    granularity: str,
+    table_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Materialize the rollup: append mode emits each bucket exactly
+    once when the watermark passes its close — the equivalent of a CA
+    bucket becoming visible once it is end_offset old."""
+    _, _, trigger = GRANULARITY_SPEC[granularity]
+    return (
+        streaming_machine_stats(telemetry, granularity)
+        .writeStream.format("parquet")
+        .option("path", table_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=trigger)
+        .outputMode("append")
+        .start()
+    )
+
+
+def backfill(bronze: DataFrame, granularity: str) -> DataFrame:
+    """Batch bootstrap/repair: recompute the rollup over history (or a
+    trailing start_offset window) with the batch operator — used to
+    seed the table before the stream takes over, and to reconcile
+    stragglers the watermark dropped."""
+    return machine_stats(bronze, granularity)
