@@ -53,6 +53,12 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
+    # Warm up the JVM + parquet footers so the first timed query doesn't
+    # absorb one-time session costs.
+    queries["dedup_exact"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

@@ -32,12 +32,16 @@ BAND_SIZE = 4  # seeds per LSH band -> 4 bands
 
 
 def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id -> distinct token set (whitespace tokenization)."""
-    return (
-        df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .distinct()
+    """doc_id -> distinct token set (whitespace tokenization).
+
+    Per-doc dedup via array_distinct BEFORE exploding: all downstream
+    consumers key by doc_id, so a global DISTINCT (a full shuffle of
+    every token occurrence) is wasted work — this form is shuffle-free.
+    """
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     )
+    return df.select("doc_id", F.explode(toks).alias("tok"))
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -85,129 +89,132 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
     return jac.filter(F.col("jaccard") >= threshold)
 
 
-def minhash_signatures(df: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
-    """MinHash signatures: sig[s] = min over tokens of md5(s || ':' || tok).
+def minhash_signatures_wide(df: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
+    """MinHash signatures, wide form: one row per doc with n_seeds
+    min-agg columns.
 
-    One row per (doc_id, seed) with the lexicographic-min hex digest —
-    a drop of the int-conversion step that classic minhash uses, with
-    the same uniformity (md5 is uniform on hex strings) and a total
-    order both engines agree on.  Scale: explode(tokens) x n_seeds is
-    a map-side expansion; the min-agg shuffles #docs x n_seeds rows.
+    sig[s] = min over tokens of md5(s || ':' || tok) — lexicographic
+    minima of hex digests (same uniformity as classic int minhash, and
+    a total order both engines share).  All n_seeds hashes evaluate in
+    one codegen'd pass per token row and aggregate map-side, so the
+    shuffle carries #docs rows of n_seeds short strings — no row
+    explosion (the naive tokens x seeds explode moves n_seeds x more
+    rows through the exchange).
     """
-    seeds = F.array(*[F.lit(s) for s in range(n_seeds)])
-    return (
-        tokens(df)
-        .select("doc_id", F.explode(seeds).alias("seed"), F.col("tok"))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("tok"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("sig"))
+    return tokens(df).groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("tok")))).alias(f"sig_{s}")
+            for s in range(n_seeds)
+        ]
     )
 
 
-def lsh_bands(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
-    """Group signature positions into bands; band key = concatenated
-    in-order signature values.  Docs sharing any band key are
-    candidate near-duplicates."""
-    return (
-        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "sig"))),
-                    lambda x: x["sig"],
-                ),
-                ",",
-            ).alias("band_key")
-        )
+def minhash_signatures(df: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
+    """Long form (doc_id, seed, sig) — the wide aggregate unpivoted
+    with stack(); kept as the contract/oracle shape."""
+    wide = minhash_signatures_wide(df, n_seeds)
+    stack_args = ", ".join(f"{s}L, sig_{s}" for s in range(n_seeds))
+    return wide.selectExpr(
+        "doc_id", f"stack({n_seeds}, {stack_args}) AS (seed, sig)"
+    )
+
+
+def lsh_bands(df: DataFrame, band_size: int = BAND_SIZE, n_seeds: int = N_SEEDS) -> DataFrame:
+    """Band keys from the wide signatures: band b concatenates its
+    band_size in-order signature values.  Docs sharing any band key
+    are candidate near-duplicates."""
+    wide = minhash_signatures_wide(df, n_seeds)
+    n_bands = n_seeds // band_size
+    band_keys = [
+        F.concat_ws(
+            ",", *[F.col(f"sig_{b * band_size + i}") for i in range(band_size)]
+        ).alias(f"bk_{b}")
+        for b in range(n_bands)
+    ]
+    wide = wide.select("doc_id", *band_keys)
+    stack_args = ", ".join(f"{b}, bk_{b}" for b in range(n_bands))
+    return wide.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, band_key)"
     )
 
 
 def minhash_candidate_pairs(df: DataFrame) -> DataFrame:
-    """MinHash+LSH near-dup candidates: equi-join on (band, band_key).
+    """MinHash+LSH near-dup candidates: docs sharing >= 1 band key.
 
-    The 100 TB path: the only join is on band buckets (tiny keys,
-    uniform by hash), never on token sets; verification (exact
-    Jaccard on candidates only) composes with :func:`jaccard_pairs`.
+    The 100 TB path: the only joins are on band buckets (small uniform
+    keys), never on token sets; verification (exact Jaccard on
+    candidates only) composes with :func:`jaccard_pairs`.
+
+    First-collision formulation: band b's join also requires all
+    earlier bands to DIFFER, so each qualifying pair is emitted by
+    exactly one band — the naive union needs a DISTINCT over a
+    bands-times-larger intermediate (near-dups collide in every band),
+    which at 100 TB is the single most expensive exchange of the whole
+    pipeline.  The signature table is localCheckpoint'ed (it is
+    #docs x n_seeds hashes, small) so the four band joins read it
+    instead of recomputing the token aggregation per join side.
     """
-    bands = lsh_bands(minhash_signatures(df))
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    n_bands = N_SEEDS // BAND_SIZE
+    wide = minhash_signatures_wide(df)
+    bk = wide.select(
+        "doc_id",
+        *[
+            F.concat_ws(
+                ",", *[F.col(f"sig_{b * BAND_SIZE + i}") for i in range(BAND_SIZE)]
+            ).alias(f"bk_{b}")
+            for b in range(n_bands)
+        ],
+    ).localCheckpoint(eager=True)
+    parts = []
+    for b in range(n_bands):
+        a, c = bk.alias("a"), bk.alias("c")
+        cond = (F.col(f"a.bk_{b}") == F.col(f"c.bk_{b}")) & (
+            F.col("a.doc_id") < F.col("c.doc_id")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+        for j in range(b):
+            cond = cond & (F.col(f"a.bk_{j}") != F.col(f"c.bk_{j}"))
+        parts.append(
+            a.join(c, cond).select(
+                F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def simhash(df: DataFrame, n_bits: int = 60) -> DataFrame:
     """SimHash fingerprint: per-bit majority vote over token digests.
 
-    Bits come from md5 hex nibbles ((hex digit >> b) & 1 for b in
-    0..3), mirrored verbatim in the SQL oracle so both engines build
-    the identical 60-bit integer.  Scale: tokens x 60 bit-positions is
-    map-side; the vote is one groupBy(doc_id) with partial aggregation.
+    Each token's leading 15 md5 hex chars become a 60-bit integer
+    (``conv`` base-16); the 60 per-bit votes are wide aggregate
+    expressions — one codegen'd pass per token row, map-side partials,
+    a shuffle of #docs rows x 60 small ints, no row explosion.  Bit
+    numbering matches the SQL oracle's nibble formulation: hex char j,
+    low bit b -> bit_pos j*4+b, i.e. integer bit (14-j)*4+b.
+
+    Pure BIGINT arithmetic throughout: Spark's double->decimal cast is
+    repr-based (BigDecimal.valueOf) and would corrupt 2^59-scale
+    weights that DuckDB casts exactly.
     """
     nhex = n_bits // 4
-    positions = F.array(*[F.lit(i) for i in range(nhex)])
-    bits = F.array(*[F.lit(b) for b in range(4)])
-    tok_h = tokens(df).select("doc_id", F.md5("tok").alias("h"))
-    per_bit = (
-        tok_h.select("doc_id", "h", F.explode(positions).alias("j"))
-        .select(
-            "doc_id",
-            "j",
-            (
-                F.instr(
-                    F.lit("0123456789abcdef"),
-                    F.substring(F.col("h"), F.col("j") + 1, 1),
-                )
-                - 1
-            ).alias("nib"),
-            F.explode(bits).alias("b"),
+    h = F.conv(F.substring(F.md5("tok"), 1, nhex), 16, 10).cast("long")
+    tok_h = tokens(df).select("doc_id", h.alias("h"))
+
+    def vote(bit_pos: int) -> F.Column:
+        j, b = bit_pos // 4, bit_pos % 4
+        int_bit = (nhex - 1 - j) * 4 + b
+        bit = F.shiftright(F.col("h"), int_bit).bitwiseAND(F.lit(1))
+        return F.sum(bit * 2 - 1).alias(f"v{bit_pos}")
+
+    wide = tok_h.groupBy("doc_id").agg(*[vote(p) for p in range(n_bits)])
+    acc = F.lit(0).cast("bigint")
+    for p in range(n_bits):
+        acc = acc + F.when(F.col(f"v{p}") > 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        .select(
-            "doc_id",
-            (F.col("j") * 4 + F.col("b")).alias("bit_pos"),
-            # (nib >> b) & 1, written as floor-div/mod because shiftright
-            # takes a literal shift; mirrors the SQL oracle verbatim.
-            (
-                (
-                    F.floor(F.col("nib") / F.pow(F.lit(2.0), F.col("b"))).cast("long")
-                    % 2
-                )
-                * 2
-                - 1
-            ).alias("vote"),
-        )
-    )
-    # Integer shifts, NOT pow(2, bit): Spark's double->decimal cast goes
-    # through the shortest string repr (BigDecimal.valueOf), so 2^59 as a
-    # double loses its low bits on the decimal side while DuckDB casts the
-    # exact binary value — pure BIGINT arithmetic sidesteps the hazard.
-    return (
-        per_bit.groupBy("doc_id", "bit_pos")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("v") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit_pos AS INT))"),
-                ).otherwise(F.lit(0).cast("bigint"))
-            )
-            .cast("long")
-            .alias("simhash")
-        )
-    )
+    return wide.select("doc_id", acc.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

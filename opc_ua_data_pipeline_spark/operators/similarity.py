@@ -42,6 +42,20 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _norm(e: Column) -> Column:
+    return F.sqrt(_dot(e, e))
+
+
+def _pair_score() -> Column:
+    """cosine from a per-pair dot and precomputed per-side norms —
+    norms are evaluated once per vector, not once per pair (3x fewer
+    folds on the hot path), with bit-identical results since sqrt of
+    the same fold is the same double whenever it is computed."""
+    return _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+
+
 def brute_force_topk(
     queries: DataFrame, corpus: DataFrame, k: int = TOP_K
 ) -> DataFrame:
@@ -52,15 +66,19 @@ def brute_force_topk(
     window over a key space of |queries|).
     """
     q = queries.select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
     c = corpus.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("score"))
+        .select("q_id", "c_id", _pair_score().alias("score"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
     return (
@@ -88,17 +106,19 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFrame
     q = queries.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
         sign_bucket(F.col("embedding")).alias("bucket"),
     )
     c = corpus.select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
         sign_bucket(F.col("embedding")).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("score"))
+        .select("q_id", "c_id", _pair_score().alias("score"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
     return (
@@ -113,15 +133,21 @@ def centroid_topk(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> Data
     cell id (in a real IVF the cells come from k-means over a sample);
     probe only the query's own cell."""
     q = queries.select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "label"
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+        "label",
     )
     c = corpus.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "label"
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+        "label",
     )
     scored = (
         c.join(F.broadcast(q), "label")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("score"))
+        .select("q_id", "c_id", _pair_score().alias("score"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
     return (

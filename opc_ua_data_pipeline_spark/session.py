@@ -29,6 +29,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Sized for this container (local[32]); on a real cluster this is
+    # cores-based and AQE coalesces post-shuffle partitions anyway.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

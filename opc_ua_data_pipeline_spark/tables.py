@@ -34,6 +34,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: Columns stored as TIMESTAMP(NANOS) in the driver parquet — read as
 #: int64 (see session.RUNTIME_CONFS) and truncated to microseconds,
 #: matching DuckDB's nanos->micros behavior bit-for-bit.
+#: Scale caveat: predicates on the converted column cannot push down to
+#: the raw int64 (Catalyst can't see through timestamp_micros(div)); on
+#: a production table with proper TIMESTAMP(MICROS) parquet — or the
+#: date-partitioned bronze layout ingest.write_bronze produces — range
+#: scans prune at the scan as usual.  This wrapper exists only for the
+#: driver-generated test data.
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
