@@ -93,12 +93,15 @@ def write_bronze(df: DataFrame, path: str) -> None:
 
     Equivalent of the hypertable chunking on ``time``
     (database/init.sql:11): partition pruning over `date=` directories
-    replaces chunk exclusion; parquet row-group min/max stats replace
-    the ``(metric, time DESC)`` b-tree for metric-filtered scans.
+    replaces chunk exclusion.  Rows are sorted by (metric, time)
+    within each file so parquet row-group min/max stats skip
+    non-matching metrics — the layout-level stand-in for the
+    ``(metric, time DESC)`` b-tree (init.sql:14); K4.
     """
     (
         df.withColumn("date", F.to_date("time"))
         .repartition("date")
+        .sortWithinPartitions("metric", "time")
         .write.mode("append")
         .partitionBy("date")
         .parquet(path)

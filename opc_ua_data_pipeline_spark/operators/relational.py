@@ -153,6 +153,48 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def distinct_users(events: DataFrame) -> DataFrame:
+    """Exact + approximate distinct aggregation per event type: the
+    exact COUNT(DISTINCT) is the oracle-checked baseline; the HLL
+    sketch (approx_count_distinct) is the 100 TB path (constant
+    memory, one pass, mergeable partials) and is sanity-bounded
+    against the exact count in tests rather than hash-matched (sketch
+    internals are engine-specific)."""
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def approx_distinct_users(events: DataFrame) -> DataFrame:
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+def corpus_cube(documents: DataFrame) -> DataFrame:
+    """CUBE(lang, source): all four grouping-set rollups in one pass —
+    partial aggregation expands the grouping sets map-side, so the
+    shuffle carries one partial row per (set, key) not per input row."""
+    return documents.cube("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def event_type_pivot(events: DataFrame) -> DataFrame:
+    """Pivot event types to columns (per-user activity matrix) — with
+    an explicit pivot-value list so the plan needs no discovery pass."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries
 # ---------------------------------------------------------------------------
@@ -189,12 +231,32 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"))
 
 
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_users(load_table(spark, sf_dir, "events"))
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return approx_distinct_users(load_table(spark, sf_dir, "events"))
+
+
+def q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_cube(load_table(spark, sf_dir, "documents"))
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_type_pivot(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
     "priority_late_items": q_priority_late,
     "sessionize": q_sessionize,
+    "distinct_users": q_distinct_users,
+    "approx_distinct_users": q_approx_distinct,  # rows-only: HLL sketch
+    "corpus_cube": q_corpus_cube,
+    "event_type_pivot": q_event_pivot,
 }
 
 _DSUM_SQL = "CAST(SUM(CAST({e} AS DECIMAL(28,6))) AS DOUBLE)"
@@ -268,5 +330,27 @@ SELECT user_id, session_seq,
        {_DSUM_SQL.format(e="value")} AS total_value
 FROM numbered
 GROUP BY user_id, session_seq
+""",
+    "distinct_users": """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    "corpus_cube": """
+SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+""",
+    "event_type_pivot": """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'view') AS view,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'error') AS error
+FROM events
+GROUP BY user_id
 """,
 }

@@ -50,6 +50,27 @@ def kafka_stream(
     return type_dispatch(parsed)
 
 
+def start_kafka_sink(
+    df: DataFrame, brokers: str, topic: str, checkpoint: str
+) -> StreamingQuery:
+    """K1/K2 — the MQTT/Kafka producer hop (hydration_agent/main.py:
+    54-57,85-86) as a Kafka sink: the payload re-serializes to the wire
+    JSON via to_wire_json.  Unlike the reference's fire-and-forget
+    producer, the checkpoint makes delivery at-least-once with
+    idempotent restart.  Requires the spark-sql-kafka package on the
+    classpath (not bundled in this container)."""
+    from ..operators.ingest import to_wire_json
+
+    return (
+        to_wire_json(df)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def start_bronze_ingest(
     stream: DataFrame, table_path: str, checkpoint: str, trigger_seconds: int = 30
 ) -> StreamingQuery:

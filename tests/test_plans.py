@@ -1,0 +1,74 @@
+"""Physical-plan regression guards: the properties that make these
+queries survive a 100x scale-up (pushdown, pruning, broadcast, top-k
+heaps, partial aggregation) must not silently disappear."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entry_mod
+from opc_ua_data_pipeline_spark.plans import assert_plan, formatted_plan
+
+SF = "/root/testdata/sf0.01"
+Q = entry_mod.queries()
+
+
+def test_pricing_summary_scan(spark):
+    plan = assert_plan(
+        Q["pricing_summary"](spark, SF),
+        contains=["PushedFilters: [IsNotNull(l_shipdate)", "HashAggregate"],
+    )
+    # column pruning: 7 of 11 lineitem columns read
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert len(schema.split(",")) == 7, schema
+    assert "l_orderkey" not in schema
+
+
+def test_topk_queries_use_heap_not_sort(spark):
+    for name in ["latest_value", "alarm_feed", "top_customers"]:
+        assert_plan(Q[name](spark, SF), contains=["TakeOrderedAndProject"])
+
+
+def test_dim_joins_broadcast(spark):
+    assert_plan(
+        Q["revenue_by_nation"](spark, SF),
+        contains=["BroadcastHashJoin"],
+    )
+    # the 1-row scalar subquery side must be a broadcast nested loop
+    assert_plan(Q["alarm_feed"](spark, SF), contains=["BroadcastNestedLoopJoin"])
+
+
+def test_metric_filter_pushdown(spark):
+    assert_plan(
+        Q["latest_value"](spark, SF),
+        contains=["EqualTo(event_type,purchase)"],
+    )
+
+
+def test_no_python_udfs_on_reference_surface(spark):
+    """The reference-parity queries must stay JVM-side end-to-end
+    (SURVEY.md §2.11: target zero Python UDFs on the hot path)."""
+    for name in [
+        "bronze_telemetry",
+        "rollup_minute",
+        "latest_per_metric",
+        "alarm_feed",
+        "deviation_alarms",
+        "edge_alarms",
+        "latched_error",
+        "sessionize",
+    ]:
+        plan = formatted_plan(Q[name](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_lsh_has_no_distinct_exchange(spark):
+    """The first-collision formulation must not reintroduce a
+    post-join DISTINCT (the 100 TB bottleneck it removed): the pair
+    plan is a Union of broadcast joins over the checkpointed signature
+    table — no aggregates, no shuffle exchanges at all."""
+    plan = formatted_plan(Q["minhash_candidate_pairs"](spark, SF))
+    assert "Union" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" not in plan
+    assert "Exchange hashpartitioning" not in plan
