@@ -153,6 +153,47 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    time_col: str,
+    value_col: str,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """As-of join — Spark has no native one (PySpark guide: common OLAP
+    patterns); composition used here: union both sides, one window
+    pass with last(ignorenulls) carrying the right side's most recent
+    value forward, keep left rows.
+
+    One shuffle on the key, no per-group Python (`merge_asof` via
+    applyInPandas is the fallback for semantics this can't express).
+    Inclusive semantics (right.time <= left.time) via the (time,
+    right-first) sort, matching DuckDB's ASOF JOIN oracle.
+    """
+    from pyspark.sql import Window
+
+    l = left.withColumn("_is_left", F.lit(1)).withColumn("_rv", F.lit(None).cast(right.schema[value_col].dataType))
+    r = right.select(
+        on,
+        time_col,
+        F.lit(0).alias("_is_left"),
+        F.col(value_col).alias("_rv"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (on, time_col)],
+    ).select(*[c for c in l.columns])
+    w = (
+        Window.partitionBy(on)
+        .orderBy(time_col, "_is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        l.unionByName(r)
+        .withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
+        .filter(F.col("_is_left") == 1)
+        .drop("_is_left", "_rv")
+    )
+
+
 def distinct_users(events: DataFrame) -> DataFrame:
     """Exact + approximate distinct aggregation per event type: the
     exact COUNT(DISTINCT) is the oracle-checked baseline; the HLL
@@ -247,6 +288,22 @@ def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_type_pivot(load_table(spark, sf_dir, "events"))
 
 
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each error event joined as-of to the user's most recent
+    purchase value (the 'state at event time' lookup every telemetry
+    store needs)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        errors, purchases, "user_id", "ts", "purchase_value", "last_purchase_value"
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -257,6 +314,7 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct,  # rows-only: HLL sketch
     "corpus_cube": q_corpus_cube,
     "event_type_pivot": q_event_pivot,
+    "asof_last_purchase": q_asof_last_purchase,
 }
 
 _DSUM_SQL = "CAST(SUM(CAST({e} AS DECIMAL(28,6))) AS DOUBLE)"
@@ -352,5 +410,13 @@ SELECT user_id,
        COUNT(*) FILTER (event_type = 'error') AS error
 FROM events
 GROUP BY user_id
+""",
+    "asof_last_purchase": """
+SELECT e.user_id, e.ts, e.event_id, e.value,
+       p.purchase_value AS last_purchase_value
+FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value
+                FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
 """,
 }

@@ -157,6 +157,40 @@ def centroid_topk(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> Data
     )
 
 
+#: Real corpora use ~0.9; the synthetic embeddings are near-orthogonal
+#: (max pairwise cosine ~0.51), so the demo threshold sits at the tail
+#: of that distribution to keep the query's output non-degenerate.
+NEARDUP_THRESHOLD = 0.35
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame, threshold: float = NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup family's
+    semantic variant): candidates restricted to the same sign bucket,
+    scored, thresholded.  The sketch makes the pair space
+    sum-of-squares of bucket sizes instead of |corpus|^2 — the same
+    LSH argument as minhash_candidate_pairs, applied to vectors."""
+    c1 = corpus.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+        sign_bucket(F.col("embedding")).alias("bucket"),
+    )
+    c2 = corpus.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+        sign_bucket(F.col("embedding")).alias("bucket"),
+    )
+    return (
+        c1.join(c2, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _pair_score().alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries
 # ---------------------------------------------------------------------------
@@ -177,10 +211,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
+    "embedding_neardup_pairs": q_embedding_neardup,
 }
 
 # DuckDB-side cosine with the SAME left-fold order as Spark's aggregate().
@@ -228,4 +267,12 @@ ORACLES = {
         _BUCKET_SQL.format(e="q.embedding") + " = " + _BUCKET_SQL.format(e="c.embedding")
     ),
     "ann_ivf_topk": _topk_sql("q.label = c.label"),
+    "embedding_neardup_pairs": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS score
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id
+ AND {_BUCKET_SQL.format(e="a.embedding")} = {_BUCKET_SQL.format(e="b.embedding")}
+WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= {NEARDUP_THRESHOLD}
+""",
 }

@@ -34,14 +34,22 @@ def _toks(text_col: str = "text") -> Column:
     return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+#: explicit classes only, so Java regex and RE2 agree.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
 def token_stats(df: DataFrame) -> DataFrame:
-    """Token counting: whitespace tokens, distinct tokens, byte/char
-    sizes, mean token length — the unigram stats every curation
-    pipeline records per document."""
+    """Token counting: whitespace tokens, BPE-ish regex tokens,
+    distinct tokens, byte/char sizes, mean token length — the unigram
+    stats every curation pipeline records per document."""
     toks = _toks()
     return df.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.length("text").alias("n_chars_measured"),
         F.octet_length("text").alias("n_bytes"),
@@ -95,15 +103,34 @@ def language_id(df: DataFrame) -> DataFrame:
     return scored.select("doc_id", "lang", *[f"score_{lang}" for lang in langs], guess.alias("lang_guess"))
 
 
+ROLL_BASE = 131
+ROLL_MOD = 1 << 48  # keeps acc*131+255 < 2^63: exact BIGINT in both engines
+
+
 def fingerprints(df: DataFrame) -> DataFrame:
-    """Document fingerprinting: exact digest + order-insensitive
-    bag-of-words digest (sorted distinct tokens) — the cheap
-    canonical-form keys used before any pairwise near-dup work."""
+    """Document fingerprinting: exact digest, order-insensitive
+    bag-of-words digest (sorted distinct tokens), and a polynomial
+    rolling hash over the raw characters — the canonical-form keys
+    used before any pairwise near-dup work.  The rolling hash is a
+    pure-integer left fold (acc*B + chr mod 2^48), bit-identical
+    across engines."""
     toks = _toks()
+    # split('') materializes the char array in one pass — per-index
+    # substring() re-scans the string per character (quadratic).
+    chars = F.transform(
+        F.split(F.col("text"), ""),
+        lambda ch: F.ascii(ch).cast("bigint"),
+    )
+    rolling = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * ROLL_BASE + c) % ROLL_MOD,
+    )
     return df.select(
         "doc_id",
         F.md5("text").alias("exact_fp"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("bow_fp"),
+        rolling.alias("rolling_fp"),
     )
 
 
@@ -176,6 +203,7 @@ ORACLES = {
     "text_token_stats": f"""
 SELECT doc_id,
        len({_TOKS}) AS n_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
        len(list_distinct({_TOKS})) AS n_distinct_tokens,
        length(text) AS n_chars_measured,
        strlen(text) AS n_bytes,
@@ -201,7 +229,11 @@ FROM (SELECT doc_id, lang, text FROM documents)
     "text_fingerprints": f"""
 SELECT doc_id,
        md5(text) AS exact_fp,
-       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS bow_fp
+       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS bow_fp,
+       list_reduce(
+         list_transform(generate_series(1, length(text)),
+                        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+         (acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD}) AS rolling_fp
 FROM documents
 """,
     "text_corpus_stats": """
