@@ -93,20 +93,22 @@ def minhash_signatures_wide(df: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
     """MinHash signatures, wide form: one row per doc with n_seeds
     min-agg columns.
 
-    sig[s] = min over tokens of md5(s || ':' || tok) — lexicographic
-    minima of hex digests (same uniformity as classic int minhash, and
-    a total order both engines share).  All n_seeds hashes evaluate in
-    one codegen'd pass per token row and aggregate map-side, so the
-    shuffle carries #docs rows of n_seeds short strings — no row
-    explosion (the naive tokens x seeds explode moves n_seeds x more
-    rows through the exchange).
+    sig[2k]/sig[2k+1] are the lexicographic minima of the two 16-hex
+    halves of md5(k || ':' || tok): one digest yields two independent
+    uniform hash values, halving the md5 work per token (the digest's
+    halves are independent for a cryptographic hash).  Same uniformity
+    as classic int minhash, with a total order both engines share.
+    All hashes evaluate in one codegen'd pass per token row and
+    aggregate map-side, so the shuffle carries #docs rows of n_seeds
+    short strings — no row explosion.
     """
-    return tokens(df).groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("tok")))).alias(f"sig_{s}")
-            for s in range(n_seeds)
-        ]
-    )
+    assert n_seeds % 2 == 0
+    aggs = []
+    for k in range(n_seeds // 2):
+        h = F.md5(F.concat(F.lit(f"{k}:"), F.col("tok")))
+        aggs.append(F.min(F.substring(h, 1, 16)).alias(f"sig_{2 * k}"))
+        aggs.append(F.min(F.substring(h, 17, 16)).alias(f"sig_{2 * k + 1}"))
+    return tokens(df).groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(df: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
@@ -260,7 +262,10 @@ _SEEDS_SQL = f"(SELECT UNNEST(generate_series(0, {N_SEEDS - 1})) AS seed)"
 
 _SIGS_SQL = f"""
   SELECT doc_id, seed,
-         MIN(md5(CAST(seed AS VARCHAR) || ':' || tok)) AS sig
+         MIN(CASE WHEN seed % 2 = 0
+                  THEN substr(md5(CAST(seed // 2 AS VARCHAR) || ':' || tok), 1, 16)
+                  ELSE substr(md5(CAST(seed // 2 AS VARCHAR) || ':' || tok), 17, 16)
+             END) AS sig
   FROM ({_TOKENS_SQL}) toks CROSS JOIN {_SEEDS_SQL}
   GROUP BY doc_id, seed
 """

@@ -214,6 +214,25 @@ def approx_distinct_users(events: DataFrame) -> DataFrame:
     )
 
 
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per event type (type-7 quantile,
+    identical definition in Spark's percentile and DuckDB's
+    quantile_cont — verified bit-identical); the approximate variant
+    (percentile_approx, a KLL-style sketch) is the one-pass mergeable
+    100 TB path, sanity-bounded rather than hash-matched."""
+    return events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+
+
+def approx_value_percentiles(events: DataFrame) -> DataFrame:
+    return events.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5).alias("approx_p50"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+    )
+
+
 def corpus_cube(documents: DataFrame) -> DataFrame:
     """CUBE(lang, source): all four grouping-set rollups in one pass —
     partial aggregation expands the grouping sets map-side, so the
@@ -315,6 +334,12 @@ QUERIES = {
     "corpus_cube": q_corpus_cube,
     "event_type_pivot": q_event_pivot,
     "asof_last_purchase": q_asof_last_purchase,
+    "value_percentiles": lambda spark, sf: value_percentiles(
+        load_table(spark, sf, "events")
+    ),
+    "approx_value_percentiles": lambda spark, sf: approx_value_percentiles(
+        load_table(spark, sf, "events")
+    ),  # rows-only: sketch internals are engine-specific
 }
 
 _DSUM_SQL = "CAST(SUM(CAST({e} AS DECIMAL(28,6))) AS DOUBLE)"
@@ -410,6 +435,13 @@ SELECT user_id,
        COUNT(*) FILTER (event_type = 'error') AS error
 FROM events
 GROUP BY user_id
+""",
+    "value_percentiles": """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95
+FROM events
+GROUP BY event_type
 """,
     "asof_last_purchase": """
 SELECT e.user_id, e.ts, e.event_id, e.value,

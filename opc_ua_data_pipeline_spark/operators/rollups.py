@@ -84,6 +84,56 @@ GROUP BY 1, 2
 """
 
 
+def machine_stats_partials(df: DataFrame, granularity: str) -> DataFrame:
+    """Partial-aggregate form of the rollup: exact decimal SUM + count
+    instead of the derived mean — TimescaleDB stores exactly this
+    (partial aggregate state per bucket) so coarser rollups and
+    refreshes combine partials instead of rescanning raw data."""
+    return (
+        df.filter(F.col("value_num").isNotNull())
+        .groupBy(
+            F.date_trunc(granularity, F.col("time")).alias("bucket"),
+            F.col("metric"),
+        )
+        .agg(
+            F.sum(F.col("value_num").cast(_DEC)).alias("sum_value"),
+            F.min("value_num").alias("min_value"),
+            F.max("value_num").alias("max_value"),
+            F.count("value_num").alias("sample_count"),
+        )
+    )
+
+
+def combine_partials(partials: DataFrame, granularity: str) -> DataFrame:
+    """Roll partials up to a coarser granularity (minute -> hour -> day)
+    and finalize the mean.  Decimal sums are associative, so the result
+    is bit-identical to aggregating the raw rows — the core partial/
+    final property that makes hierarchical rollups free at 100 TB
+    (the hour job reads #minute-buckets rows, not the fact table)."""
+    return (
+        partials.groupBy(
+            F.date_trunc(granularity, F.col("bucket")).alias("bucket"),
+            F.col("metric"),
+        )
+        .agg(
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("sample_count").alias("sample_count"),
+        )
+        .select(
+            "bucket",
+            "metric",
+            (F.col("sum_value").cast("double") / F.col("sample_count")).alias(
+                "avg_value"
+            ),
+            "min_value",
+            "max_value",
+            "sample_count",
+        )
+    )
+
+
 def last_event_time(df: DataFrame, metric: str) -> DataFrame:
     """G5 — ungrouped MAX with COALESCE default
     (machine_dashboard.json:948 ``last_running`` CTE)."""
@@ -106,15 +156,26 @@ def q_last_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_event_time(telemetry(spark, sf_dir), "signup")
 
 
+def q_rollup_hourly_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour rollup built from minute PARTIALS, not raw rows — must be
+    bit-identical to the direct hourly rollup (shares its oracle)."""
+    return combine_partials(
+        machine_stats_partials(telemetry(spark, sf_dir), "minute"), "hour"
+    )
+
+
 QUERIES = {
     "rollup_minute": q_rollup_minute,
     "rollup_hourly": q_rollup_hourly,
+    "rollup_hourly_hierarchical": q_rollup_hourly_hierarchical,
     "last_running_time": q_last_running,
 }
 
 ORACLES = {
     "rollup_minute": _machine_stats_sql("minute"),
     "rollup_hourly": _machine_stats_sql("hour"),
+    # the hierarchical path must reproduce the direct hourly rollup
+    "rollup_hourly_hierarchical": _machine_stats_sql("hour"),
     "last_running_time": f"""
 WITH telemetry AS ({TELEMETRY_SQL})
 SELECT COALESCE(MAX("time"), TIMESTAMP '1970-01-01') AS clear_time
