@@ -24,6 +24,7 @@ from opc_ua_data_pipeline_spark.operators import (
     relational,
     rollups,
     similarity,
+    skew,
     text,
 )
 from opc_ua_data_pipeline_spark.session import apply_runtime_confs
@@ -38,6 +39,7 @@ _MODULES = [
     similarity,
     text,
     multimodal,
+    skew,
 ]
 
 

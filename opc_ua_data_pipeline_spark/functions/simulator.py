@@ -50,11 +50,13 @@ def generate_rows(
     cycle, cycle_t = 0.72, 0.72
     vision = 99.9
     vacuum = -70.0
+    acc_x = 0.0
     feeders = [1200, 900, 600, 300]
     status = "Running"
     active_alarms: list[str] = []
     feeder_low_flag = [False] * 4
     current_error = ""
+    pcbs_good, total_order = 0, 150
 
     def emit(metric: str, num=None, s=None, operator=OPERATOR, at=None):
         rows.append((at or t, metric, num, s, operator))
@@ -62,6 +64,9 @@ def generate_rows(
     emit("Status", s=status)
     emit("TargetPlacementRateCPH", num=rate_t)
     emit("TargetCycleTimeS", num=cycle_t)
+    emit("Article", s="ECU-Board-A")
+    emit("ProductionOrder", s="PO-2024-ECU-0001")
+    emit("TotalPCBsOrder", num=float(total_order))
 
     for tick in range(n_ticks):
         t = T0 + timedelta(seconds=tick * tick_seconds)
@@ -71,10 +76,26 @@ def generate_rows(
         cycle = max(0.1, _walk(rng, cycle, cycle_t, 0.15, 0.003))
         vision = min(100.0, max(99.5, _walk(rng, vision, 99.9, 0.1, 0.05)))
         vacuum = min(-65.0, _walk(rng, vacuum, -70.0, 0.1, 0.5))
+        acc_x = _walk(rng, acc_x, 0.0, 0.2, 0.05)
         emit("ActualPlacementRateCPH", num=rate)
         emit("ActualCycleTimeS", num=cycle)
         emit("VisionPassRatePct", num=vision)
         emit("VacuumPressureKPa", num=vacuum)
+        emit("ActualAccuracyXum", num=acc_x)
+
+        # production counters + clamped progress (F16, :344)
+        if status == "Running" and tick % 20 == 19:
+            pcbs_good += 1
+            emit("PCBsCompletedGood", num=float(pcbs_good))
+            emit(
+                "ProductionOrderProgressPct",
+                num=min(100.0, pcbs_good / total_order * 100.0),
+            )
+        if tick == 2200:  # order changeover scenario
+            pcbs_good = 0
+            emit("Article", s="ECU-Board-B")
+            emit("ProductionOrder", s="PO-2024-ECU-0002")
+            emit("TotalPCBsOrder", num=float(total_order))
 
         # feeder decrement on a random feeder (:309-316)
         f = rng.randrange(4)
