@@ -67,9 +67,14 @@ def deviation_alarms(
         .orderBy(*order_cols)
         .rowsBetween(-2, 0)
     )
+    # Guarded samples (target==0 -> NULL pct) are filtered BEFORE the
+    # window: the reference returns before appending to the buffer
+    # (opcua_server/main.py:29-30), so a guarded sample must not occupy
+    # a slot in anyone's trailing-3 frame.
     df = (
         df.filter(F.col("value_num").isNotNull())
         .withColumn("pct", pct)
+        .filter(F.col("pct").isNotNull())
         .withColumn("frame_n", F.count("pct").over(w))
         .withColumn(
             "gt2_n", F.count(F.when(F.abs(F.col("pct")) > 2, 1)).over(w)
@@ -206,10 +211,12 @@ ORACLES = {
     "deviation_alarms": f"""
 WITH telemetry AS ({TELEMETRY_SQL}),
 dev AS (
-  SELECT metric, "time", event_id,
-         CASE WHEN {_TARGET} <> 0
-              THEN (value_num - {_TARGET}) / {_TARGET} * 100 END AS pct
-  FROM telemetry WHERE value_num IS NOT NULL
+  SELECT * FROM (
+    SELECT metric, "time", event_id,
+           CASE WHEN {_TARGET} <> 0
+                THEN (value_num - {_TARGET}) / {_TARGET} * 100 END AS pct
+    FROM telemetry WHERE value_num IS NOT NULL
+  ) WHERE pct IS NOT NULL
 ),
 framed AS (
   SELECT *,

@@ -64,10 +64,14 @@ def _deviation_fn(
             if v is None or pd.isna(v):
                 continue
             pct = (v - _TARGET) / _TARGET * 100 if _TARGET != 0 else None
-            gt2 = 1 if pct is not None and abs(pct) > 2 else 0
+            if pct is None:
+                # target==0 guard: the reference returns before touching
+                # the buffer (opcua_server/main.py:29-30) — no slot used.
+                continue
+            gt2 = 1 if abs(pct) > 2 else 0
             n_seen += 1
             alarm = None
-            if pct is not None and abs(pct) > 10:
+            if abs(pct) > 10:
                 alarm = f"{metric}: Abweichung {pct:.2f}% (>10%)"
             elif n_seen >= 3 and gt2 and g1 and g2:
                 alarm = f"{metric}: 3x in Folge Abweichung >2% ({pct:.2f}%)"
