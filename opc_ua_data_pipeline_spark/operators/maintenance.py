@@ -1,0 +1,82 @@
+"""Table maintenance — compaction and retention for the bronze layout.
+
+Streaming appends (30 s triggers, K3) produce one small file per
+micro-batch per partition; at 100 TB that is millions of files whose
+footer/open overhead dominates scan time long before data volume does.
+The reference's TimescaleDB handles this internally (chunk files);
+a parquet lake needs an explicit compactor.
+
+Both jobs are idempotent and partition-at-a-time (bounded memory, safe
+to parallelize across partitions / schedule alongside the stream,
+which only ever appends new files)."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _dir_size(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def compact_partition(
+    spark: SparkSession,
+    table_path: str,
+    partition: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> int:
+    """Rewrite one `date=...` partition into ceil(size/target) files,
+    keeping the (metric, time) sort that stands in for the secondary
+    index.  Writes to a sibling temp dir then swaps — readers see
+    either the old or the new file set, never a mix."""
+    src = os.path.join(table_path, partition)
+    n_files = math.ceil(max(_dir_size(src), 1) / target_file_bytes)
+    tmp = src + "._compacting"
+    (
+        spark.read.parquet(src)
+        .repartition(n_files)
+        .sortWithinPartitions("metric", "time")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = src + "._old"
+    os.rename(src, old)
+    os.rename(tmp, src)
+    shutil.rmtree(old)
+    return n_files
+
+
+def compact(spark: SparkSession, table_path: str, **kw) -> dict[str, int]:
+    """Compact every date partition; returns {partition: n_files}."""
+    return {
+        p: compact_partition(spark, table_path, p, **kw)
+        for p in sorted(os.listdir(table_path))
+        if p.startswith("date=")
+    }
+
+
+def expire_partitions(table_path: str, keep_days: int, today: str) -> list[str]:
+    """Retention: drop date partitions older than `keep_days` before
+    `today` (YYYY-MM-DD) — partition-level deletes are O(1) metadata
+    ops, the reason the layout partitions on the retention key."""
+    import datetime
+
+    cutoff = datetime.date.fromisoformat(today) - datetime.timedelta(days=keep_days)
+    dropped = []
+    for p in sorted(os.listdir(table_path)):
+        if not p.startswith("date="):
+            continue
+        if datetime.date.fromisoformat(p.split("=", 1)[1]) < cutoff:
+            shutil.rmtree(os.path.join(table_path, p))
+            dropped.append(p)
+    return dropped
