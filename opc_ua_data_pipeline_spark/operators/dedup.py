@@ -219,6 +219,45 @@ def simhash(df: DataFrame, n_bits: int = 60) -> DataFrame:
     return wide.select("doc_id", acc.alias("simhash"))
 
 
+def verified_near_dup_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """The full near-dup pipeline composed: MinHash+LSH candidates ->
+    exact Jaccard verification -> threshold.
+
+    This is THE scale shape for dedup at 100 TB: the quadratic exact
+    join runs only over candidate pairs (sum of squared bucket sizes),
+    while recall comes from the band sketch.  Equals
+    jaccard_pairs ∩ candidates by construction; the oracle states
+    exactly that.
+    """
+    toks = tokens(df)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    cands = minhash_candidate_pairs(df)
+    common = (
+        cands.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            toks.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries
 # ---------------------------------------------------------------------------
@@ -244,11 +283,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"))
 
 
+def q_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return verified_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_jaccard_pairs,
     "minhash_signatures": q_minhash_signatures,
     "minhash_candidate_pairs": q_minhash_candidates,
+    "dedup_verified_near_dups": q_verified_near_dups,
     "simhash": q_simhash,
 }
 
@@ -307,6 +351,30 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
             AND a.doc_id < b.doc_id
+""",
+    "dedup_verified_near_dups": f"""
+WITH bands AS ({_BANDS_SQL}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+toks AS ({_TOKENS_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cands c
+  JOIN toks ta ON c.doc_a = ta.doc_id
+  JOIN toks tb ON c.doc_b = tb.doc_id AND ta.tok = tb.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+FROM common c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
 """,
     "simhash": """
 WITH toks AS (
