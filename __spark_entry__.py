@@ -23,6 +23,7 @@ from opc_ua_data_pipeline_spark.operators import (
     multimodal,
     relational,
     rollups,
+    sampling,
     similarity,
     skew,
     text,
@@ -40,6 +41,7 @@ _MODULES = [
     text,
     multimodal,
     skew,
+    sampling,
 ]
 
 

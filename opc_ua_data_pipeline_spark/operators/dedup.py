@@ -219,6 +219,60 @@ def simhash(df: DataFrame, n_bits: int = 60) -> DataFrame:
     return wide.select("doc_id", acc.alias("simhash"))
 
 
+SIMHASH_BAND_BITS = 15
+SIMHASH_HAMMING_MAX = 10
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, max_hamming: int = SIMHASH_HAMMING_MAX
+) -> DataFrame:
+    """SimHash near-dup pairs: 4 bands of 15 bits bucket the 60-bit
+    fingerprints (two fingerprints within hamming distance 3 of each
+    other must agree on at least one band; wider distances degrade
+    gracefully), then candidates are filtered on exact hamming
+    distance via bit_count(xor).
+
+    Same first-collision trick as the MinHash pipeline — band b's join
+    requires bands < b to differ, so no DISTINCT pass; the fingerprint
+    table is tiny (one BIGINT per doc) and localCheckpoint'ed.
+    """
+    n_bands = 60 // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    sh = simhash(df).select(
+        "doc_id",
+        "simhash",
+        *[
+            (
+                F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS).bitwiseAND(
+                    F.lit(mask)
+                )
+            ).alias(f"sb_{b}")
+            for b in range(n_bands)
+        ],
+    ).localCheckpoint(eager=True)
+    parts = []
+    for b in range(n_bands):
+        a, c = sh.alias("a"), sh.alias("c")
+        cond = (F.col(f"a.sb_{b}") == F.col(f"c.sb_{b}")) & (
+            F.col("a.doc_id") < F.col("c.doc_id")
+        )
+        for j in range(b):
+            cond = cond & (F.col(f"a.sb_{j}") != F.col(f"c.sb_{j}"))
+        parts.append(
+            a.join(c, cond).select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("c.doc_id").alias("doc_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("c.simhash"))
+                ).alias("hamming"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.filter(F.col("hamming") <= max_hamming)
+
+
 def verified_near_dup_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
     """The full near-dup pipeline composed: MinHash+LSH candidates ->
     exact Jaccard verification -> threshold.
@@ -294,6 +348,9 @@ QUERIES = {
     "minhash_candidate_pairs": q_minhash_candidates,
     "dedup_verified_near_dups": q_verified_near_dups,
     "simhash": q_simhash,
+    "simhash_near_dup_pairs": lambda spark, sf: simhash_near_dup_pairs(
+        load_table(spark, sf, "documents")
+    ),
 }
 
 _TOKENS_SQL = """
@@ -319,6 +376,30 @@ _BANDS_SQL = f"""
          string_agg(sig, ',' ORDER BY seed) AS band_key
   FROM ({_SIGS_SQL})
   GROUP BY doc_id, 2
+"""
+
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+  WHERE tok <> ''
+),
+votes AS (
+  SELECT doc_id,
+         j * 4 + b AS bit_pos,
+         SUM(((strpos('0123456789abcdef', substr(md5(tok), j + 1, 1)) - 1)
+              // CAST(pow(2, b) AS INT)) % 2 * 2 - 1) AS v
+  FROM toks
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 14)) AS j)
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS b)
+  GROUP BY doc_id, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0
+                     THEN (CAST(1 AS BIGINT) << bit_pos)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM votes
+GROUP BY doc_id
 """
 
 ORACLES = {
@@ -376,27 +457,22 @@ JOIN sizes sa ON c.doc_a = sa.doc_id
 JOIN sizes sb ON c.doc_b = sb.doc_id
 WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
 """,
-    "simhash": """
-WITH toks AS (
-  SELECT DISTINCT doc_id, tok
-  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
-  WHERE tok <> ''
-),
-votes AS (
-  SELECT doc_id,
-         j * 4 + b AS bit_pos,
-         SUM(((strpos('0123456789abcdef', substr(md5(tok), j + 1, 1)) - 1)
-              // CAST(pow(2, b) AS INT)) % 2 * 2 - 1) AS v
-  FROM toks
-  CROSS JOIN (SELECT UNNEST(generate_series(0, 14)) AS j)
-  CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS b)
-  GROUP BY doc_id, 2
+    "simhash": _SIMHASH_SQL,
+    "simhash_near_dup_pairs": f"""
+WITH sh AS ({_SIMHASH_SQL}),
+banded AS (
+  SELECT doc_id, simhash,
+         (simhash >> 0) & 32767 AS sb_0,
+         (simhash >> 15) & 32767 AS sb_1,
+         (simhash >> 30) & 32767 AS sb_2,
+         (simhash >> 45) & 32767 AS sb_3
+  FROM sh
 )
-SELECT doc_id,
-       CAST(SUM(CASE WHEN v > 0
-                     THEN (CAST(1 AS BIGINT) << bit_pos)
-                     ELSE 0 END) AS BIGINT) AS simhash
-FROM votes
-GROUP BY doc_id
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       bit_count(xor(a.simhash, c.simhash)) AS hamming
+FROM banded a JOIN banded c
+  ON a.doc_id < c.doc_id
+ AND (a.sb_0 = c.sb_0 OR a.sb_1 = c.sb_1 OR a.sb_2 = c.sb_2 OR a.sb_3 = c.sb_3)
+WHERE bit_count(xor(a.simhash, c.simhash)) <= {SIMHASH_HAMMING_MAX}
 """,
 }

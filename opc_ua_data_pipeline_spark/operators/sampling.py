@@ -1,0 +1,115 @@
+"""Deterministic sampling and dataset mixing for training pipelines.
+
+`sample()`/`sampleBy()` are seed-deterministic only for a fixed
+partitioning — a repartition or a different cluster changes the
+sample.  Training-data pipelines need content-deterministic sampling
+(same row set on every run, every engine, every layout), so the
+selector here is a *hash gate*: keep a row iff the md5 of its key
+(+ salt) starts below a hex threshold.  That makes samples
+reproducible, mergeable across incremental runs, and — because the
+gate is a plain string comparison on a digest both engines share —
+oracle-checkable in DuckDB.
+
+The same gate implements weighted dataset mixing (per-source rates),
+the standard recipe for combining corpora at different epochs/weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+
+def _hex_threshold(fraction: float) -> str:
+    """fraction in [0,1] -> 8-hex-digit threshold on the md5 prefix."""
+    return format(min(int(fraction * 16**8), 16**8 - 1), "08x")
+
+
+def hash_gate(key: Column, fraction: float, salt: str = "0") -> Column:
+    """True for ~fraction of keys, deterministically."""
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 8
+    ) < F.lit(_hex_threshold(fraction))
+
+
+def _gate_sql(key: str, fraction: float, salt: str = "0") -> str:
+    return (
+        f"substr(md5(CAST({key} AS VARCHAR) || ':{salt}'), 1, 8)"
+        f" < '{_hex_threshold(fraction)}'"
+    )
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict[str, float], key: str,
+    salt: str = "0",
+) -> DataFrame:
+    """Per-stratum rates (e.g. keep all errors, 10% of clicks): a
+    narrow filter, no shuffle, stable under any partitioning."""
+    keep = F.lit(False)
+    for stratum, frac in fractions.items():
+        keep = F.when(
+            F.col(strata_col) == stratum, hash_gate(F.col(key), frac, salt)
+        ).otherwise(keep)
+    return df.filter(keep)
+
+
+def mix_datasets(
+    df: DataFrame, source_col: str, weights: dict[str, float], key: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted corpus mixing: identical mechanics, named for the
+    pipeline role (weights are per-source keep rates)."""
+    return stratified_sample(df, source_col, weights, key, salt)
+
+
+SAMPLE_FRACTIONS = {
+    "click": 0.1,
+    "view": 0.1,
+    "purchase": 0.5,
+    "signup": 1.0,
+    "error": 1.0,
+}
+
+MIX_WEIGHTS = {"en": 0.8, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(
+        load_table(spark, sf_dir, "events"), "event_type", SAMPLE_FRACTIONS,
+        key="event_id",
+    )
+
+
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mix_datasets(
+        load_table(spark, sf_dir, "documents"), "lang", MIX_WEIGHTS,
+        key="doc_id",
+    )
+
+
+QUERIES = {
+    "stratified_sample": q_stratified_sample,
+    "dataset_mix": q_dataset_mix,
+}
+
+
+def _case_sql(col: str, rates: dict[str, float], key: str, salt: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} = '{s}' THEN {_gate_sql(key, f, salt)}"
+        for s, f in rates.items()
+    )
+    return f"CASE {whens} ELSE FALSE END"
+
+
+ORACLES = {
+    "stratified_sample": f"""
+SELECT * FROM events
+WHERE {_case_sql("event_type", SAMPLE_FRACTIONS, "event_id", "0")}
+""",
+    "dataset_mix": f"""
+SELECT * FROM documents
+WHERE {_case_sql("lang", MIX_WEIGHTS, "doc_id", "mix")}
+""",
+}
