@@ -27,6 +27,7 @@ from opc_ua_data_pipeline_spark.operators import (
     similarity,
     skew,
     text,
+    training,
 )
 from opc_ua_data_pipeline_spark.session import apply_runtime_confs
 
@@ -42,6 +43,7 @@ _MODULES = [
     multimodal,
     skew,
     sampling,
+    training,
 ]
 
 

@@ -1,0 +1,334 @@
+"""Training-corpus preparation operators (extension phase).
+
+The curation steps between "raw documents" and "training shards" that
+aren't dedup or quality scoring: benchmark decontamination, repetition
+(boilerplate) signals, deterministic train/val/test splits, TF-IDF
+term weighting, and shard assignment for the final write-out.
+
+Scale shapes:
+* contamination is the only join here — the benchmark n-gram set is
+  the small side by construction (benchmarks are thousands of docs,
+  corpora are billions), so it is ``broadcast()``; the corpus side
+  stays a single narrow pass.
+* repetition stats are pure per-row array expressions — no explode, no
+  shuffle, whole-stage codegen end to end.
+* split/shard assignment reuses the md5 hash-gate idea from
+  operators/sampling.py: content-deterministic, layout-independent,
+  and identically computable by any engine (the oracle included).
+* TF-IDF shuffles once by term (df) and once by doc (top-k window) —
+  both partial-aggregated; scores are ``tf * ln(N/df)`` on exact
+  integer inputs, so doubles are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"  # DuckDB side
+
+
+def _toks(text_col: str = "text") -> Column:
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Word n-grams as strings, one per start position (JVM array ops,
+    no explode until the caller needs one)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+
+
+CONTAM_N = 5
+BENCHMARK_SOURCE = "src0"
+
+
+def ngram_contamination(
+    docs: DataFrame, benchmark: DataFrame, n: int = CONTAM_N
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus doc, how many of its
+    distinct word n-grams appear verbatim in the benchmark set.
+
+    The benchmark n-gram dictionary is exploded, deduped, and
+    broadcast — corpus docs stream past it in one narrow pass
+    (explode -> broadcast left join -> re-aggregate by doc_id; the only
+    shuffle is the per-doc count, partial-aggregated map-side).
+    """
+    bench_grams = F.broadcast(
+        benchmark.select(
+            F.explode(_word_ngrams(_toks(), n)).alias("gram")
+        ).distinct()
+    ).withColumn("hit", F.lit(1))
+    doc_grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_ngrams(_toks(), n))).alias("gram"),
+    )
+    return (
+        doc_grams.join(bench_grams, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated") / F.col("n_grams")).alias(
+                "contamination_ratio"
+            ),
+        )
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals: the fraction of duplicate word
+    {1,2,3}-grams per document.  Pure per-row array expressions —
+    no explode, no shuffle; ratios are BIGINT/BIGINT (bit-exact)."""
+    words = _toks()
+    cols = ["doc_id"]
+    for n in (1, 2, 3):
+        grams = words if n == 1 else _word_ngrams(words, n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        cols += [
+            total.cast("long").alias(f"n_grams_{n}"),
+            F.when(total > 0, (total - distinct) / total)
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_ratio_{n}"),
+        ]
+    return docs.select(*cols)
+
+
+#: (lo, hi) half-open md5-prefix ranges; 98% / 1% / 1%.
+SPLITS = [
+    ("train", 0.0, 0.98),
+    ("val", 0.98, 0.99),
+    ("test", 0.99, 1.0),
+]
+SPLIT_SALT = "split"
+
+
+def _hex_at(fraction: float) -> str:
+    return format(min(int(fraction * 16**8), 16**8 - 1), "08x")
+
+
+def split_assign(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment via the md5 hash gate:
+    the same document lands in the same split on every run, engine,
+    and partitioning — the property that keeps eval sets honest across
+    pipeline re-runs."""
+    h = F.substring(
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(":" + SPLIT_SALT))),
+        1,
+        8,
+    )
+    assign = F.lit(None).cast("string")
+    for name, lo, hi in reversed(SPLITS):
+        cond = h >= F.lit(_hex_at(lo)) if lo > 0 else F.lit(True)
+        assign = F.when(cond & (h < F.lit(_hex_at(hi)) if hi < 1.0 else F.lit(True)), F.lit(name)).otherwise(assign)
+    return docs.select("doc_id", "lang", "source", assign.alias("split"))
+
+
+N_SHARDS = 16
+
+
+def shard_assign(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Global deterministic shuffle + sharding for training write-out:
+    shard = first md5 hex digit (16 shards), position = rank of the
+    digest within the shard.  Hash order is a uniform random-but-fixed
+    permutation of the corpus — exactly the "shuffle once, shard, then
+    read sequentially" layout large training jobs want.  One shuffle,
+    partitioned by shard (16 ~equal cells, no skew by construction)."""
+    h = F.md5(F.concat(F.col(key).cast("string"), F.lit(":shard")))
+    w = Window.partitionBy("shard").orderBy("shuffle_key")
+    return (
+        docs.select(
+            "doc_id",
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"), F.substring(h, 1, 1)
+                ) - 1
+            ).cast("int").alias("shard"),
+            h.alias("shuffle_key"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document top-k TF-IDF terms.
+
+    tf from one explode+groupBy(doc, term); df re-aggregated from the
+    tf table (reuses that shuffle's output, no second scan); N is a
+    1-row aggregate broadcast into the score projection.  ``ln`` is
+    libm — JVM and other engines disagree in the last ulp — so the
+    contract score is ``tf * ln(N/df)`` rounded to DECIMAL(18,9)
+    (ulp noise collapses; scores that are mathematically equal, e.g.
+    2·ln(10) vs ln(100), become decimal-equal) and the top-k ranking
+    orders by that rounded score with the term string as tie-break.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(_toks()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).cast("decimal(18,9)").alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("source") != BENCHMARK_SOURCE),
+        docs.filter(F.col("source") == BENCHMARK_SOURCE),
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_assign(load_table(spark, sf_dir, "documents"))
+
+
+def q_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_assign(load_table(spark, sf_dir, "documents"))
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "ngram_contamination": q_contamination,
+    "repetition_stats": q_repetition,
+    "split_assign": q_split,
+    "shard_assign": q_shard,
+    "tfidf_top_terms": q_tfidf,
+}
+
+_NG = "list_transform(generate_series(1, greatest(len(w) - {m}, 0)), i -> array_to_string(w[i:i+{m}], ' '))"
+
+
+def _ng(n: int) -> str:
+    return _NG.format(m=n - 1)
+
+
+_SPLIT_CASE = "CASE "
+for _name, _lo, _hi in SPLITS:
+    _conds = []
+    if _lo > 0:
+        _conds.append(f"h >= '{_hex_at(_lo)}'")
+    if _hi < 1.0:
+        _conds.append(f"h < '{_hex_at(_hi)}'")
+    _SPLIT_CASE += f"WHEN {' AND '.join(_conds) or 'TRUE'} THEN '{_name}' "
+_SPLIT_CASE += "END"
+
+ORACLES = {
+    "ngram_contamination": f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS} AS w FROM documents
+),
+ng AS (SELECT doc_id, source, {_ng(CONTAM_N)} AS grams FROM toks),
+bench AS (SELECT DISTINCT UNNEST(grams) AS gram FROM ng
+          WHERE source = '{BENCHMARK_SOURCE}'),
+doc_grams AS (SELECT doc_id, UNNEST(list_distinct(grams)) AS gram
+              FROM ng WHERE source <> '{BENCHMARK_SOURCE}')
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       SUM(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS contamination_ratio
+FROM doc_grams
+GROUP BY doc_id
+""",
+    "repetition_stats": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+ng AS (
+  SELECT doc_id, w AS g1, {_ng(2)} AS g2, {_ng(3)} AS g3 FROM toks
+)
+SELECT doc_id,
+       CAST(len(g1) AS BIGINT) AS n_grams_1,
+       CASE WHEN len(g1) > 0 THEN CAST(len(g1) - len(list_distinct(g1)) AS DOUBLE) / len(g1) ELSE 0.0 END AS dup_ratio_1,
+       CAST(len(g2) AS BIGINT) AS n_grams_2,
+       CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END AS dup_ratio_2,
+       CAST(len(g3) AS BIGINT) AS n_grams_3,
+       CASE WHEN len(g3) > 0 THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END AS dup_ratio_3
+FROM ng
+""",
+    "split_assign": f"""
+SELECT doc_id, lang, source, {_SPLIT_CASE} AS split
+FROM (SELECT *, substr(md5(CAST(doc_id AS VARCHAR) || ':{SPLIT_SALT}'), 1, 8) AS h
+      FROM documents)
+""",
+    "shard_assign": """
+WITH hashed AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':shard') AS shuffle_key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(strpos('0123456789abcdef', substr(shuffle_key, 1, 1)) - 1 AS INTEGER) AS shard,
+       shuffle_key,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY strpos('0123456789abcdef', substr(shuffle_key, 1, 1))
+         ORDER BY shuffle_key) AS INTEGER) AS pos
+FROM hashed
+""",
+    "tfidf_top_terms": f"""
+WITH tf AS (
+  SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+),
+tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tfc.term, tf, df,
+         CAST(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+              AS DECIMAL(18,9)) AS tfidf
+  FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+WHERE rank <= {TFIDF_TOP_K}
+""",
+}
