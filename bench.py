@@ -58,6 +58,12 @@ def main() -> None:
     queries["dedup_exact"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ...and the Python worker pool + Arrow serializer (also session
+    # one-time costs; workers are reused across queries) via a 1-row
+    # mapInPandas no-op.
+    spark.range(1).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
