@@ -19,6 +19,7 @@ from opc_ua_data_pipeline_spark.operators import (
     alarms,
     dashboard,
     dedup,
+    graph,
     ingest,
     multimodal,
     relational,
@@ -38,6 +39,7 @@ _MODULES = [
     alarms,
     relational,
     dedup,
+    graph,
     similarity,
     text,
     multimodal,

@@ -243,6 +243,65 @@ def corpus_cube(documents: DataFrame) -> DataFrame:
     )
 
 
+INCIDENT_WINDOW_MIN = 10
+
+
+def incident_range_join(
+    events: DataFrame, window_minutes: int = INCIDENT_WINDOW_MIN
+) -> DataFrame:
+    """Range join via bin bucketing: correlate each error event with
+    all same-user activity in the [error, error + window) interval.
+
+    Spark has no native range-join optimization — the naive
+    ``a JOIN b ON a.t BETWEEN b.lo AND b.hi`` plans as a
+    BroadcastNestedLoop (or worse, a cartesian) scan.  The standard
+    fix is to bucket time into bins the width of the window: an
+    interval then overlaps exactly 2 bins, a point lies in exactly 1,
+    so ``(user, bin)`` equi-join + exact range filter finds every pair
+    (each at most once — a point has a single bin) while Catalyst
+    plans a plain shuffled hash join that scales linearly.  This is
+    the same binning Databricks' range-join hint applies internally.
+    """
+    win_us = window_minutes * 60 * 1_000_000
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+    )
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("user_id").alias("i_user"),
+        F.col("t").alias("t0"),
+        F.explode(
+            F.array(
+                F.floor(F.col("t") / win_us),
+                F.floor(F.col("t") / win_us) + 1,
+            )
+        ).alias("bin"),
+    )
+    binned = ev.withColumn("bin", F.floor(F.col("t") / win_us))
+    return (
+        binned.join(
+            incidents,
+            (binned.user_id == incidents.i_user)
+            & (binned.bin == incidents.bin),
+        )
+        .filter(
+            (F.col("t") >= F.col("t0"))
+            & (F.col("t") < F.col("t0") + win_us)
+            & (F.col("event_id") != F.col("incident_id"))
+        )
+        .select(
+            "incident_id",
+            "event_id",
+            "user_id",
+            "event_type",
+            (F.col("t") - F.col("t0")).alias("lag_us"),
+        )
+    )
+
+
 def event_type_pivot(events: DataFrame) -> DataFrame:
     """Pivot event types to columns (per-user activity matrix) — with
     an explicit pivot-value list so the plan needs no discovery pass."""
@@ -340,6 +399,9 @@ QUERIES = {
     "approx_value_percentiles": lambda spark, sf: approx_value_percentiles(
         load_table(spark, sf, "events")
     ),  # rows-only: sketch internals are engine-specific
+    "incident_range_join": lambda spark, sf: incident_range_join(
+        load_table(spark, sf, "events")
+    ),
 }
 
 _DSUM_SQL = "CAST(SUM(CAST({e} AS DECIMAL(28,6))) AS DOUBLE)"
@@ -450,5 +512,21 @@ FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'error'
 ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value
                 FROM events WHERE event_type = 'purchase') p
   ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+    "incident_range_join": f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events
+),
+inc AS (
+  SELECT event_id AS incident_id, user_id, t AS t0 FROM ev
+  WHERE event_type = 'error'
+)
+SELECT i.incident_id, e.event_id, e.user_id, e.event_type,
+       e.t - i.t0 AS lag_us
+FROM inc i JOIN ev e
+  ON e.user_id = i.user_id
+ AND e.t >= i.t0
+ AND e.t < i.t0 + {INCIDENT_WINDOW_MIN * 60 * 1_000_000}
+ AND e.event_id <> i.incident_id
 """,
 }

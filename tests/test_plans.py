@@ -72,3 +72,13 @@ def test_lsh_has_no_distinct_exchange(spark):
     assert "BroadcastHashJoin" in plan
     assert "HashAggregate" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_range_join_is_equi_keyed_not_nested_loop(spark):
+    """The bin-bucketed range join must plan as a hash/merge join on
+    (user, bin) with the range predicate as residual condition — a
+    naive t BETWEEN lo AND hi join would be a nested-loop scan that
+    dies at scale."""
+    plan = formatted_plan(Q["incident_range_join"](spark, SF))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
