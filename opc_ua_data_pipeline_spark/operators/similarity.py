@@ -191,6 +191,85 @@ def embedding_neardup_pairs(
     )
 
 
+def label_centroids(corpus: DataFrame) -> DataFrame:
+    """Per-label centroid, flattened to (label, pos, mean_val, n_vecs).
+
+    One posexplode + one (label, pos) groupBy — #labels × #dims result
+    rows regardless of corpus size, partial-aggregated map-side.
+    Elements sum as DECIMAL(28,6) (exact, associative — order-free
+    across partitions), divided once as double, so the centroid is the
+    same double in every engine; float32 never lands exactly on a 6-dp
+    midpoint (decimal midpoints are not finite binary fractions), so
+    rounding-mode differences cannot trigger.
+    """
+    exploded = corpus.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    # float32 → double BEFORE the decimal cast: Spark's float→decimal
+    # rounds the float's 7-digit shortest repr (which often ends right
+    # on the 6-dp cut), while engines that round the exact binary value
+    # disagree there; the double's 17-digit repr pins both to the same
+    # rounding of the same number.
+    return exploded.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(28,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_val"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+def nearest_centroid(corpus: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest label centroid (squared L2)
+    — prototype classification, and exactly one Lloyd iteration of
+    k-means seeded by the labels (iterate = re-label + recompute
+    centroids; each step is these same two operators).
+
+    The #labels-row centroid table is broadcast; distance is the
+    usual order-pinned left fold, so scores and the (dist, label)
+    argmin tie-break are engine-exact.
+    """
+    cent = (
+        label_centroids(corpus)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+                lambda s: s.mean_val,
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("c_label"), "centroid")
+    )
+    sq = F.zip_with(
+        F.col("embedding"),
+        F.col("centroid"),
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    dist = F.aggregate(sq, F.lit(0.0), lambda acc, d: acc + d)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("c_label").asc()
+    )
+    return (
+        corpus.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_label"),
+            dist.alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_label").alias("nearest_label"),
+            "dist",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries
 # ---------------------------------------------------------------------------
@@ -220,6 +299,12 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
     "embedding_neardup_pairs": q_embedding_neardup,
+    "label_centroids": lambda spark, sf: label_centroids(
+        load_table(spark, sf, "embeddings")
+    ),
+    "nearest_centroid": lambda spark, sf: nearest_centroid(
+        load_table(spark, sf, "embeddings")
+    ),
 }
 
 # DuckDB-side cosine with the SAME left-fold order as Spark's aggregate().
@@ -274,5 +359,44 @@ FROM embeddings a JOIN embeddings b
   ON a.vec_id < b.vec_id
  AND {_BUCKET_SQL.format(e="a.embedding")} = {_BUCKET_SQL.format(e="b.embedding")}
 WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= {NEARDUP_THRESHOLD}
+""",
+    "label_centroids": """
+SELECT label, pos,
+       CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_val,
+       COUNT(*) AS n_vecs
+FROM (SELECT label,
+             UNNEST(embedding) AS v,
+             UNNEST(generate_series(0, len(embedding) - 1)) AS pos
+      FROM embeddings)
+GROUP BY label, pos
+""",
+    "nearest_centroid": """
+WITH means AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_val
+  FROM (SELECT label,
+               UNNEST(embedding) AS v,
+               UNNEST(generate_series(0, len(embedding) - 1)) AS pos
+        FROM embeddings)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label AS c_label, list(mean_val ORDER BY pos) AS centroid
+  FROM means GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         list_reduce(
+           list_transform(generate_series(1, len(e.embedding)),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])),
+           (acc, d) -> acc + d) AS dist
+  FROM embeddings e CROSS JOIN cent c
+)
+SELECT vec_id, label, c_label AS nearest_label, dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist ASC, c_label ASC) AS rank
+      FROM scored)
+WHERE rank = 1
 """,
 }
