@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from opc_ua_data_pipeline_spark.operators import (
     alarms,
+    clustering,
     dashboard,
     dedup,
     graph,
@@ -40,6 +41,7 @@ _MODULES = [
     relational,
     dedup,
     graph,
+    clustering,
     similarity,
     text,
     multimodal,

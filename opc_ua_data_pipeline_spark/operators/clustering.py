@@ -1,0 +1,172 @@
+"""Deterministic k-means over the embedding corpus.
+
+The iterative-algorithm pattern on Spark, end to end: every Lloyd
+step is (broadcast centroids) → (argmin assign, order-pinned folds) →
+(decimal-exact per-dim means), with a ``localCheckpoint`` per
+iteration to truncate lineage.  Nothing iterates on the driver except
+the loop counter — no collect of data rows, so the same code runs
+unchanged on a 1000-executor corpus (swap localCheckpoint for
+``persist`` + reliable checkpoint; k centroids always fit in a
+broadcast).
+
+Everything is engine-deterministic, so even this ITERATIVE algorithm
+has an exact DuckDB oracle (the loop unrolled into CTEs):
+
+* seeding: the k vectors with the smallest ``md5(vec_id)`` — a
+  content-determined sample, same on any engine/partitioning (the
+  same hash-gate idea as operators/sampling.py);
+* distances: left-fold squared L2 (see similarity.py — float32
+  widens exactly, both engines fold in array order);
+* means: per-dimension DECIMAL(28,6) sums (associative ⇒ partition-
+  order-free) divided once — identical doubles on both engines;
+* ties: argmin breaks on cluster id, seeds order on (md5, vec_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+K_CLUSTERS = 4
+KMEANS_ITERS = 2
+
+
+def _assign(corpus: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, embedding) × (cluster, centroid) → nearest cluster."""
+    sq = F.zip_with(
+        F.col("embedding"),
+        F.col("centroid"),
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    dist = F.aggregate(sq, F.lit(0.0), lambda acc, d: acc + d)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("cluster").asc()
+    )
+    return (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cluster", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .drop("rank")
+    )
+
+
+def _recompute(assigned: DataFrame) -> DataFrame:
+    """Per-cluster decimal-exact per-dimension means → centroid arrays."""
+    return (
+        assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.col("v").cast("double").cast("decimal(28,6)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_val")
+        )
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+                lambda s: s.mean_val,
+            ).alias("centroid")
+        )
+    )
+
+
+def kmeans_assignments(
+    corpus: DataFrame, k: int = K_CLUSTERS, n_iter: int = KMEANS_ITERS
+) -> DataFrame:
+    """Run ``n_iter`` Lloyd iterations; return the final assignment
+    (vec_id, cluster, dist)."""
+    seeds = (
+        corpus.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "centroid"
+            ),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy("h", "vec_id")),
+        )
+        .filter(F.col("rn") <= k)
+        .select((F.col("rn") - 1).alias("cluster"), "centroid")
+    )
+    cent = seeds.localCheckpoint(eager=True)
+    assigned = None
+    for _ in range(n_iter):
+        assigned = _assign(corpus, cent).localCheckpoint(eager=True)
+        cent = _recompute(assigned).localCheckpoint(eager=True)
+    return assigned.select("vec_id", "cluster", "dist")
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract query + unrolled-CTE oracle
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_assignments(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES = {"kmeans_assignments": q_kmeans}
+
+_DIST = """
+  list_reduce(
+    list_transform(generate_series(1, len(e.embedding)),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+           * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])),
+    (acc, d) -> acc + d)
+"""
+
+
+def _kmeans_oracle(k: int = K_CLUSTERS, n_iter: int = KMEANS_ITERS) -> str:
+    ctes = [
+        f"""seeds AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id))
+           - 1 AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings
+  QUALIFY cluster < {k}
+)""",
+    ]
+    prev_cent = "seeds"
+    for it in range(n_iter):
+        ctes.append(
+            f"""assign{it} AS (
+  SELECT vec_id, embedding, cluster, dist FROM (
+    SELECT e.vec_id, e.embedding, c.cluster, {_DIST} AS dist,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DIST} ASC, c.cluster ASC) AS rank
+    FROM embeddings e CROSS JOIN {prev_cent} c
+  ) WHERE rank = 1
+)"""
+        )
+        if it < n_iter - 1:
+            ctes.append(
+                f"""cent{it} AS (
+  SELECT cluster, list(mean_val ORDER BY pos) AS centroid FROM (
+    SELECT cluster, pos,
+           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*) AS mean_val
+    FROM (SELECT cluster,
+                 UNNEST(embedding) AS v,
+                 UNNEST(generate_series(0, len(embedding) - 1)) AS pos
+          FROM assign{it})
+    GROUP BY cluster, pos
+  ) GROUP BY cluster
+)"""
+            )
+            prev_cent = f"cent{it}"
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT vec_id, cluster, dist FROM assign{n_iter - 1}"
+    )
+
+
+ORACLES = {"kmeans_assignments": _kmeans_oracle()}
