@@ -42,6 +42,11 @@ HEADLINE = [
     "text_quality_scores",
     "text_fingerprints",
     "media_features",
+    # extension families added late in round 1:
+    "incident_range_join",   # bin-bucketed range join
+    "repetition_stats",      # corpus-prep: shuffle-free array exprs
+    "stratified_sample",     # hash-gate sampling
+    "nearest_centroid",      # embedding prototype assignment
 ]
 
 

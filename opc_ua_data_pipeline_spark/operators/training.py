@@ -36,11 +36,25 @@ def _toks(text_col: str = "text") -> Column:
 
 def _word_ngrams(words: Column, n: int) -> Column:
     """Word n-grams as strings, one per start position (JVM array ops,
-    no explode until the caller needs one)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
+    no explode until the caller needs one).
+
+    Built as a chain of ``zip_with`` over shifted slices — each step
+    extends every (k-1)-gram by the word k-1 positions ahead, so the
+    whole construction is O(n·L) per row.  (The tempting
+    ``transform(sequence(1, L-n+1), i -> slice(words, i, n))`` is
+    O(L²) — a fresh slice per position — and its ``sequence(1, 0)``
+    edge for L = n-1 counts DOWN, emitting bogus grams.)
+    """
+    grams = words
+    for k in range(2, n + 1):
+        grams = F.zip_with(
+            F.slice(grams, 1, F.greatest(F.size(grams) - 1, F.lit(0))),
+            F.slice(
+                words, k, F.greatest(F.size(words) - (k - 1), F.lit(0))
+            ),
+            lambda a, c: F.concat_ws(" ", a, c),
+        )
+    return grams
 
 
 CONTAM_N = 5
