@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from opc_ua_data_pipeline_spark.operators import (
     alarms,
+    anomaly,
     clustering,
     dashboard,
     dedup,
@@ -38,6 +39,7 @@ _MODULES = [
     rollups,
     dashboard,
     alarms,
+    anomaly,
     relational,
     dedup,
     graph,

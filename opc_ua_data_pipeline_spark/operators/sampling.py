@@ -16,7 +16,7 @@ the standard recipe for combining corpora at different epochs/weights.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -64,6 +64,29 @@ def mix_datasets(
     return stratified_sample(df, source_col, weights, key, salt)
 
 
+SOURCE_CAP = 20
+
+
+def per_key_cap(
+    df: DataFrame, key_col: str, id_col: str, cap: int = SOURCE_CAP,
+    salt: str = "cap",
+) -> DataFrame:
+    """Cap each key at N rows, picked by md5 order — the "at most N
+    docs per domain" rule that stops any single crawl source from
+    dominating a mixed corpus.  The hash order makes the kept subset
+    a uniform, content-deterministic sample per key (same rows on
+    every run/engine/layout), unlike LIMIT-per-group which keeps
+    whatever the scan happened to read first.  One shuffle on the
+    key; heavy keys cost O(rows log cap) via the window top-N."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy(key_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 SAMPLE_FRACTIONS = {
     "click": 0.1,
     "view": 0.1,
@@ -89,9 +112,16 @@ def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return per_key_cap(
+        load_table(spark, sf_dir, "documents"), "source", "doc_id"
+    )
+
+
 QUERIES = {
     "stratified_sample": q_stratified_sample,
     "dataset_mix": q_dataset_mix,
+    "per_source_cap": q_source_cap,
 }
 
 
@@ -111,5 +141,13 @@ WHERE {_case_sql("event_type", SAMPLE_FRACTIONS, "event_id", "0")}
     "dataset_mix": f"""
 SELECT * FROM documents
 WHERE {_case_sql("lang", MIX_WEIGHTS, "doc_id", "mix")}
+""",
+    "per_source_cap": f"""
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id) AS rn
+  FROM documents
+) WHERE rn <= {SOURCE_CAP}
 """,
 }

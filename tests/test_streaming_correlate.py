@@ -1,0 +1,67 @@
+"""Stream-stream interval join ≡ batch range join on the same rows."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from opc_ua_data_pipeline_spark.operators.relational import (
+    incident_range_join,
+)
+from opc_ua_data_pipeline_spark.streaming.correlate import (
+    incident_stream_join,
+)
+from opc_ua_data_pipeline_spark.streaming.ingest import file_stream
+from opc_ua_data_pipeline_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _order_files(d):
+    for i, f in enumerate(sorted(glob.glob(str(d / "*.parquet")))):
+        os.utime(f, (1700000000 + i * 60, 1700000000 + i * 60))
+
+
+def _run_stream(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_join_matches_batch_range_join(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts", "event_id")
+    rows = ev.collect()
+    d = tmp_path / "replay"
+    d.mkdir()
+    third = len(rows) // 3
+    for i, chunk in enumerate(
+        [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    ):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d / f"c{i}")
+        )
+    for i, f in enumerate(sorted(glob.glob(str(d / "c*" / "part-*.parquet")))):
+        os.rename(f, str(d / f"{i:02d}.parquet"))
+    _order_files(d)
+
+    out = _run_stream(
+        spark,
+        incident_stream_join(file_stream(spark, str(d))),
+        "stream_correlate",
+    )
+    cols = ["incident_id", "event_id", "user_id", "event_type", "lag_us"]
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in incident_range_join(load_table(spark, SF_DIR, "events")).collect()
+    )
+    assert got == want
+    assert len(got) > 0
