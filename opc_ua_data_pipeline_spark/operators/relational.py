@@ -243,6 +243,37 @@ def corpus_cube(documents: DataFrame) -> DataFrame:
     )
 
 
+HIST_WIDTH = 25.0
+HIST_BUCKETS = 20
+
+
+def value_histogram(
+    events: DataFrame,
+    width: float = HIST_WIDTH,
+    n_buckets: int = HIST_BUCKETS,
+) -> DataFrame:
+    """Fixed-width value histogram per event type (the distribution
+    panel a Grafana heatmap wants).  Bucketing is a pure projection —
+    the shuffle carries #types × #buckets partial counts, nothing
+    else; works identically as a streaming windowed aggregate."""
+    b = F.least(
+        F.greatest(F.floor(F.col("value") / width), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    return (
+        events.select("event_type", b.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * width).alias("bucket_lo"),
+            ((F.col("bucket") + 1) * width).alias("bucket_hi"),
+            "n",
+        )
+    )
+
+
 INCIDENT_WINDOW_MIN = 10
 
 
@@ -402,6 +433,9 @@ QUERIES = {
     "incident_range_join": lambda spark, sf: incident_range_join(
         load_table(spark, sf, "events")
     ),
+    "value_histogram": lambda spark, sf: value_histogram(
+        load_table(spark, sf, "events")
+    ),
 }
 
 _DSUM_SQL = "CAST(SUM(CAST({e} AS DECIMAL(28,6))) AS DOUBLE)"
@@ -528,5 +562,18 @@ FROM inc i JOIN ev e
  AND e.t >= i.t0
  AND e.t < i.t0 + {INCIDENT_WINDOW_MIN * 60 * 1_000_000}
  AND e.event_id <> i.incident_id
+""",
+    "value_histogram": f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(FLOOR(value / {HIST_WIDTH}), 0),
+                    {HIST_BUCKETS - 1}) AS INTEGER) AS bucket
+  FROM events
+)
+SELECT event_type, bucket,
+       bucket * {HIST_WIDTH} AS bucket_lo,
+       (bucket + 1) * {HIST_WIDTH} AS bucket_hi,
+       COUNT(*) AS n
+FROM b GROUP BY event_type, bucket
 """,
 }

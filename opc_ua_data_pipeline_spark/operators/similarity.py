@@ -270,6 +270,73 @@ def nearest_centroid(corpus: DataFrame) -> DataFrame:
     )
 
 
+def quantize_sq8(corpus: DataFrame) -> DataFrame:
+    """Scalar (SQ8) quantization: per-dimension min/max over the
+    corpus → each float32 element becomes one uint8 code — the
+    standard 4× memory cut before ANN serving.
+
+    The 2×#dims codebook is a tiny aggregate broadcast back over the
+    corpus; codes are ``floor((v-min)/scale + 0.5)`` clamped to
+    [0,255] — floor of identical doubles, engine-deterministic (no
+    round(), whose half-way rule differs by engine).  Output is
+    flattened (vec_id, pos, code) plus the codebook columns so the
+    dequantizer is self-contained.
+    """
+    ex = corpus.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    book = ex.groupBy("pos").agg(
+        F.min(F.col("v").cast("double")).alias("lo"),
+        F.max(F.col("v").cast("double")).alias("hi"),
+    )
+    scale = (F.col("hi") - F.col("lo")) / 255.0
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("v").cast("double") - F.col("lo")) / scale + 0.5
+                ),
+                F.lit(0),
+            ),
+            F.lit(255),
+        )
+    ).cast("int")
+    return (
+        ex.join(F.broadcast(book), "pos")
+        .select("vec_id", "pos", code.alias("code"), "lo", "hi")
+    )
+
+
+def lsh_recall(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Recall@k of the sign-LSH ANN against the exact top-k — the
+    evaluation loop every ANN deployment runs before trusting an
+    index.  Both sides are the existing operators; the metric join is
+    per-query counting (ints), recall = hits/k."""
+    exact = brute_force_topk(queries, corpus, k).select(
+        "q_id", F.col("c_id").alias("exact_id")
+    )
+    approx = lsh_topk(queries, corpus, k).select(
+        "q_id", F.col("c_id").alias("approx_id")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.q_id == approx.q_id)
+            & (exact.exact_id == approx.approx_id),
+        )
+        .groupBy(exact.q_id.alias("q_id"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / k).alias("recall_at_k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries
 # ---------------------------------------------------------------------------
@@ -305,6 +372,12 @@ QUERIES = {
     "nearest_centroid": lambda spark, sf: nearest_centroid(
         load_table(spark, sf, "embeddings")
     ),
+    "embedding_quantize_sq8": lambda spark, sf: quantize_sq8(
+        load_table(spark, sf, "embeddings")
+    ),
+    "ann_lsh_recall": lambda spark, sf: (
+        lambda emb: lsh_recall(emb.filter(F.col("vec_id") < N_QUERIES), emb)
+    )(load_table(spark, sf, "embeddings")),
 }
 
 # DuckDB-side cosine with the SAME left-fold order as Spark's aggregate().
@@ -398,5 +471,34 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                    ORDER BY dist ASC, c_label ASC) AS rank
       FROM scored)
 WHERE rank = 1
+""",
+    "embedding_quantize_sq8": """
+WITH ex AS (
+  SELECT vec_id,
+         UNNEST(generate_series(0, len(embedding) - 1)) AS pos,
+         UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings
+),
+book AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM ex GROUP BY pos)
+SELECT vec_id, ex.pos,
+       CAST(CASE WHEN hi = lo THEN 0
+                 ELSE LEAST(GREATEST(FLOOR((v - lo) / ((hi - lo) / 255.0)
+                                           + 0.5), 0), 255)
+            END AS INTEGER) AS code,
+       lo, hi
+FROM ex JOIN book ON ex.pos = book.pos
+""",
+    "ann_lsh_recall": f"""
+WITH exact AS ({_topk_sql("TRUE")}),
+approx AS ({_topk_sql(_BUCKET_SQL.format(e="q.embedding") + " = " + _BUCKET_SQL.format(e="c.embedding"))}),
+hits AS (
+  SELECT e.q_id, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+  GROUP BY e.q_id
+)
+SELECT q.q_id,
+       COALESCE(n_hits, 0) AS n_hits,
+       CAST(COALESCE(n_hits, 0) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits ON q.q_id = hits.q_id
 """,
 }

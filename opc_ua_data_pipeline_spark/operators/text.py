@@ -134,6 +134,41 @@ def fingerprints(df: DataFrame) -> DataFrame:
     )
 
 
+def vocab_stats(df: DataFrame) -> DataFrame:
+    """Corpus vocabulary table: term frequency, document frequency,
+    rank, and cumulative corpus share — what a tokenizer-training or
+    vocab-pruning pass reads first.  One explode + one shuffle on the
+    term; the cumulative window runs over #distinct-terms rows (the
+    already-aggregated table, not the corpus).  Shares are
+    BIGINT/BIGINT divisions — bit-exact across engines."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select("doc_id", F.explode(_toks()).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    total = tf.agg(F.sum("n_occurrences").alias("total_occ"))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
+    return (
+        tf.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_share",
+            F.sum("n_occurrences").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            / F.col("total_occ"),
+        )
+        .select(
+            "term", "n_occurrences", "n_docs", "rank", "cum_share"
+        )
+    )
+
+
 def corpus_stats(df: DataFrame) -> DataFrame:
     """Corpus rollup by (lang, source): doc counts and size stats —
     one partial-aggregated shuffle."""
@@ -179,6 +214,9 @@ QUERIES = {
     "text_language_id": q_lang_id,
     "text_fingerprints": q_fingerprints,
     "text_corpus_stats": q_corpus_stats,
+    "text_vocab_stats": lambda spark, sf: vocab_stats(
+        load_table(spark, sf, "documents")
+    ),
 }
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -244,5 +282,20 @@ SELECT lang, source,
        MAX(n_chars) AS max_chars
 FROM documents
 GROUP BY lang, source
+""",
+    "text_vocab_stats": f"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+  FROM (SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents)
+  GROUP BY term
+),
+total AS (SELECT SUM(n_occurrences) AS total_occ FROM tf)
+SELECT term, n_occurrences, n_docs,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term)
+            AS INTEGER) AS rank,
+       CAST(SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, term
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / total_occ AS cum_share
+FROM tf CROSS JOIN total
 """,
 }
