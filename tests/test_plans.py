@@ -82,3 +82,23 @@ def test_range_join_is_equi_keyed_not_nested_loop(spark):
     plan = formatted_plan(Q["incident_range_join"](spark, SF))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark n-gram dictionary is the small side by
+    construction — it must broadcast; the corpus side must not
+    shuffle for the join."""
+    plan = formatted_plan(Q["ngram_contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quantize_broadcasts_codebook(spark):
+    plan = formatted_plan(Q["embedding_quantize_sq8"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_single_exchange_window_ops(spark):
+    """Per-key window operators pay exactly one shuffle."""
+    for name in ["rolling_zscore", "per_source_cap", "value_histogram"]:
+        plan = formatted_plan(Q[name](spark, SF))
+        assert plan.count("Exchange") <= 2, name  # 1 exchange (+AQE read)
