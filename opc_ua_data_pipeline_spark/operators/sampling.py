@@ -87,6 +87,57 @@ def per_key_cap(
     )
 
 
+import math
+
+EPOCH_WEIGHTS = {"en": 2.5, "de": 1.0, "fr": 1.0, "es": 0.5, "zh": 0.25}
+
+
+def mix_with_epochs(
+    df: DataFrame, source_col: str, weights: dict[str, float], key: str,
+    salt: str = "mixep",
+) -> DataFrame:
+    """Weighted mixing with UPsampling: weight 2.5 means two full
+    copies of the source plus a deterministic half (the "N epochs of
+    Wikipedia" recipe).  Each row explodes into ceil(w) epoch
+    candidates; full epochs always survive, the fractional one passes
+    an epoch-salted hash gate — so reruns, engines, and layouts all
+    keep the identical multiset, and downstream shuffles see the
+    ``epoch`` column for decorrelation."""
+    n_epochs = F.lit(None).cast("int")
+    keep_frac = F.lit(None).cast("string")
+    for s, w in weights.items():
+        n_epochs = F.when(
+            F.col(source_col) == s, F.lit(int(math.ceil(w)))
+        ).otherwise(n_epochs)
+        frac = w - math.floor(w)
+        keep_frac = F.when(
+            F.col(source_col) == s, F.lit(_hex_threshold(frac))
+        ).otherwise(keep_frac)
+    full_epochs = F.lit(None).cast("int")
+    for s, w in weights.items():
+        full_epochs = F.when(
+            F.col(source_col) == s, F.lit(int(math.floor(w)))
+        ).otherwise(full_epochs)
+    exploded = df.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), n_epochs - 1))
+    )
+    gate = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(key).cast("string"),
+                    F.lit(":" + salt),
+                    F.col("epoch").cast("string"),
+                )
+            ),
+            1,
+            8,
+        )
+        < keep_frac
+    )
+    return exploded.filter((F.col("epoch") < full_epochs) | gate)
+
+
 SAMPLE_FRACTIONS = {
     "click": 0.1,
     "view": 0.1,
@@ -118,10 +169,18 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mix_with_epochs(
+        load_table(spark, sf_dir, "documents"), "lang", EPOCH_WEIGHTS,
+        key="doc_id",
+    )
+
+
 QUERIES = {
     "stratified_sample": q_stratified_sample,
     "dataset_mix": q_dataset_mix,
     "per_source_cap": q_source_cap,
+    "epoch_mix": q_epoch_mix,
 }
 
 
@@ -151,3 +210,28 @@ SELECT doc_id, text, lang, source, n_chars FROM (
 ) WHERE rn <= {SOURCE_CAP}
 """,
 }
+
+
+def _epoch_case(expr: str, fn) -> str:
+    whens = " ".join(
+        f"WHEN lang = '{s}' THEN {fn(w)}" for s, w in EPOCH_WEIGHTS.items()
+    )
+    return f"CASE {whens} END"
+
+
+_N_EPOCHS = _epoch_case("lang", lambda w: int(math.ceil(w)))
+_FULL_EPOCHS = _epoch_case("lang", lambda w: int(math.floor(w)))
+_FRAC_THRESH = _epoch_case(
+    "lang", lambda w: f"'{_hex_threshold(w - math.floor(w))}'"
+)
+
+ORACLES["epoch_mix"] = f"""
+SELECT doc_id, text, lang, source, n_chars, CAST(epoch AS INTEGER) AS epoch
+FROM (
+  SELECT d.*, UNNEST(generate_series(0, ({_N_EPOCHS}) - 1)) AS epoch
+  FROM documents d
+)
+WHERE epoch < ({_FULL_EPOCHS})
+   OR substr(md5(CAST(doc_id AS VARCHAR) || ':mixep' || CAST(epoch AS VARCHAR)),
+             1, 8) < ({_FRAC_THRESH})
+"""
