@@ -219,6 +219,43 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     )
 
 
+MIN_TOKENS = 20
+MIN_TTR = 0.30
+MAX_CONTAMINATION = 0.05
+
+
+def curation_pipeline(docs: DataFrame, benchmark: DataFrame) -> DataFrame:
+    """The full curation flow composed end to end:
+
+    quality filter → exact-dedup keep-list → benchmark
+    decontamination → deterministic split assignment.
+
+    Each stage is one of the verified operators above chained as plain
+    DataFrames, so Catalyst fuses the quality filter into the scan,
+    keeps the dedup groupBy and the contamination join in one
+    pipeline, and the whole thing stays a single lazy plan — the point
+    of building curation on a query engine rather than as N batch
+    scripts with intermediate files (which is what the reference's
+    process-per-hop architecture would force).
+    """
+    toks = _toks()
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    kept = docs.filter((n >= MIN_TOKENS) & (ttr >= MIN_TTR))
+    keep_ids = (
+        kept.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = kept.join(keep_ids, "doc_id")
+    clean_ids = (
+        ngram_contamination(deduped, benchmark)
+        .filter(F.col("contamination_ratio") <= MAX_CONTAMINATION)
+        .select("doc_id")
+    )
+    return split_assign(deduped.join(clean_ids, "doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries + oracles
 # ---------------------------------------------------------------------------
@@ -248,12 +285,21 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
 
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_pipeline(
+        docs.filter(F.col("source") != BENCHMARK_SOURCE),
+        docs.filter(F.col("source") == BENCHMARK_SOURCE),
+    )
+
+
 QUERIES = {
     "ngram_contamination": q_contamination,
     "repetition_stats": q_repetition,
     "split_assign": q_split,
     "shard_assign": q_shard,
     "tfidf_top_terms": q_tfidf,
+    "curation_pipeline": q_curation,
 }
 
 _NG = "list_transform(generate_series(1, greatest(len(w) - {m}, 0)), i -> array_to_string(w[i:i+{m}], ' '))"
@@ -324,6 +370,39 @@ SELECT doc_id,
          PARTITION BY strpos('0123456789abcdef', substr(shuffle_key, 1, 1))
          ORDER BY shuffle_key) AS INTEGER) AS pos
 FROM hashed
+""",
+    "curation_pipeline": f"""
+WITH w0 AS (
+  SELECT *, {_TOKS} AS w FROM documents WHERE source <> '{BENCHMARK_SOURCE}'
+),
+kept AS (
+  SELECT * FROM w0
+  WHERE len(w) >= {MIN_TOKENS}
+    AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= {MIN_TTR}
+),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+dd AS (SELECT k.* FROM kept k JOIN keepers USING (doc_id)),
+bench AS (
+  SELECT DISTINCT UNNEST(grams) AS gram FROM (
+    SELECT {_ng(CONTAM_N)} AS grams FROM (
+      SELECT {_TOKS} AS w FROM documents
+      WHERE source = '{BENCHMARK_SOURCE}'))
+),
+doc_grams AS (
+  SELECT doc_id, UNNEST(list_distinct({_ng(CONTAM_N)})) AS gram FROM dd
+),
+contam AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN gram IN (SELECT gram FROM bench)
+                       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS ratio
+  FROM doc_grams GROUP BY doc_id
+),
+clean AS (SELECT doc_id FROM contam WHERE ratio <= {MAX_CONTAMINATION})
+SELECT doc_id, lang, source, {_SPLIT_CASE} AS split
+FROM (SELECT dd.*,
+             substr(md5(CAST(dd.doc_id AS VARCHAR) || ':{SPLIT_SALT}'), 1, 8)
+               AS h
+      FROM dd JOIN clean USING (doc_id))
 """,
     "tfidf_top_terms": f"""
 WITH tf AS (
