@@ -243,6 +243,81 @@ def corpus_cube(documents: DataFrame) -> DataFrame:
     )
 
 
+FUNNEL_WINDOW_MIN = 30
+
+
+def conversion_funnel(
+    events: DataFrame, window_minutes: int = FUNNEL_WINDOW_MIN
+) -> DataFrame:
+    """click → purchase conversion per user: first click, then the
+    first purchase strictly after it, converted iff within the
+    window.  Two per-user min-aggregates (struct-min gives the
+    deterministic (ts, event_id)-earliest row) and one equi-join on
+    user — no window function over the raw stream, so each side
+    partial-aggregates before the shuffle."""
+    first_click = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("c"))
+        .select("user_id", F.col("c.ts").alias("click_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    first_purchase = (
+        first_click.join(purchases, "user_id")
+        .filter(F.col("p_ts") > F.col("click_ts"))
+        .groupBy("user_id", "click_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )
+    lag_us = F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+    return (
+        first_click.join(first_purchase, ["user_id", "click_ts"], "left")
+        .select(
+            "user_id",
+            "click_ts",
+            "purchase_ts",
+            F.when(F.col("purchase_ts").isNotNull(), lag_us).alias("lag_us"),
+            F.coalesce(
+                lag_us <= window_minutes * 60 * 1_000_000, F.lit(False)
+            ).alias("converted"),
+        )
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event; one row per (cohort_week, week_offset) with the
+    distinct users still active.  Two shuffles (first-event per user,
+    then the cohort matrix), both partial-aggregated."""
+    first_week = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id", F.date_trunc("week", "first_ts").alias("cohort_week")
+        )
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    offset = (
+        (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+        / (7 * 24 * 3600)
+    ).cast("int")
+    return (
+        activity.join(first_week, "user_id")
+        .select(
+            # date-typed for cross-engine comparison (DuckDB's
+            # date_trunc('week') yields DATE)
+            F.to_date("cohort_week").alias("cohort_week"),
+            offset.alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 HIST_WIDTH = 25.0
 HIST_BUCKETS = 20
 
@@ -436,6 +511,12 @@ QUERIES = {
     "value_histogram": lambda spark, sf: value_histogram(
         load_table(spark, sf, "events")
     ),
+    "conversion_funnel": lambda spark, sf: conversion_funnel(
+        load_table(spark, sf, "events")
+    ),
+    "cohort_retention": lambda spark, sf: cohort_retention(
+        load_table(spark, sf, "events")
+    ),
 }
 
 _DSUM_SQL = "CAST(SUM(CAST({e} AS DECIMAL(28,6))) AS DOUBLE)"
@@ -562,6 +643,40 @@ FROM inc i JOIN ev e
  AND e.t >= i.t0
  AND e.t < i.t0 + {INCIDENT_WINDOW_MIN * 60 * 1_000_000}
  AND e.event_id <> i.incident_id
+""",
+    "conversion_funnel": f"""
+WITH fc AS (
+  SELECT user_id, MIN(ts) AS click_ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+fp AS (
+  SELECT fc.user_id, fc.click_ts, MIN(e.ts) AS purchase_ts
+  FROM fc JOIN events e
+    ON e.user_id = fc.user_id AND e.event_type = 'purchase'
+   AND e.ts > fc.click_ts
+  GROUP BY fc.user_id, fc.click_ts
+)
+SELECT fc.user_id, fc.click_ts, fp.purchase_ts,
+       CASE WHEN fp.purchase_ts IS NOT NULL
+            THEN epoch_us(fp.purchase_ts) - epoch_us(fc.click_ts) END AS lag_us,
+       COALESCE(epoch_us(fp.purchase_ts) - epoch_us(fc.click_ts)
+                <= {FUNNEL_WINDOW_MIN * 60 * 1_000_000}, FALSE) AS converted
+FROM fc LEFT JOIN fp ON fc.user_id = fp.user_id AND fc.click_ts = fp.click_ts
+""",
+    "cohort_retention": """
+WITH fw AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT cohort_week,
+       CAST((epoch(week) - epoch(cohort_week)) / (7 * 24 * 3600) AS INTEGER)
+         AS week_offset,
+       COUNT(DISTINCT act.user_id) AS n_users
+FROM act JOIN fw ON act.user_id = fw.user_id
+GROUP BY 1, 2
 """,
     "value_histogram": f"""
 WITH b AS (
