@@ -23,6 +23,7 @@ from opc_ua_data_pipeline_spark.operators import (
     dedup,
     graph,
     ingest,
+    layout,
     multimodal,
     relational,
     rollups,
@@ -50,6 +51,7 @@ _MODULES = [
     skew,
     sampling,
     training,
+    layout,
 ]
 
 

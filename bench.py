@@ -47,6 +47,8 @@ HEADLINE = [
     "repetition_stats",      # corpus-prep: shuffle-free array exprs
     "stratified_sample",     # hash-gate sampling
     "nearest_centroid",      # embedding prototype assignment
+    "conversion_funnel",     # event analytics
+    "cohort_retention",
 ]
 
 
