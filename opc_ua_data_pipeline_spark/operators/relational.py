@@ -114,6 +114,63 @@ def priority_with_late_items(orders: DataFrame, lineitem: DataFrame) -> DataFram
     return joined.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
 
 
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1996-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into a fact-fact
+    join, then top-k.  The segment filter prunes customer BEFORE the
+    broadcast; both date filters push to the scans; the only shuffle
+    is the (orderkey, orderdate) aggregation; top-k is a heap, not a
+    sort."""
+    c = customer.filter(F.col("c_mktsegment") == segment)
+    o = orders.filter(F.col("o_orderdate") < F.lit(cutoff))
+    li = lineitem.filter(F.col("l_shipdate") > F.lit(cutoff))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+    )
+
+
+def brand_nation_margin(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q9 flavor: the fact table against two broadcast dimension
+    chains (part; supplier→nation) — revenue and volume by
+    (p_brand, n_name).  lineitem never shuffles for the joins; the
+    single exchange is the final group-by's partial-agg combine."""
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            _dsum("l_quantity").alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: per-user event streams split on inactivity gaps.
 
@@ -517,6 +574,17 @@ QUERIES = {
     "cohort_retention": lambda spark, sf: cohort_retention(
         load_table(spark, sf, "events")
     ),
+    "shipping_priority": lambda spark, sf: shipping_priority(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+    ),
+    "brand_nation_margin": lambda spark, sf: brand_nation_margin(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "part"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+    ),
 }
 
 _DSUM_SQL = "CAST(SUM(CAST({e} AS DECIMAL(28,6))) AS DOUBLE)"
@@ -643,6 +711,30 @@ FROM inc i JOIN ev e
  AND e.t >= i.t0
  AND e.t < i.t0 + {INCIDENT_WINDOW_MIN * 60 * 1_000_000}
  AND e.event_id <> i.incident_id
+""",
+    "shipping_priority": f"""
+SELECT l_orderkey, o_orderdate,
+       {_DSUM_SQL.format(e="l_extendedprice * (1 - l_discount)")} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    "brand_nation_margin": f"""
+SELECT p_brand, n_name,
+       {_DSUM_SQL.format(e="l_extendedprice * (1 - l_discount)")} AS revenue,
+       {_DSUM_SQL.format(e="l_quantity")} AS volume,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY p_brand, n_name
 """,
     "conversion_funnel": f"""
 WITH fc AS (
