@@ -62,3 +62,62 @@ def test_zscore_stream_matches_batch(spark, tmp_path):
     assert got == want
     # sanity: scored region reached
     assert any(t[6] is not None for t in got)
+
+def test_zscore_stream_survives_restart(spark, tmp_path):
+    """Kill the query between micro-batches and restart from the
+    checkpoint: keyed ring-buffer state must resume, and the combined
+    output must still equal the batch operator exactly."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts", "event_id")
+    rows = ev.collect()
+    d = tmp_path / "replay"
+    d.mkdir()
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], ev.schema).coalesce(1).write.parquet(
+        str(d / "c0")
+    )
+    for i, f in enumerate(sorted(glob.glob(str(d / "c*" / "part-*.parquet")))):
+        os.rename(f, str(d / f"{i:02d}.parquet"))
+    _order_files(d)
+
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def start():
+        return (
+            zscore_stream(file_stream(spark, str(d)))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # second half arrives while the query is DOWN
+    spark.createDataFrame(rows[half:], ev.schema).coalesce(1).write.parquet(
+        str(d / "c1")
+    )
+    for f in sorted(glob.glob(str(d / "c1" / "part-*.parquet"))):
+        os.rename(f, str(d / "99.parquet"))
+    os.utime(str(d / "99.parquet"), (1700009999, 1700009999))
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got_df = spark.read.schema(
+        "event_id long, ts timestamp, key string, value double, "
+        "n_prev long, roll_mean double, zscore double"
+    ).parquet(out_dir)
+    cols = ["event_id", "ts", "key", "value", "n_prev", "roll_mean", "zscore"]
+    got = sorted(tuple(r[c] for c in cols) for r in got_df.collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in rolling_zscore(load_table(spark, SF_DIR, "events")).collect()
+    )
+    assert got == want
