@@ -237,6 +237,55 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     )
 
 
+PACK_BUDGET = 512
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Sequence packing, concatenate-then-chunk style: documents are
+    laid head-to-tail in deterministic md5 order and the token stream
+    is cut every ``budget`` tokens (the GPT-style packing where a
+    document may span a sequence boundary — zero padding waste, no
+    sequential repacking loop).
+
+    The concatenation order lives INSIDE each of the 16 hash shards,
+    so the layout is one window per shard (parallel, never a global
+    sort), composes with ``shard_assign``, and every engine computes
+    the identical (pack, offset) for every doc — the whole thing is
+    an integer cumsum.
+
+    Output: (doc_id, shard, n_tokens, pack_id, offset,
+    spans_boundary); ``offset`` is the doc's start inside its pack.
+    """
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard")))
+    n_tok = F.size(_toks())
+    base = docs.select(
+        "doc_id",
+        (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+        ).cast("int").alias("shard"),
+        h.alias("hkey"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("hkey")
+    start = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    end = start + F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.col("shard") * 1_000_000 + F.floor(start / budget)).alias(
+            "pack_id"
+        ),
+        (start % budget).cast("long").alias("offset"),
+        (F.floor(start / budget) != F.floor((end - 1) / budget)).alias(
+            "spans_boundary"
+        ),
+    )
+
+
 MIN_TOKENS = 20
 MIN_TTR = 0.30
 MAX_CONTAMINATION = 0.05
@@ -318,6 +367,9 @@ QUERIES = {
     "shard_assign": q_shard,
     "tfidf_top_terms": q_tfidf,
     "curation_pipeline": q_curation,
+    "pack_sequences": lambda spark, sf: pack_sequences(
+        load_table(spark, sf, "documents")
+    ),
 }
 
 _NG = "list_transform(generate_series(1, greatest(len(w) - {m}, 0)), i -> array_to_string(w[i:i+{m}], ' '))"
@@ -388,6 +440,30 @@ SELECT doc_id,
          PARTITION BY strpos('0123456789abcdef', substr(shuffle_key, 1, 1))
          ORDER BY shuffle_key) AS INTEGER) AS pos
 FROM hashed
+""",
+    "pack_sequences": f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 1))
+              - 1 AS INTEGER) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || ':shard') AS hkey,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY hkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS start
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       shard * 1000000 + (start // {PACK_BUDGET}) AS pack_id,
+       start % {PACK_BUDGET} AS offset,
+       (start // {PACK_BUDGET})
+         <> ((start + n_tokens - 1) // {PACK_BUDGET}) AS spans_boundary
+FROM c
 """,
     "curation_pipeline": f"""
 WITH w0 AS (
