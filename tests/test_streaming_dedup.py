@@ -90,3 +90,43 @@ def test_content_dedup_stream(spark, tmp_path):
     out = _run_stream(spark, content_dedup_stream(stream), "dedup_content")
     kept = sorted(r.doc_id for r in out.collect())
     assert kept == [1, 3]
+
+
+def test_hash_gate_sampling_is_a_valid_stream_transform(spark, tmp_path):
+    """The curation gates (sampling/splits) are stateless projections,
+    so the same operator object runs unchanged on a stream and selects
+    the identical row set — curation can happen at ingest time."""
+    from opc_ua_data_pipeline_spark.operators.sampling import (
+        SAMPLE_FRACTIONS,
+        stratified_sample,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts", "event_id")
+    rows = ev.collect()
+    d = tmp_path / "replay"
+    d.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d / f"c{i}")
+        )
+    for i, f in enumerate(sorted(glob.glob(str(d / "c*" / "part-*.parquet")))):
+        os.rename(f, str(d / f"{i:02d}.parquet"))
+    _order_files(d)
+
+    out = _run_stream(
+        spark,
+        stratified_sample(
+            file_stream(spark, str(d)), "event_type", SAMPLE_FRACTIONS,
+            "event_id",
+        ),
+        "stream_sampled",
+    )
+    got = sorted(r.event_id for r in out.collect())
+    want = sorted(
+        r.event_id
+        for r in stratified_sample(
+            ev, "event_type", SAMPLE_FRACTIONS, "event_id"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
