@@ -49,6 +49,7 @@ HEADLINE = [
     "nearest_centroid",      # embedding prototype assignment
     "conversion_funnel",     # event analytics
     "cohort_retention",
+    "shipping_priority",     # TPC-H Q3 shape
 ]
 
 
