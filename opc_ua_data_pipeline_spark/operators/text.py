@@ -169,6 +169,48 @@ def vocab_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def unigram_logprob_scores(df: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality score: mean unigram log-probability of
+    each document under the corpus's own unigram LM (the statistical
+    upgrade of the heuristic filters — rare-token salads score low,
+    fluent-ish text scores high; real pipelines swap in KenLM, the
+    operator shape is identical).
+
+    The vocabulary (term → ln p) is a broadcast dictionary; documents
+    explode once and re-aggregate by doc.  ``ln`` is libm and the
+    per-group sum order is engine-specific, so each token's logprob is
+    rounded to DECIMAL(18,9) first (collapses the ulp noise — see
+    tfidf) and summed exactly (associative), divided once at the end.
+    """
+    tf = (
+        df.select(F.explode(_toks()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    total = tf.agg(F.sum("n_occ").alias("total_occ"))
+    lm = F.broadcast(
+        tf.crossJoin(F.broadcast(total)).select(
+            "term",
+            F.log(
+                F.col("n_occ").cast("double") / F.col("total_occ").cast("double")
+            )
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    doc_terms = df.select("doc_id", F.explode(_toks()).alias("term"))
+    return (
+        doc_terms.join(lm, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("lp").cast("double") / F.count(F.lit(1))).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
 def corpus_stats(df: DataFrame) -> DataFrame:
     """Corpus rollup by (lang, source): doc counts and size stats —
     one partial-aggregated shuffle."""
@@ -215,6 +257,9 @@ QUERIES = {
     "text_fingerprints": q_fingerprints,
     "text_corpus_stats": q_corpus_stats,
     "text_vocab_stats": lambda spark, sf: vocab_stats(
+        load_table(spark, sf, "documents")
+    ),
+    "text_unigram_logprob": lambda spark, sf: unigram_logprob_scores(
         load_table(spark, sf, "documents")
     ),
 }
@@ -282,6 +327,26 @@ SELECT lang, source,
        MAX(n_chars) AS max_chars
 FROM documents
 GROUP BY lang, source
+""",
+    "text_unigram_logprob": f"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS n_occ
+  FROM (SELECT UNNEST({_TOKS}) AS term FROM documents)
+  GROUP BY term
+),
+total AS (SELECT SUM(n_occ) AS total_occ FROM tf),
+lm AS (
+  SELECT term,
+         CAST(ln(CAST(n_occ AS DOUBLE) / CAST(total_occ AS DOUBLE))
+              AS DECIMAL(18,9)) AS lp
+  FROM tf CROSS JOIN total
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS mean_logprob
+FROM (SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents) dt
+JOIN lm ON dt.term = lm.term
+GROUP BY doc_id
 """,
     "text_vocab_stats": f"""
 WITH tf AS (
