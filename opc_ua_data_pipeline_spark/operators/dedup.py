@@ -273,6 +273,20 @@ def simhash_near_dup_pairs(
     return out.filter(F.col("hamming") <= max_hamming)
 
 
+def new_content_only(new_docs: DataFrame, seen_docs: DataFrame) -> DataFrame:
+    """Incremental ingest: keep only docs whose content hash has never
+    been seen — the anti-join that makes re-crawls cheap (process the
+    delta, not the corpus).  Plans as a left-anti hash join on the
+    32-char digest; at 100 TB the seen-side is a hash/bloom index, not
+    the documents themselves."""
+    seen = seen_docs.select(F.md5("text").alias("content_hash")).distinct()
+    return new_docs.join(
+        seen,
+        F.md5(new_docs["text"]) == seen["content_hash"],
+        "left_anti",
+    )
+
+
 def verified_near_dup_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
     """The full near-dup pipeline composed: MinHash+LSH candidates ->
     exact Jaccard verification -> threshold.
@@ -351,6 +365,12 @@ QUERIES = {
     "simhash_near_dup_pairs": lambda spark, sf: simhash_near_dup_pairs(
         load_table(spark, sf, "documents")
     ),
+    "dedup_incremental_new": lambda spark, sf: (
+        lambda docs: new_content_only(
+            docs.filter(F.col("source") == "src0"),
+            docs.filter(F.col("source") != "src0"),
+        )
+    )(load_table(spark, sf, "documents")),
 }
 
 _TOKENS_SQL = """
@@ -458,6 +478,13 @@ JOIN sizes sb ON c.doc_b = sb.doc_id
 WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
 """,
     "simhash": _SIMHASH_SQL,
+    "dedup_incremental_new": """
+SELECT * FROM documents n
+WHERE n.source = 'src0'
+  AND md5(n.text) NOT IN (
+    SELECT md5(text) FROM documents WHERE source <> 'src0'
+  )
+""",
     "simhash_near_dup_pairs": f"""
 WITH sh AS ({_SIMHASH_SQL}),
 banded AS (
