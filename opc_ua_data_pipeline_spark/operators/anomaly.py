@@ -76,6 +76,39 @@ def zscore_anomalies(
     ).select("event_id", "ts", "key", "value", "roll_mean", "zscore")
 
 
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+def winsorized_values(
+    events: DataFrame, lo: float = WINSOR_LO, hi: float = WINSOR_HI
+) -> DataFrame:
+    """Winsorization: clamp each key's values to its own [p01, p99] —
+    the robust-stats companion to z-score flagging (downstream
+    aggregates stop being hostage to a sensor spike).  Per-key exact
+    percentiles are a #keys-row aggregate broadcast back over the
+    stream; Spark ``percentile`` and other type-7 implementations
+    agree bit-for-bit, so the clamped values are engine-exact."""
+    bounds = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(lo)).alias("p_lo"),
+        F.percentile("value", F.lit(hi)).alias("p_hi"),
+    )
+    return (
+        events.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+            .alias("winsorized"),
+            (
+                (F.col("value") < F.col("p_lo"))
+                | (F.col("value") > F.col("p_hi"))
+            ).alias("clipped"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries + oracles
 # ---------------------------------------------------------------------------
@@ -92,6 +125,9 @@ def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "rolling_zscore": q_rolling_zscore,
     "zscore_anomalies": q_zscore_anomalies,
+    "winsorized_values": lambda spark, sf: winsorized_values(
+        load_table(spark, sf, "events")
+    ),
 }
 
 _FRAME = (
@@ -120,5 +156,17 @@ FROM ({_SCORED})
 SELECT event_id, ts, key, value, s1 / n_prev AS roll_mean, {_Z} AS zscore
 FROM ({_SCORED})
 WHERE n_prev >= {MIN_SAMPLES} AND abs({_Z}) > {Z_THRESHOLD}
+""",
+    "winsorized_values": f"""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, {WINSOR_LO}) AS p_lo,
+         quantile_cont(value, {WINSOR_HI}) AS p_hi
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       LEAST(GREATEST(value, p_lo), p_hi) AS winsorized,
+       (value < p_lo OR value > p_hi) AS clipped
+FROM events e JOIN b ON e.event_type = b.event_type
 """,
 }

@@ -273,6 +273,24 @@ def simhash_near_dup_pairs(
     return out.filter(F.col("hamming") <= max_hamming)
 
 
+def bow_duplicate_groups(df: DataFrame) -> DataFrame:
+    """Reordered duplicates: documents equal as a SET of words (the
+    bag-of-words fingerprint from text.fingerprints) — catches
+    shuffled/re-ordered copies that byte-exact md5 dedup misses, at
+    exact-dedup cost (one groupBy on a 32-char digest)."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    bow = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    return (
+        df.select("doc_id", bow.alias("bow_fp"))
+        .groupBy("bow_fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def new_content_only(new_docs: DataFrame, seen_docs: DataFrame) -> DataFrame:
     """Incremental ingest: keep only docs whose content hash has never
     been seen — the anti-join that makes re-crawls cheap (process the
@@ -363,6 +381,9 @@ QUERIES = {
     "dedup_verified_near_dups": q_verified_near_dups,
     "simhash": q_simhash,
     "simhash_near_dup_pairs": lambda spark, sf: simhash_near_dup_pairs(
+        load_table(spark, sf, "documents")
+    ),
+    "dedup_bow_groups": lambda spark, sf: bow_duplicate_groups(
         load_table(spark, sf, "documents")
     ),
     "dedup_incremental_new": lambda spark, sf: (
@@ -478,6 +499,16 @@ JOIN sizes sb ON c.doc_b = sb.doc_id
 WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
 """,
     "simhash": _SIMHASH_SQL,
+    "dedup_bow_groups": """
+SELECT md5(array_to_string(list_sort(list_distinct(
+         list_filter(string_split(text, ' '), t -> t <> ''))), ' '))
+         AS bow_fp,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) >= 2
+""",
     "dedup_incremental_new": """
 SELECT * FROM documents n
 WHERE n.source = 'src0'

@@ -16,6 +16,8 @@ the standard recipe for combining corpora at different epochs/weights.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -86,8 +88,6 @@ def per_key_cap(
         .drop("__rn")
     )
 
-
-import math
 
 EPOCH_WEIGHTS = {"en": 2.5, "de": 1.0, "fr": 1.0, "es": 0.5, "zh": 0.25}
 
