@@ -300,6 +300,39 @@ def corpus_cube(documents: DataFrame) -> DataFrame:
     )
 
 
+def clicked_never_purchased(events: DataFrame) -> DataFrame:
+    """Set operation (EXCEPT): (user, week) cells with clicks but no
+    purchase that week.  Spark plans EXCEPT DISTINCT as a left-anti
+    over distinct keys — no materialized intermediate sets (the
+    reference has no set ops at all, SURVEY §2.8; this registers the
+    Spark-native form at a granularity that is non-degenerate on the
+    test data — whole-user sets all coincide)."""
+    week = F.to_date(F.date_trunc("week", "ts"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", week.alias("week")
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", week.alias("week")
+    )
+    return clicks.subtract(buys)  # EXCEPT (distinct) semantics
+
+
+def value_rank_profile(events: DataFrame) -> DataFrame:
+    """Rank-family window functions over each type's value
+    distribution: percent_rank (exact (rank-1)/(n-1) rational) and
+    ntile(4) quartile labels — one window pass per key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 FUNNEL_WINDOW_MIN = 30
 
 
@@ -585,6 +618,12 @@ QUERIES = {
         load_table(spark, sf, "supplier"),
         load_table(spark, sf, "nation"),
     ),
+    "clicked_never_purchased": lambda spark, sf: clicked_never_purchased(
+        load_table(spark, sf, "events")
+    ),
+    "value_rank_profile": lambda spark, sf: value_rank_profile(
+        load_table(spark, sf, "events")
+    ),
 }
 
 _DSUM_SQL = "CAST(SUM(CAST({e} AS DECIMAL(28,6))) AS DOUBLE)"
@@ -711,6 +750,20 @@ FROM inc i JOIN ev e
  AND e.t >= i.t0
  AND e.t < i.t0 + {INCIDENT_WINDOW_MIN * 60 * 1_000_000}
  AND e.event_id <> i.incident_id
+""",
+    "clicked_never_purchased": """
+SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+FROM events WHERE event_type = 'purchase'
+""",
+    "value_rank_profile": """
+SELECT event_id, event_type, value,
+       percent_rank() OVER w AS pct_rank,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 """,
     "shipping_priority": f"""
 SELECT l_orderkey, o_orderdate,
