@@ -73,7 +73,14 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Two passes per query: "cold" includes one-time plan analysis +
+    # whole-stage codegen compile; "warm" re-runs the identical plan so
+    # codegen classes are cached and the number reflects the DATA path —
+    # the component that actually scales with input size (PERF.md
+    # measured >=80% of cold time is compile at sf0.1).  The headline
+    # metric stays the cold total for continuity with BENCH_r01.
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         # Build the plan fresh, then fully materialize through the noop
@@ -81,6 +88,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -90,6 +100,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -62,11 +62,8 @@ def deviation_alarms(
     """
     t = target if target is not None else F.lit(_TARGET)
     pct = deviation_pct(F.col("value_num"), t)
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(*order_cols)
-        .rowsBetween(-2, 0)
-    )
+    w_ord = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    w = w_ord.rowsBetween(-2, 0)
     # Guarded samples (target==0 -> NULL pct) are filtered BEFORE the
     # window: the reference returns before appending to the buffer
     # (opcua_server/main.py:29-30), so a guarded sample must not occupy
@@ -82,13 +79,20 @@ def deviation_alarms(
     )
     rule1 = F.abs(F.col("pct")) > 10
     rule2 = (F.col("frame_n") == 3) & (F.col("gt2_n") == 3)
+    # Rule-2 text carries ALL THREE trailing deviations oldest-first,
+    # matching the reference's ', '.join over the ring buffer
+    # (opcua_server/main.py:38-39).
     alarm = F.when(
         rule1,
         F.format_string("%s: Abweichung %.2f%% (>10%%)", F.col("metric"), F.col("pct")),
     ).when(
         rule2,
         F.format_string(
-            "%s: 3x in Folge Abweichung >2%% (%.2f%%)", F.col("metric"), F.col("pct")
+            "%s: 3x in Folge Abweichung >2%% (%.2f%%, %.2f%%, %.2f%%)",
+            F.col("metric"),
+            F.lag("pct", 2).over(w_ord),
+            F.lag("pct", 1).over(w_ord),
+            F.col("pct"),
         ),
     )
     return (
@@ -221,16 +225,20 @@ dev AS (
 framed AS (
   SELECT *,
          COUNT(pct) OVER w AS frame_n,
-         COUNT(CASE WHEN ABS(pct) > 2 THEN 1 END) OVER w AS gt2_n
+         COUNT(CASE WHEN ABS(pct) > 2 THEN 1 END) OVER w AS gt2_n,
+         LAG(pct, 2) OVER wo AS pct_lag2,
+         LAG(pct, 1) OVER wo AS pct_lag1
   FROM dev
   WINDOW w AS (PARTITION BY metric ORDER BY "time", event_id
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         wo AS (PARTITION BY metric ORDER BY "time", event_id)
 )
 SELECT metric, "time", event_id, pct,
        CASE WHEN ABS(pct) > 10
             THEN printf('%s: Abweichung %.2f%% (>10%%)', metric, pct)
             WHEN frame_n = 3 AND gt2_n = 3
-            THEN printf('%s: 3x in Folge Abweichung >2%% (%.2f%%)', metric, pct)
+            THEN printf('%s: 3x in Folge Abweichung >2%% (%.2f%%, %.2f%%, %.2f%%)',
+                        metric, pct_lag2, pct_lag1, pct)
        END AS alarm
 FROM framed
 WHERE (ABS(pct) > 10) OR (frame_n = 3 AND gt2_n = 3)

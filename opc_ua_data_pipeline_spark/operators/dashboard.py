@@ -181,27 +181,61 @@ def q_time_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_progress_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F16 — the production-progress clamp ``min(100, done/total*100)``
-    (opcua_server/main.py:344): running event count per user over its
-    total, clamped with least()."""
+    (opcua_server/main.py:344): running event count per operator over
+    its total, clamped with least().
+
+    The operator key is LOW-CARDINALITY on driver data (3 values), so
+    a bare ``Window.partitionBy(operator)`` running count would funnel
+    each operator's whole history through one task.  De-skewed by
+    composite re-keying: the running count is computed locally inside
+    (operator, day) windows — day follows the sort key, so day groups
+    are contiguous in the (time, event_id) order — and each day adds a
+    cumulative offset taken from a per-(operator, day) count table
+    that is tiny (#operators x #days rows) and broadcast back.  The
+    result is bit-identical integer arithmetic; the per-task sort is
+    now bounded by one key's single day, which holds at any scale
+    where days accumulate.
+    """
     from .ingest import telemetry
 
-    t = telemetry(spark, sf_dir)
-    w_run = (
-        Window.partitionBy("operator")
+    t = telemetry(spark, sf_dir).filter(F.col("operator").isNotNull())
+    t = t.withColumn("_day", F.to_date("time"))
+    w_local = (
+        Window.partitionBy("operator", "_day")
         .orderBy("time", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_all = Window.partitionBy("operator")
+    local = t.select(
+        "operator",
+        "_day",
+        "time",
+        "event_id",
+        F.count("*").over(w_local).alias("_local_run"),
+    )
+
+    day_counts = t.groupBy("operator", "_day").agg(F.count("*").alias("_cnt"))
+    w_off = (
+        Window.partitionBy("operator")
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = day_counts.select(
+        "operator",
+        "_day",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(Window.partitionBy("operator")).alias("_total"),
+    )
+
     return (
-        t.filter(F.col("operator").isNotNull())
+        local.join(F.broadcast(offsets), ["operator", "_day"])
         .select(
             "operator",
             "time",
             "event_id",
             F.least(
                 F.lit(100.0),
-                F.count("*").over(w_run)
-                / F.count("*").over(w_all)
+                (F.col("_off") + F.col("_local_run"))
+                / F.col("_total")
                 * 110.0,
             ).alias("progress_pct"),
         )
@@ -211,24 +245,37 @@ def q_progress_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_alarm_list_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 — keep-last-N list truncation (opcua_server/main.py:326-327:
     active alarms capped to the 20 newest): per metric, the ordered
-    alarm texts sliced to the trailing 20."""
+    alarm texts sliced to the trailing 20, joined with '|' so the
+    result column is a hashable scalar.
+
+    NOTE ``slice(a, -20, 20)`` returns an EMPTY array when
+    ``size(a) < 20`` — the clamped positive start
+    ``slice(a, greatest(1, size(a)-19), 20)`` keeps all elements for
+    short groups, matching the reference's keep-last-20 ring buffer.
+    """
     from .ingest import telemetry
 
     t = telemetry(spark, sf_dir)
+    texts = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("time", "event_id", "value_str"))
+        ),
+        lambda x: x["value_str"],
+    )
     return (
         t.filter(F.col("value_str").isNotNull())
         .groupBy("metric")
-        .agg(
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("time", "event_id", "value_str"))
-                    ),
-                    lambda x: x["value_str"],
+        .agg(texts.alias("_texts"))
+        .select(
+            "metric",
+            F.array_join(
+                F.slice(
+                    F.col("_texts"),
+                    F.greatest(F.lit(1), F.size("_texts") - F.lit(19)),
+                    20,
                 ),
-                -20,
-                20,
-            ).alias("last_alarms")
+                "|",
+            ).alias("last_alarms"),
         )
     )
 
@@ -301,7 +348,8 @@ WHERE operator IS NOT NULL
     "alarm_list_trunc": f"""
 WITH telemetry AS ({TELEMETRY_SQL})
 SELECT metric,
-       (array_agg(value_str ORDER BY "time", event_id))[-20:] AS last_alarms
+       array_to_string((array_agg(value_str ORDER BY "time", event_id))[-20:],
+                       '|') AS last_alarms
 FROM telemetry
 WHERE value_str IS NOT NULL
 GROUP BY metric

@@ -60,17 +60,17 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
 def revenue_by_nation(
     customer: DataFrame, orders: DataFrame, lineitem: DataFrame, nation: DataFrame
 ) -> DataFrame:
-    """TPC-H Q5 shape: fact-fact shuffle join + broadcast dims.
+    """TPC-H Q5 shape: fact-fact shuffle join + broadcast fixed dims.
 
-    orders x lineitem shuffles once on orderkey; customer and nation
-    are broadcast (customer is the largest dim at ~150k rows/SF —
-    still broadcastable at 100 TB where lineitem is the 100 TB side).
+    orders x lineitem shuffles once on orderkey.  Only nation (25 rows,
+    fixed regardless of SF) carries an explicit broadcast hint; customer
+    scales WITH SF (~150k rows/SF -> ~10^10 rows at the SF where
+    lineitem is 100 TB), so its join strategy is left to AQE/CBO, which
+    picks broadcast at small SF and shuffle-hash/sort-merge at scale.
     """
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey
-        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -87,7 +87,8 @@ def top_customers(
 ) -> DataFrame:
     """Top-k revenue customers: pre-aggregate the fact side FIRST
     (shrinks the join input from |lineitem| to |custkey| rows), then
-    broadcast-join the dim, then TakeOrderedAndProject for the top-k —
+    join the dim (strategy left to AQE — customer is SF-proportional,
+    so no forced broadcast), then TakeOrderedAndProject for the top-k —
     no global sort, no full-fact join."""
     rev = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
@@ -95,7 +96,7 @@ def top_customers(
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
     return (
-        rev.join(F.broadcast(customer), rev.o_custkey == customer.c_custkey)
+        rev.join(customer, rev.o_custkey == customer.c_custkey)
         .select("c_custkey", "c_name", "c_mktsegment", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(k)
@@ -122,17 +123,18 @@ def shipping_priority(
     cutoff: str = "1996-01-01",
     k: int = 10,
 ) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter broadcast into a fact-fact
-    join, then top-k.  The segment filter prunes customer BEFORE the
-    broadcast; both date filters push to the scans; the only shuffle
-    is the (orderkey, orderdate) aggregation; top-k is a heap, not a
-    sort."""
+    """TPC-H Q3 shape: selective dim filter into a fact-fact join,
+    then top-k.  The segment filter prunes customer BEFORE the join
+    (~1/5 of rows — still SF-proportional, so no forced broadcast: AQE
+    picks broadcast at small SF, shuffle join at scale); both date
+    filters push to the scans; the only shuffle AQE can't elide is the
+    (orderkey, orderdate) aggregation; top-k is a heap, not a sort."""
     c = customer.filter(F.col("c_mktsegment") == segment)
     o = orders.filter(F.col("o_orderdate") < F.lit(cutoff))
     li = lineitem.filter(F.col("l_shipdate") > F.lit(cutoff))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             _dsum(
@@ -150,15 +152,17 @@ def brand_nation_margin(
     supplier: DataFrame,
     nation: DataFrame,
 ) -> DataFrame:
-    """TPC-H Q9 flavor: the fact table against two broadcast dimension
-    chains (part; supplier→nation) — revenue and volume by
-    (p_brand, n_name).  lineitem never shuffles for the joins; the
-    single exchange is the final group-by's partial-agg combine."""
+    """TPC-H Q9 flavor: the fact table against two dimension chains
+    (part; supplier→nation) — revenue and volume by (p_brand, n_name).
+
+    part (~200k rows/SF) and supplier (~10k rows/SF) scale WITH SF, so
+    their join strategy is delegated to AQE/CBO rather than hint-forced
+    (at 100 TB a forced broadcast of either would OOM executors); only
+    nation (25 rows, fixed) keeps the explicit hint.  The final
+    exchange is the group-by's partial-agg combine."""
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .join(
-            F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
-        )
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy("p_brand", "n_name")
         .agg(
@@ -264,10 +268,30 @@ def distinct_users(events: DataFrame) -> DataFrame:
     )
 
 
+APPROX_DISTINCT_RTOL = 0.15  # 3x the default HLL++ rsd of 0.05
+
+
 def approx_distinct_users(events: DataFrame) -> DataFrame:
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    """HLL++ distinct sketch next to its exact twin, plus an in-bound
+    flag so the whole row is deterministic and oracle-checkable: the
+    DuckDB oracle asserts the exact count and ``approx_ok = TRUE``
+    (the sketch estimate itself is engine-specific and is bounded here
+    rather than hash-matched; the numeric error is also asserted in
+    tests/test_relational_ops.py)."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.lit(APPROX_DISTINCT_RTOL) * F.col("exact_users")
+            ).alias("approx_ok"),
+        )
     )
 
 
@@ -283,10 +307,27 @@ def value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+APPROX_P50_RTOL = 0.05
+
+
 def approx_value_percentiles(events: DataFrame) -> DataFrame:
-    return events.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.5).alias("approx_p50"),
-        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+    """KLL-style percentile sketch next to its exact twin, plus an
+    in-bound flag (same contract shape as approx_distinct_users: exact
+    column hash-matched, sketch bounded)."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5).alias("approx_p50"),
+            F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        )
+        .select(
+            "event_type",
+            "exact_p50",
+            (
+                F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                <= F.lit(APPROX_P50_RTOL) * F.abs(F.col("exact_p50"))
+            ).alias("approx_ok"),
+        )
     )
 
 
@@ -318,18 +359,72 @@ def clicked_never_purchased(events: DataFrame) -> DataFrame:
 
 
 def value_rank_profile(events: DataFrame) -> DataFrame:
-    """Rank-family window functions over each type's value
-    distribution: percent_rank (exact (rank-1)/(n-1) rational) and
-    ntile(4) quartile labels — one window pass per key."""
+    """Rank-family profile over each type's value distribution:
+    percent_rank (exact (rank-1)/(n-1) rational) and ntile(4)
+    quartile labels.
+
+    NOT a single ``Window.partitionBy(event_type)`` — event_type has
+    ~5 distinct values, so that window funnels ~1/5 of the fact table
+    through one task's sort at any scale.  Instead the classic
+    distributed two-pass rank:
+
+    1. range-partition on the full sort key (event_type, value,
+       event_id) — each physical partition holds a contiguous key
+       range sized by data volume, not by key cardinality;
+    2. local row_number within (event_type, physical partition);
+    3. merge: per-(event_type, partition) counts (a tiny table —
+       #keys x #partitions rows) give each partition's global offset
+       via a cumulative sum, plus the per-key total n;
+    4. rank = offset + local row_number; percent_rank and ntile are
+       then closed-form in (rank, n).
+
+    The ordering key includes the unique event_id tiebreak, so ranks
+    are total and the result is bit-identical to the single-window
+    formulation (and invariant to where the range boundaries fall).
+    ntile(k) closed form: the first n%k buckets take ceil(n/k) rows,
+    the rest floor(n/k) — exactly Spark's/DuckDB's NTILE definition.
+    """
     from pyspark.sql import Window
 
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return events.select(
-        "event_id",
+    ranged = events.select("event_id", "event_type", "value").repartitionByRange(
+        64, "event_type", "value", "event_id"
+    )
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("event_type", "_pid").orderBy("value", "event_id")
+    local = with_pid.withColumn("_rn", F.row_number().over(w_local))
+
+    counts = local.groupBy("event_type", "_pid").agg(F.count("*").alias("_cnt"))
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("event_type")
+    offsets = counts.select(
         "event_type",
-        "value",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.ntile(4).over(w).alias("quartile"),
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(w_tot).alias("_n"),
+    )
+
+    rank = F.col("_off") + F.col("_rn")
+    n = F.col("_n")
+    q, rem = (n / 4).cast("long"), n % 4
+    big = rem * (q + 1)  # rows living in the first `rem` (larger) buckets
+    quartile = F.when(
+        rank <= big, ((rank - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(rem + ((rank - big - 1) / q).cast("long") + 1)
+    return (
+        local.join(F.broadcast(offsets), ["event_type", "_pid"])
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(n > 1, (rank - 1).cast("double") / (n - 1))
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
+            quartile.cast("int").alias("quartile"),
+        )
     )
 
 
@@ -585,7 +680,7 @@ QUERIES = {
     "priority_late_items": q_priority_late,
     "sessionize": q_sessionize,
     "distinct_users": q_distinct_users,
-    "approx_distinct_users": q_approx_distinct,  # rows-only: HLL sketch
+    "approx_distinct_users": q_approx_distinct,
     "corpus_cube": q_corpus_cube,
     "event_type_pivot": q_event_pivot,
     "asof_last_purchase": q_asof_last_purchase,
@@ -594,7 +689,7 @@ QUERIES = {
     ),
     "approx_value_percentiles": lambda spark, sf: approx_value_percentiles(
         load_table(spark, sf, "events")
-    ),  # rows-only: sketch internals are engine-specific
+    ),
     "incident_range_join": lambda spark, sf: incident_range_join(
         load_table(spark, sf, "events")
     ),
@@ -685,9 +780,9 @@ WITH gaps AS (
 ),
 numbered AS (
   SELECT *,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_seq
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
   FROM gaps
 )
 SELECT user_id, session_seq,
@@ -705,8 +800,23 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """,
+    "approx_distinct_users": """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+""",
+    "approx_value_percentiles": """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS exact_p50,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+""",
     "corpus_cube": """
-SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY CUBE (lang, source)
 """,

@@ -322,7 +322,7 @@ FROM documents
     "text_corpus_stats": """
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(strlen(text)) AS total_bytes,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars
 FROM documents

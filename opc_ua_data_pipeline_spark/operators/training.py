@@ -401,8 +401,8 @@ doc_grams AS (SELECT doc_id, UNNEST(list_distinct(grams)) AS gram
               FROM ng WHERE source <> '{BENCHMARK_SOURCE}')
 SELECT doc_id,
        COUNT(*) AS n_grams,
-       SUM(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END)
-         AS n_contaminated,
+       CAST(SUM(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
        CAST(SUM(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END)
             AS DOUBLE) / COUNT(*) AS contamination_ratio
 FROM doc_grams
@@ -459,8 +459,8 @@ c AS (
   FROM base
 )
 SELECT doc_id, shard, n_tokens,
-       shard * 1000000 + (start // {PACK_BUDGET}) AS pack_id,
-       start % {PACK_BUDGET} AS offset,
+       CAST(shard * 1000000 + (start // {PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(start % {PACK_BUDGET} AS BIGINT) AS offset,
        (start // {PACK_BUDGET})
          <> ((start + n_tokens - 1) // {PACK_BUDGET}) AS spans_boundary
 FROM c

@@ -40,8 +40,8 @@ DEVIATION_OUTPUT_SCHEMA = T.StructType(
 #: (valid & |pct|>2) flags of the previous two samples + samples seen.
 DEVIATION_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("g1", T.IntegerType()),
-        T.StructField("g2", T.IntegerType()),
+        T.StructField("p1", T.DoubleType()),
+        T.StructField("p2", T.DoubleType()),
         T.StructField("n_seen", T.LongType()),
     ]
 )
@@ -54,7 +54,7 @@ def _deviation_fn(
     precedence (opcua_server/main.py:35-39); the 3-deep ring buffer
     collapses to two carry-over flags."""
     (metric,) = key
-    g1, g2, n_seen = state.get if state.exists else (0, 0, 0)
+    p1, p2, n_seen = state.get if state.exists else (None, None, 0)
     out_rows = []
     chunks = [c for c in pdfs if len(c)]
     if chunks:
@@ -68,17 +68,29 @@ def _deviation_fn(
                 # target==0 guard: the reference returns before touching
                 # the buffer (opcua_server/main.py:29-30) — no slot used.
                 continue
-            gt2 = 1 if abs(pct) > 2 else 0
             n_seen += 1
             alarm = None
             if abs(pct) > 10:
                 alarm = f"{metric}: Abweichung {pct:.2f}% (>10%)"
-            elif n_seen >= 3 and gt2 and g1 and g2:
-                alarm = f"{metric}: 3x in Folge Abweichung >2% ({pct:.2f}%)"
+            elif (
+                n_seen >= 3
+                and abs(pct) > 2
+                and p1 is not None
+                and abs(p1) > 2
+                and p2 is not None
+                and abs(p2) > 2
+            ):
+                # All three trailing deviations, oldest first — the
+                # reference joins the whole ring buffer
+                # (opcua_server/main.py:38-39).
+                alarm = (
+                    f"{metric}: 3x in Folge Abweichung >2% "
+                    f"({p2:.2f}%, {p1:.2f}%, {pct:.2f}%)"
+                )
             if alarm is not None:
                 out_rows.append((metric, row.time, row.event_id, pct, alarm))
-            g2, g1 = g1, gt2
-    state.update((g1, g2, n_seen))
+            p2, p1 = p1, pct
+    state.update((p1, p2, n_seen))
     if out_rows:
         yield pd.DataFrame(
             out_rows, columns=["metric", "time", "event_id", "pct", "alarm"]

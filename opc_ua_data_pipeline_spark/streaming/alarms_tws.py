@@ -40,14 +40,16 @@ class DeviationProcessor(StatefulProcessor):
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._state = handle.getValueState(
-            "dev", "g1 INTEGER, g2 INTEGER, n_seen BIGINT"
+            "dev", "p1 DOUBLE, p2 DOUBLE, n_seen BIGINT"
         )
 
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
         (metric,) = key
-        g1, g2, n_seen = self._state.get() if self._state.exists() else (0, 0, 0)
+        p1, p2, n_seen = (
+            self._state.get() if self._state.exists() else (None, None, 0)
+        )
         out = []
         chunks = [c for c in rows if len(c)]
         if chunks:
@@ -59,17 +61,26 @@ class DeviationProcessor(StatefulProcessor):
                 pct = (v - _TARGET) / _TARGET * 100 if _TARGET != 0 else None
                 if pct is None:
                     continue
-                gt2 = 1 if abs(pct) > 2 else 0
                 n_seen += 1
                 alarm = None
                 if abs(pct) > 10:
                     alarm = f"{metric}: Abweichung {pct:.2f}% (>10%)"
-                elif n_seen >= 3 and gt2 and g1 and g2:
-                    alarm = f"{metric}: 3x in Folge Abweichung >2% ({pct:.2f}%)"
+                elif (
+                    n_seen >= 3
+                    and abs(pct) > 2
+                    and p1 is not None
+                    and abs(p1) > 2
+                    and p2 is not None
+                    and abs(p2) > 2
+                ):
+                    alarm = (
+                        f"{metric}: 3x in Folge Abweichung >2% "
+                        f"({p2:.2f}%, {p1:.2f}%, {pct:.2f}%)"
+                    )
                 if alarm is not None:
                     out.append((metric, row.time, row.event_id, pct, alarm))
-                g2, g1 = g1, gt2
-        self._state.update((g1, g2, n_seen))
+                p2, p1 = p1, pct
+        self._state.update((p1, p2, n_seen))
         if out:
             yield pd.DataFrame(
                 out, columns=["metric", "time", "event_id", "pct", "alarm"]

@@ -33,21 +33,54 @@ def file_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+KAFKA_FORMAT = "kafka"
+
+
+def kafka_reader_options(brokers: str, topic: str) -> dict[str, str]:
+    """The exact source options the reference consumer uses
+    (kafka_db_agent/main.py:50-57): subscribe to one topic, start at
+    the earliest offset (the reference's ``auto_offset_reset=
+    'earliest'``).  Factored out so the structural contract is
+    testable without the kafka jar on the classpath."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+    }
+
+
+def from_kafka_raw(raw: DataFrame) -> DataFrame:
+    """The transform applied to Kafka's wire records (binary
+    key/value + topic/partition/offset metadata): JSON values parsed
+    with the declared enriched schema, then type-dispatched exactly
+    as the reference's DB writer does (kafka_db_agent/main.py:60-71).
+    Separated from the reader so a memory/file source with the same
+    wire schema can drive it in tests."""
+    parsed = parse_enriched_json(raw.select(F.col("value").cast("string")))
+    return type_dispatch(parsed)
+
+
 def kafka_stream(
     spark: SparkSession, brokers: str, topic: str = "machine_events"
 ) -> DataFrame:
     """S3 — Kafka source (kafka_db_agent/main.py:50-57): earliest
     offsets, JSON values parsed with the declared enriched schema and
     then type-dispatched exactly as the DB writer does."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .load()
-    )
-    parsed = parse_enriched_json(raw.select(F.col("value").cast("string")))
-    return type_dispatch(parsed)
+    reader = spark.readStream.format(KAFKA_FORMAT)
+    for k, v in kafka_reader_options(brokers, topic).items():
+        reader = reader.option(k, v)
+    return from_kafka_raw(reader.load())
+
+
+def kafka_sink_options(brokers: str, topic: str, checkpoint: str) -> dict[str, str]:
+    """Producer-side options (hydration_agent/main.py:54-57,85-86 —
+    broker + topic), plus the checkpoint that upgrades the reference's
+    fire-and-forget producer to at-least-once."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
 
 
 def start_kafka_sink(
@@ -61,14 +94,10 @@ def start_kafka_sink(
     classpath (not bundled in this container)."""
     from ..operators.ingest import to_wire_json
 
-    return (
-        to_wire_json(df)
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
+    writer = to_wire_json(df).writeStream.format(KAFKA_FORMAT)
+    for k, v in kafka_sink_options(brokers, topic, checkpoint).items():
+        writer = writer.option(k, v)
+    return writer.start()
 
 
 def start_bronze_ingest(

@@ -43,9 +43,9 @@ class PyDeviationTracker:
         if len(self.buffer) > 3:
             self.buffer.pop(0)
         if abs(pct) > 10:
-            return ("rule1", pct)
+            return ("rule1", pct, list(self.buffer))
         if len(self.buffer) == 3 and all(abs(d) > 2 for d in self.buffer):
-            return ("rule2", pct)
+            return ("rule2", pct, list(self.buffer))
         return None
 
 
@@ -87,12 +87,13 @@ def test_deviation_matches_python_reference(spark, series):
     for i, (target, actual) in enumerate(series):
         hit = tracker.update(target, actual)
         if hit:
-            rule, pct = hit
+            rule, pct, buf = hit
             t = T0 + timedelta(seconds=i)
             if rule == "rule1":
                 want[t] = f"M: Abweichung {pct:.2f}% (>10%)"
             else:
-                want[t] = f"M: 3x in Folge Abweichung >2% ({pct:.2f}%)"
+                tr = ", ".join(f"{v:.2f}%" for v in buf)
+                want[t] = f"M: 3x in Folge Abweichung >2% ({tr})"
     assert got == want
 
 
