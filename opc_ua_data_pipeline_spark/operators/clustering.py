@@ -81,6 +81,11 @@ def kmeans_assignments(
 ) -> DataFrame:
     """Run ``n_iter`` Lloyd iterations; return the final assignment
     (vec_id, cluster, dist)."""
+    # Seed selection = "k hash-smallest vectors" — a distributed top-k
+    # (TakeOrderedAndProject heap: per-partition top-k + driver merge
+    # of k rows), NOT a global row_number window, which would funnel
+    # the whole corpus through one task's sort.  The window that
+    # assigns cluster ids 0..k-1 then runs over only k rows.
     seeds = (
         corpus.select(
             "vec_id",
@@ -89,11 +94,12 @@ def kmeans_assignments(
             ),
             F.md5(F.col("vec_id").cast("string")).alias("h"),
         )
+        .orderBy("h", "vec_id")
+        .limit(k)
         .withColumn(
             "rn",
             F.row_number().over(Window.orderBy("h", "vec_id")),
         )
-        .filter(F.col("rn") <= k)
         .select((F.col("rn") - 1).alias("cluster"), "centroid")
     )
     cent = seeds.localCheckpoint(eager=True)

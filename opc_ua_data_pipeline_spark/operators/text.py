@@ -138,9 +138,19 @@ def vocab_stats(df: DataFrame) -> DataFrame:
     """Corpus vocabulary table: term frequency, document frequency,
     rank, and cumulative corpus share — what a tokenizer-training or
     vocab-pruning pass reads first.  One explode + one shuffle on the
-    term; the cumulative window runs over #distinct-terms rows (the
-    already-aggregated table, not the corpus).  Shares are
-    BIGINT/BIGINT divisions — bit-exact across engines."""
+    term; rank and cumulative share run over #distinct-terms rows (the
+    already-aggregated table, not the corpus).
+
+    The vocabulary itself grows with the corpus (Heaps' law — 10^7-10^8
+    terms at 100 TB), so the global rank is NOT a bare
+    ``Window.orderBy`` (single-task sort over the whole vocab): it is
+    the same distributed two-pass rank as
+    ``relational.value_rank_profile`` — range-partition on the sort
+    key, local row_number + local running sum per partition, then a
+    tiny per-partition (count, sum) offset table merged back.  Rank
+    and cumulative sums are integer arithmetic, so the result is
+    bit-identical to the single-window form; shares are BIGINT/BIGINT
+    divisions — bit-exact across engines."""
     from pyspark.sql import Window
 
     tf = (
@@ -152,19 +162,50 @@ def vocab_stats(df: DataFrame) -> DataFrame:
         )
     )
     total = tf.agg(F.sum("n_occurrences").alias("total_occ"))
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("term"))
-    return (
-        tf.crossJoin(F.broadcast(total))
-        .withColumn("rank", F.row_number().over(w))
-        .withColumn(
-            "cum_share",
-            F.sum("n_occurrences").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            )
-            / F.col("total_occ"),
+
+    ranged = tf.repartitionByRange(
+        32, F.col("n_occurrences").desc(), F.col("term").asc()
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(
+        F.col("n_occurrences").desc(), F.col("term").asc()
+    )
+    local = ranged.select(
+        "term",
+        "n_occurrences",
+        "n_docs",
+        "_pid",
+        F.row_number().over(w_local).alias("_rn"),
+        F.sum("n_occurrences")
+        .over(w_local.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cum_local"),
+    )
+
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(
+            F.count("*").alias("_cnt"),
+            F.sum("n_occurrences").alias("_sum"),
         )
         .select(
-            "term", "n_occurrences", "n_docs", "rank", "cum_share"
+            "_pid",
+            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_rn_off"),
+            F.coalesce(F.sum("_sum").over(w_off), F.lit(0)).alias("_cum_off"),
+        )
+    )
+
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "n_occurrences",
+            "n_docs",
+            (F.col("_rn_off") + F.col("_rn")).cast("int").alias("rank"),
+            (
+                (F.col("_cum_off") + F.col("_cum_local"))
+                / F.col("total_occ")
+            ).alias("cum_share"),
         )
     )
 
@@ -176,11 +217,19 @@ def unigram_logprob_scores(df: DataFrame) -> DataFrame:
     fluent-ish text scores high; real pipelines swap in KenLM, the
     operator shape is identical).
 
-    The vocabulary (term → ln p) is a broadcast dictionary; documents
-    explode once and re-aggregate by doc.  ``ln`` is libm and the
-    per-group sum order is engine-specific, so each token's logprob is
-    rounded to DECIMAL(18,9) first (collapses the ulp noise — see
-    tfidf) and summed exactly (associative), divided once at the end.
+    The vocabulary (term → ln p) joins back to the exploded documents
+    on the term key.  No forced broadcast: the vocabulary grows with
+    the corpus (Heaps' law), so the hint that is right at test SF OOMs
+    executors at 100 TB — AQE picks broadcast while the LM is small
+    and a shuffle join once it isn't (the term key is Zipf-skewed, so
+    AQE's skew-join split handles the head terms; a production
+    variant would cap the vocab at top-K + an OOV floor, which makes
+    the LM fixed-size and broadcastable again, but that changes the
+    score and so isn't the oracle-checked form).  ``ln`` is libm and
+    the per-group sum order is engine-specific, so each token's
+    logprob is rounded to DECIMAL(18,9) first (collapses the ulp
+    noise — see tfidf) and summed exactly (associative), divided once
+    at the end.
     """
     tf = (
         df.select(F.explode(_toks()).alias("term"))
@@ -188,15 +237,13 @@ def unigram_logprob_scores(df: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
     total = tf.agg(F.sum("n_occ").alias("total_occ"))
-    lm = F.broadcast(
-        tf.crossJoin(F.broadcast(total)).select(
-            "term",
-            F.log(
-                F.col("n_occ").cast("double") / F.col("total_occ").cast("double")
-            )
-            .cast("decimal(18,9)")
-            .alias("lp"),
+    lm = tf.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.log(
+            F.col("n_occ").cast("double") / F.col("total_occ").cast("double")
         )
+        .cast("decimal(18,9)")
+        .alias("lp"),
     )
     doc_terms = df.select("doc_id", F.explode(_toks()).alias("term"))
     return (
