@@ -20,6 +20,7 @@ import sys
 import time
 
 from opc_ua_data_pipeline_spark.session import get_spark
+from opc_ua_data_pipeline_spark.tables import TABLE_NAMES, load_table
 
 HEADLINE = [
     "bronze_telemetry",
@@ -92,6 +93,52 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 3)
 
+    # Third pass on a re-chunked copy of the SAME rows.  The driver's
+    # parquet files are each ONE row group, and parquet scans split at
+    # row-group boundaries — so every query above reads its input on a
+    # single core no matter how many executors exist.  That is a
+    # test-data artifact: a production table (or the bronze layout the
+    # ingest path writes) has many row groups/files and scans in
+    # parallel.  The copy rewrites each table into 32 files (values
+    # identical; nano timestamps normalized to TIMESTAMP(MICROS) the
+    # same way load_table does) so these numbers show the actual
+    # parallel data path — the one that scales to 100 TB.
+    import shutil
+    import tempfile
+
+    chunked_dir = tempfile.mkdtemp(prefix="bench_rechunk_")
+    # Range-clustered like a production table (time-series tables by
+    # event time, TPC-H tables by primary key — the layout the bronze
+    # write path produces), NOT round-robin: round-robin would destroy
+    # the natural clustering and charge every window query an
+    # artificial full sort no real deployment pays.
+    cluster_key = {
+        "events": "ts",
+        "orders": "o_orderkey",
+        "lineitem": "l_orderkey",
+        "customer": "c_custkey",
+        "part": "p_partkey",
+        "supplier": "s_suppkey",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }
+    t0 = time.perf_counter()
+    for t in TABLE_NAMES:
+        df = load_table(spark, sf_dir, t)
+        key = cluster_key.get(t)
+        if key is not None:
+            df = df.repartitionByRange(32, key).sortWithinPartitions(key)
+        df.write.mode("overwrite").parquet(f"{chunked_dir}/{t}.parquet")
+    rechunk_sec = round(time.perf_counter() - t0, 3)
+    par: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        fn(spark, chunked_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        fn(spark, chunked_dir).write.format("noop").mode("overwrite").save()
+        par[name] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(chunked_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -102,6 +149,9 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "warm_total": round(sum(warm.values()), 3),
+                "queries_parallel_warm": par,
+                "parallel_warm_total": round(sum(par.values()), 3),
+                "rechunk_sec": rechunk_sec,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
