@@ -76,17 +76,16 @@ def _recompute(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assignments(
-    corpus: DataFrame, k: int = K_CLUSTERS, n_iter: int = KMEANS_ITERS
-) -> DataFrame:
-    """Run ``n_iter`` Lloyd iterations; return the final assignment
-    (vec_id, cluster, dist)."""
-    # Seed selection = "k hash-smallest vectors" — a distributed top-k
-    # (TakeOrderedAndProject heap: per-partition top-k + driver merge
-    # of k rows), NOT a global row_number window, which would funnel
-    # the whole corpus through one task's sort.  The window that
-    # assigns cluster ids 0..k-1 then runs over only k rows.
-    seeds = (
+def seed_centroids(corpus: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
+    """Deterministic seeds: the k hash-smallest vectors.
+
+    Seed selection is a distributed top-k (TakeOrderedAndProject heap:
+    per-partition top-k + driver merge of k rows — plan-locked in
+    tests/test_plans.py), NOT a global row_number window, which would
+    funnel the whole corpus through one task's sort.  The window that
+    assigns cluster ids 0..k-1 then runs over only k rows.
+    """
+    return (
         corpus.select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias(
@@ -102,7 +101,14 @@ def kmeans_assignments(
         )
         .select((F.col("rn") - 1).alias("cluster"), "centroid")
     )
-    cent = seeds.localCheckpoint(eager=True)
+
+
+def kmeans_assignments(
+    corpus: DataFrame, k: int = K_CLUSTERS, n_iter: int = KMEANS_ITERS
+) -> DataFrame:
+    """Run ``n_iter`` Lloyd iterations; return the final assignment
+    (vec_id, cluster, dist)."""
+    cent = seed_centroids(corpus, k).localCheckpoint(eager=True)
     assigned = None
     for _ in range(n_iter):
         assigned = _assign(corpus, cent).localCheckpoint(eager=True)

@@ -111,3 +111,38 @@ def test_single_exchange_window_ops(spark):
     for name in ["rolling_zscore", "per_source_cap", "value_histogram"]:
         plan = formatted_plan(Q[name](spark, SF))
         assert plan.count("Exchange") <= 2, name  # 1 exchange (+AQE read)
+
+
+def test_two_pass_windows_have_no_global_window(spark):
+    """De-skewed formulations (vocab rank, value rank profile) must not
+    regress to a partition-less Window or global Sort over the big
+    side: every Window node's partition spec must be non-empty, and a
+    RepartitionByExpression (the range-partition first pass) must be
+    present."""
+    for name in ["text_vocab_stats", "value_rank_profile"]:
+        plan = formatted_plan(Q[name](spark, SF))
+        assert "rangepartitioning(" in plan, name
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            spec = m.group(1)
+            # a global window's spec starts directly with the ORDER BY
+            # column list; partitioned specs lead with partition cols
+            # before the ordering spec — assert a partition column
+            # reference exists ahead of the first ASC/DESC marker.
+            head = spec.split(" ASC")[0].split(" DESC")[0]
+            assert head.strip(), (name, spec)
+
+
+def test_kmeans_seed_selection_is_topk_heap(spark):
+    """Seed picking must be a distributed top-k (TakeOrderedAndProject)
+    over the corpus, not a global row_number window.  (Tested on the
+    seed sub-plan directly — the full kmeans plan is behind
+    localCheckpoint scans.)"""
+    from opc_ua_data_pipeline_spark.operators.clustering import (
+        seed_centroids,
+    )
+    from opc_ua_data_pipeline_spark.tables import load_table
+
+    plan = formatted_plan(
+        seed_centroids(load_table(spark, SF, "embeddings"))
+    )
+    assert "TakeOrderedAndProject" in plan
