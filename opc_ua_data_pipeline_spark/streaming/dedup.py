@@ -56,3 +56,49 @@ def content_dedup_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def neardup_filter_stream(
+    stream_docs: DataFrame,
+    band_index: DataFrame,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Online near-duplicate detection against a historical corpus.
+
+    The LLM-pipeline shape: documents arrive as a stream; the
+    historical corpus is summarized once into a band-key index
+    (``dedup.minhash_band_keys_rowwise`` over the corpus — #docs rows
+    of n_bands short keys, NOT the documents themselves).  Each
+    arriving doc computes its band keys as a narrow per-row projection
+    (no aggregation, no state) and stream-static equi-joins the index
+    per band; the first-collision condition (earlier bands must
+    differ) makes each (new, historical) candidate pair appear exactly
+    once, so no post-join dedup state is needed — the whole pipeline
+    is stateless on the stream side.
+
+    At 100 TB the index is a bucketed/broadcastable table keyed by
+    band_key; the stream side stays a projection.  Returns
+    (doc_id, dup_doc_id) candidate pairs; exact-verification composes
+    downstream exactly as in the batch LSH->verify pipeline.
+    """
+    from ..operators.dedup import minhash_band_keys_rowwise
+
+    keyed = minhash_band_keys_rowwise(stream_docs)
+    parts = []
+    for b in range(n_bands):
+        idx = band_index.select(
+            F.col("doc_id").alias("dup_doc_id"),
+            *[F.col(f"bk_{j}").alias(f"i_bk_{j}") for j in range(n_bands)],
+        )
+        cond = (F.col(f"bk_{b}") == F.col(f"i_bk_{b}")) & (
+            F.col("doc_id") != F.col("dup_doc_id")
+        )
+        for j in range(b):
+            cond = cond & (F.col(f"bk_{j}") != F.col(f"i_bk_{j}"))
+        parts.append(
+            keyed.join(idx, cond).select("doc_id", "dup_doc_id")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
