@@ -109,6 +109,7 @@ _PRIORITY = [
     "brand_nation_margin",
     "value_rank_profile",
     "progress_clamp",
+    "rollup_sliding",  # new in round 2 (sliding-window rollup)
     # (c) round-1-green anchors re-verified with the spare slots
     "bronze_telemetry",
     "wire_roundtrip",
@@ -116,7 +117,6 @@ _PRIORITY = [
     "rollup_hourly",
     "latest_per_metric",
     "alarm_feed",
-    "pricing_summary",
 ]
 
 

@@ -134,6 +134,72 @@ def combine_partials(partials: DataFrame, granularity: str) -> DataFrame:
     )
 
 
+SLIDING_WINDOW = "5 minutes"
+SLIDING_SLIDE = "1 minute"
+
+
+def machine_stats_sliding(
+    df: DataFrame,
+    window: str = SLIDING_WINDOW,
+    slide: str = SLIDING_SLIDE,
+) -> DataFrame:
+    """Sliding-window stats per metric: every minute, the trailing
+    5-minute window's avg/min/max/count — the overlapping-window
+    generalization of G1/G2 (the reference only has tumbling buckets;
+    a trailing-window panel would need this).
+
+    ``F.window(time, size, slide)`` assigns each row to its
+    size/slide = 5 overlapping windows inside the aggregation — the
+    expansion happens in the partial-aggregate stage, so the shuffle
+    carries per-(window, metric) partials, not 5x the input rows.
+    Epoch-aligned window starts match the DuckDB oracle's
+    ``date_trunc(minute) - k minutes`` expansion exactly.
+    """
+    return (
+        df.filter(F.col("value_num").isNotNull())
+        .groupBy(
+            F.window(F.col("time"), window, slide).alias("w"),
+            F.col("metric"),
+        )
+        .agg(
+            exact_avg("value_num").alias("avg_value"),
+            F.min("value_num").alias("min_value"),
+            F.max("value_num").alias("max_value"),
+            F.count("value_num").alias("sample_count"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "metric",
+            "avg_value",
+            "min_value",
+            "max_value",
+            "sample_count",
+        )
+    )
+
+
+_SLIDING_SQL = f"""
+WITH telemetry AS ({{telemetry}}),
+expanded AS (
+  SELECT date_trunc('minute', "time") - (g.k * INTERVAL 1 MINUTE)
+             AS bucket_start,
+         metric,
+         value_num
+  FROM telemetry
+  CROSS JOIN generate_series(0, 4) AS g(k)
+  WHERE value_num IS NOT NULL
+)
+SELECT bucket_start,
+       metric,
+       {_avg_sql("value_num")} AS avg_value,
+       MIN(value_num) AS min_value,
+       MAX(value_num) AS max_value,
+       COUNT(value_num) AS sample_count
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
 def last_event_time(df: DataFrame, metric: str) -> DataFrame:
     """G5 — ungrouped MAX with COALESCE default
     (machine_dashboard.json:948 ``last_running`` CTE)."""
@@ -164,10 +230,15 @@ def q_rollup_hourly_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return machine_stats_sliding(telemetry(spark, sf_dir))
+
+
 QUERIES = {
     "rollup_minute": q_rollup_minute,
     "rollup_hourly": q_rollup_hourly,
     "rollup_hourly_hierarchical": q_rollup_hourly_hierarchical,
+    "rollup_sliding": q_rollup_sliding,
     "last_running_time": q_last_running,
 }
 
@@ -176,6 +247,7 @@ ORACLES = {
     "rollup_hourly": _machine_stats_sql("hour"),
     # the hierarchical path must reproduce the direct hourly rollup
     "rollup_hourly_hierarchical": _machine_stats_sql("hour"),
+    "rollup_sliding": _SLIDING_SQL.format(telemetry=TELEMETRY_SQL),
     "last_running_time": f"""
 WITH telemetry AS ({TELEMETRY_SQL})
 SELECT COALESCE(MAX("time"), TIMESTAMP '1970-01-01') AS clear_time

@@ -96,3 +96,40 @@ def backfill(bronze: DataFrame, granularity: str) -> DataFrame:
     seed the table before the stream takes over, and to reconcile
     stragglers the watermark dropped."""
     return machine_stats(bronze, granularity)
+
+
+def streaming_machine_stats_sliding(
+    telemetry: DataFrame,
+    window: str = "5 minutes",
+    slide: str = "1 minute",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming twin of ``rollups.machine_stats_sliding``: trailing
+    5-minute stats emitted every minute.  Identical aggregation — the
+    overlapping-window expansion happens in the partial-aggregate
+    stage, so state rows = #open-windows x #metrics (a window stays
+    open ``window + watermark`` of event time; 6 concurrent windows
+    per metric here), never a function of input volume.  Append mode
+    emits each window once, when the watermark passes its end."""
+    return (
+        telemetry.filter(F.col("value_num").isNotNull())
+        .withWatermark("time", watermark)
+        .groupBy(F.window("time", window, slide), F.col("metric"))
+        .agg(
+            (
+                F.sum(F.col("value_num").cast("decimal(28,6)")).cast("double")
+                / F.count("value_num")
+            ).alias("avg_value"),
+            F.min("value_num").alias("min_value"),
+            F.max("value_num").alias("max_value"),
+            F.count("value_num").alias("sample_count"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            "metric",
+            "avg_value",
+            "min_value",
+            "max_value",
+            "sample_count",
+        )
+    )

@@ -170,3 +170,37 @@ def test_bronze_ingest_stream(spark, replay_dir, tmp_path):
     import os
 
     assert any(p.startswith("date=") for p in os.listdir(out))
+
+
+def test_sliding_rollup_stream_matches_batch(spark, replay_dir):
+    from opc_ua_data_pipeline_spark.operators.rollups import (
+        machine_stats_sliding,
+    )
+    from opc_ua_data_pipeline_spark.streaming.rollup import (
+        streaming_machine_stats_sliding,
+    )
+
+    stream = streaming_machine_stats_sliding(
+        telemetry_transform(file_stream(spark, replay_dir))
+    )
+    got = _run_stream(spark, stream, "sliding_stream")
+
+    batch = machine_stats_sliding(
+        telemetry_transform(load_table(spark, SF_DIR, "events"))
+    )
+    cols = [
+        "bucket_start",
+        "metric",
+        "avg_value",
+        "min_value",
+        "max_value",
+        "sample_count",
+    ]
+    got_rows = _rows(got, cols)
+    batch_by_key = {(r[0], r[1]): r for r in _rows(batch, cols)}
+
+    assert len(got_rows) > 0
+    # Every window the stream closed must equal its batch twin exactly
+    # (bit-for-bit: decimal partial sums are order-independent).
+    for r in got_rows:
+        assert batch_by_key[(r[0], r[1])] == r
