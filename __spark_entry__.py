@@ -110,13 +110,14 @@ _PRIORITY = [
     "value_rank_profile",
     "progress_clamp",
     "rollup_sliding",  # new in round 2 (sliding-window rollup)
-    # (c) round-1-green anchors re-verified with the spare slots
+    # (c) new operators added in round 2 (curation extension)
+    "passage_dedup",
+    "semantic_dedup",
+    "pii_scrub",
+    "temperature_mix",
+    # (d) round-1-green anchors re-verified with the spare slots
     "bronze_telemetry",
-    "wire_roundtrip",
     "rollup_minute",
-    "rollup_hourly",
-    "latest_per_metric",
-    "alarm_feed",
 ]
 
 

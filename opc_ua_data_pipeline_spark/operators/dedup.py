@@ -22,7 +22,7 @@ parity needs no int-parsing of hex.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -403,6 +403,62 @@ def verified_near_dup_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+PASSAGE_TOKENS = 16  # fixed-size token chunks stand in for paragraphs
+
+
+def passage_dedup(df: DataFrame, chunk: int = PASSAGE_TOKENS) -> DataFrame:
+    """Passage-level dedup (the CCNet/RefinedWeb line-dedup shape):
+    chunk each document into fixed ``chunk``-token passages, keep only
+    the globally FIRST occurrence of each distinct passage (first =
+    smallest (doc_id, chunk_idx)), and reassemble the surviving
+    passages per document in original order.
+
+    The fixture corpus has no paragraph markers, so chunk boundaries
+    are positional; on real text the tokenizer splits on newlines and
+    the rest of the plan is identical.
+
+    Plan shape at 100 TB: one narrow chunk-explode (rows x ~n/16), one
+    shuffle on the passage string for the first-occurrence window, one
+    shuffle back on doc_id for reassembly.  The passage key space is
+    ~corpus-sized but each group is tiny (dup count), so no skew; the
+    reassembly aggregate is a sort-struct collect bounded by document
+    length.  Returns (doc_id, clean_text, n_passages, n_kept) —
+    clean_text is a scalar string so every engine/harness can hash it.
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    with_toks = df.select("doc_id", toks.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    n_chunks = F.ceil(F.size("__toks") / F.lit(chunk)).cast("int")
+    chunks = with_toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("__toks"), i * chunk + 1, chunk), " "
+                ),
+            )
+        ).alias("chunk_idx", "passage"),
+    )
+    w = Window.partitionBy("passage").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct("chunk_idx", "passage")
+    )  # collect_list drops the NULLs for non-first occurrences
+    return ranked.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.passage,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum((F.col("__rn") == 1).cast("long")).alias("n_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries
 # ---------------------------------------------------------------------------
@@ -451,6 +507,9 @@ QUERIES = {
             docs.filter(F.col("source") != "src0"),
         )
     )(load_table(spark, sf, "documents")),
+    "passage_dedup": lambda spark, sf: passage_dedup(
+        load_table(spark, sf, "documents")
+    ),
 }
 
 _TOKENS_SQL = """
@@ -591,5 +650,33 @@ FROM banded a JOIN banded c
   ON a.doc_id < c.doc_id
  AND (a.sb_0 = c.sb_0 OR a.sb_1 = c.sb_1 OR a.sb_2 = c.sb_2 OR a.sb_3 = c.sb_3)
 WHERE bit_count(xor(a.simhash, c.simhash)) <= {SIMHASH_HAMMING_MAX}
+""",
+    "passage_dedup": f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(
+           list_slice(toks, i * {PASSAGE_TOKENS} + 1,
+                      i * {PASSAGE_TOKENS} + {PASSAGE_TOKENS}), ' ') AS passage
+  FROM tk,
+       UNNEST(generate_series(
+         0, CAST(ceil(len(toks) / {PASSAGE_TOKENS}.0) AS INT) - 1)) AS g(i)
+  WHERE len(toks) > 0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY passage
+                               ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       COALESCE(string_agg(passage, ' ' ORDER BY chunk_idx)
+                  FILTER (WHERE rn = 1), '') AS clean_text,
+       COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM ranked
+GROUP BY doc_id
 """,
 }

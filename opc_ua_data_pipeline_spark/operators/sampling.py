@@ -89,6 +89,60 @@ def per_key_cap(
     )
 
 
+def temperature_mix(
+    df: DataFrame, source_col: str, key: str, salt: str = "temp"
+) -> DataFrame:
+    """Temperature-based source rebalancing: keep-rate per source is
+    ``sqrt(n_min / n_s)`` — the alpha = 1/2 (temperature T = 2) case of
+    the multilingual-training recipe p(s) ∝ n_s^alpha, normalized so
+    the smallest source keeps 100%.  Unlike the static-weight mixers
+    above, the rates come from the DATA (a count aggregate), not a
+    config dict, so the operator is two stages: a tiny per-source
+    count (full map-side combine, #sources rows out) broadcast back
+    onto the stream, then the usual hash gate.
+
+    alpha is pinned to 1/2 on purpose: sqrt is IEEE-correctly-rounded
+    on every engine, so the rate doubles are bit-identical across
+    Spark and DuckDB — an arbitrary ``pow(n, alpha)`` is only
+    faithfully-rounded and could disagree in the last ulp, flipping a
+    hash-gate decision at the boundary.  The gate itself compares
+    ``int(md5[:8], 16) / 2^32`` (exact: both operands < 2^53) against
+    the rate, so membership is content-deterministic under any
+    partitioning, engine, or layout.
+
+    At 100 TB: the counts aggregate shuffles #sources rows, the rate
+    join is a broadcast, the gate is a narrow filter — no skew, no
+    driver round-trip.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("__n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        source_col,
+        (
+            F.sqrt(F.col("__n_min").cast("double"))
+            / F.sqrt(F.col("__n").cast("double"))
+        ).alias("keep_rate"),
+    )
+    hex_frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key).cast("string"), F.lit(":" + salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    cols = [*df.columns, "keep_rate"]
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hex_frac < F.col("keep_rate"))
+        .select(*cols)
+    )
+
+
 EPOCH_WEIGHTS = {"en": 2.5, "de": 1.0, "fr": 1.0, "es": 0.5, "zh": 0.25}
 
 
@@ -176,11 +230,18 @@ def q_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_mix(
+        load_table(spark, sf_dir, "events"), "event_type", key="event_id"
+    )
+
+
 QUERIES = {
     "stratified_sample": q_stratified_sample,
     "dataset_mix": q_dataset_mix,
     "per_source_cap": q_source_cap,
     "epoch_mix": q_epoch_mix,
+    "temperature_mix": q_temperature_mix,
 }
 
 
@@ -224,6 +285,23 @@ _FULL_EPOCHS = _epoch_case("lang", lambda w: int(math.floor(w)))
 _FRAC_THRESH = _epoch_case(
     "lang", lambda w: f"'{_hex_threshold(w - math.floor(w))}'"
 )
+
+ORACLES["temperature_mix"] = """
+WITH counts AS (
+  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+),
+mn AS (SELECT MIN(n) AS n_min FROM counts),
+rates AS (
+  SELECT event_type,
+         sqrt(CAST(n_min AS DOUBLE)) / sqrt(CAST(n AS DOUBLE)) AS keep_rate
+  FROM counts CROSS JOIN mn
+)
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props,
+       r.keep_rate
+FROM events e JOIN rates r ON e.event_type = r.event_type
+WHERE CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':temp'), 1, 8))
+           AS UBIGINT) / 4294967296.0 < r.keep_rate
+"""
 
 ORACLES["epoch_mix"] = f"""
 SELECT doc_id, text, lang, source, n_chars, CAST(epoch AS INTEGER) AS epoch

@@ -191,6 +191,29 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame, threshold: float = NEARDUP_THRESHOLD
+) -> DataFrame:
+    """SemDeDup-style pruning: within each LSH bucket (the stand-in
+    for a k-means cluster), drop every vector that has a near-dup
+    (cosine >= threshold) with a smaller vec_id — the greedy
+    keep-first-representative rule, made deterministic by the id
+    order.  Survivors are the corpus with semantic redundancy removed.
+
+    The plan is the near-dup pair join (bucketed, never all-pairs)
+    feeding a LEFT ANTI join — both shuffle on keys that scale, and
+    the anti join's right side is only the dominated ids, not the
+    corpus.  At 100 TB this is exactly the SemDeDup shape: cluster,
+    intra-cluster pair scan, representative filter.
+    """
+    removed = embedding_neardup_pairs(corpus, threshold).select(
+        F.col("id_b").alias("vec_id")
+    )
+    return corpus.join(removed, "vec_id", "left_anti").select(
+        "vec_id", "label", sign_bucket(F.col("embedding")).alias("bucket")
+    )
+
+
 def label_centroids(corpus: DataFrame) -> DataFrame:
     """Per-label centroid, flattened to (label, pos, mean_val, n_vecs).
 
@@ -378,6 +401,9 @@ QUERIES = {
     "ann_lsh_recall": lambda spark, sf: (
         lambda emb: lsh_recall(emb.filter(F.col("vec_id") < N_QUERIES), emb)
     )(load_table(spark, sf, "embeddings")),
+    "semantic_dedup": lambda spark, sf: semantic_dedup(
+        load_table(spark, sf, "embeddings")
+    ),
 }
 
 # DuckDB-side cosine with the SAME left-fold order as Spark's aggregate().
@@ -419,19 +445,28 @@ SELECT q_id, c_id, score, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-ORACLES = {
-    "ann_bruteforce_topk": _topk_sql("TRUE"),
-    "ann_lsh_topk": _topk_sql(
-        _BUCKET_SQL.format(e="q.embedding") + " = " + _BUCKET_SQL.format(e="c.embedding")
-    ),
-    "ann_ivf_topk": _topk_sql("q.label = c.label"),
-    "embedding_neardup_pairs": f"""
+_NEARDUP_PAIRS_SQL = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_COS_SQL.format(a="a.embedding", b="b.embedding")} AS score
 FROM embeddings a JOIN embeddings b
   ON a.vec_id < b.vec_id
  AND {_BUCKET_SQL.format(e="a.embedding")} = {_BUCKET_SQL.format(e="b.embedding")}
 WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= {NEARDUP_THRESHOLD}
+"""
+
+ORACLES = {
+    "ann_bruteforce_topk": _topk_sql("TRUE"),
+    "ann_lsh_topk": _topk_sql(
+        _BUCKET_SQL.format(e="q.embedding") + " = " + _BUCKET_SQL.format(e="c.embedding")
+    ),
+    "ann_ivf_topk": _topk_sql("q.label = c.label"),
+    "embedding_neardup_pairs": _NEARDUP_PAIRS_SQL,
+    "semantic_dedup": f"""
+WITH pairs AS ({_NEARDUP_PAIRS_SQL})
+SELECT e.vec_id, e.label,
+       {_BUCKET_SQL.format(e="e.embedding")} AS bucket
+FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = e.vec_id)
 """,
     "label_centroids": """
 SELECT label, pos,

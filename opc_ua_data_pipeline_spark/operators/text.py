@@ -64,6 +64,41 @@ def token_stats(df: DataFrame) -> DataFrame:
     )
 
 
+#: (name, pattern, replacement) — patterns restricted to the syntax
+#: Java regex and RE2 (DuckDB) interpret identically: explicit
+#: classes, bounded repeats, \b word boundaries; no backrefs or
+#: lookaround (RE2 has neither).
+PII_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing: mask emails, phone numbers, and IPv4 addresses
+    with typed placeholder tokens and count the redactions per
+    category (counted on the ORIGINAL text, so the counts are
+    independent of rule order).  A narrow, shuffle-free projection —
+    at 100 TB this runs inside the scan stage ahead of dedup, which
+    is the point: scrub before any text leaves the ingest pass.
+
+    The fixture corpus contains no PII (counts are all zero there);
+    tests/test_curation_ops.py exercises the rules on injected
+    fixtures with real-shaped PII strings.
+    """
+    clean = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), 0)).alias(
+                f"n_{name}"
+            )
+        )
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select("doc_id", clean.alias("clean_text"), *counts)
+
+
 def quality_scores(df: DataFrame) -> DataFrame:
     """Quality scoring: length, stopword ratio, type-token ratio,
     short-doc flag — standard heuristic filters (C4/Gopher style)."""
@@ -309,7 +344,27 @@ QUERIES = {
     "text_unigram_logprob": lambda spark, sf: unigram_logprob_scores(
         load_table(spark, sf, "documents")
     ),
+    "pii_scrub": lambda spark, sf: pii_scrub(
+        load_table(spark, sf, "documents")
+    ),
 }
+
+
+def _pii_scrub_sql() -> str:
+    clean = "text"
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(
+            f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        )
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    cols = ",\n       ".join(counts)
+    return f"""
+SELECT doc_id,
+       {clean} AS clean_text,
+       {cols}
+FROM documents
+"""
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
@@ -411,3 +466,5 @@ SELECT term, n_occurrences, n_docs,
 FROM tf CROSS JOIN total
 """,
 }
+
+ORACLES["pii_scrub"] = _pii_scrub_sql()
