@@ -51,6 +51,11 @@ HEADLINE = [
     "conversion_funnel",     # event analytics
     "cohort_retention",
     "shipping_priority",     # TPC-H Q3 shape
+    # curation ops added in round 2:
+    "passage_dedup",         # chunk-level first-occurrence dedup
+    "semantic_dedup",        # SemDeDup: bucketed cosine prune
+    "pii_scrub",             # regex masking, scan-stage narrow pass
+    "temperature_mix",       # data-derived keep rates + hash gate
 ]
 
 
