@@ -136,7 +136,18 @@ _DIST = """
 """
 
 
-def _kmeans_oracle(k: int = K_CLUSTERS, n_iter: int = KMEANS_ITERS) -> str:
+def kmeans_cte_body(
+    k: int = K_CLUSTERS, n_iter: int = KMEANS_ITERS
+) -> tuple[str, str]:
+    """The unrolled-Lloyd CTE chain as a reusable fragment: returns
+    (cte_body, final_assign_name) so composing oracles (e.g. the
+    IVF-over-trained-centroids ANN query in operators/similarity.py)
+    can prepend it to their own WITH clause."""
+    body, final = _kmeans_ctes(k, n_iter)
+    return body, final
+
+
+def _kmeans_ctes(k: int, n_iter: int) -> tuple[str, str]:
     ctes = [
         f"""seeds AS (
   SELECT (ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id))
@@ -174,11 +185,12 @@ def _kmeans_oracle(k: int = K_CLUSTERS, n_iter: int = KMEANS_ITERS) -> str:
 )"""
             )
             prev_cent = f"cent{it}"
-    body = ",\n".join(ctes)
-    return (
-        f"WITH {body}\n"
-        f"SELECT vec_id, cluster, dist FROM assign{n_iter - 1}"
-    )
+    return ",\n".join(ctes), f"assign{n_iter - 1}"
+
+
+def _kmeans_oracle(k: int = K_CLUSTERS, n_iter: int = KMEANS_ITERS) -> str:
+    body, final = _kmeans_ctes(k, n_iter)
+    return f"WITH {body}\nSELECT vec_id, cluster, dist FROM {final}"
 
 
 ORACLES = {"kmeans_assignments": _kmeans_oracle()}
