@@ -145,22 +145,50 @@ def main() -> None:
     shutil.rmtree(chunked_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
+        "queries_parallel_warm": par,
+        "parallel_warm_total": round(sum(par.values()), 3),
+        "rechunk_sec": rechunk_sec,
+        "sf": sf_val,
+    }
+    # Full per-pass numbers go to a FILE; stdout gets ONE compact
+    # line.  The driver keeps only the last ~2000 chars of stdout and
+    # parses the JSON line it finds there — round 2's line grew past
+    # that window (warm + parallel dicts) and the driver recorded
+    # ``parsed: null``, losing the round's benchmark entirely.
+    with open("BENCH_DETAIL_local.json", "w") as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "warm_total": detail["warm_total"],
+            "parallel_warm_total": detail["parallel_warm_total"],
+            "sf": sf_val,
+        }
+    )
+    if len(line) > 1800:  # keep headroom inside the 2000-char window
+        line = json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "warm_total": round(sum(warm.values()), 3),
-                "queries_parallel_warm": par,
-                "parallel_warm_total": round(sum(par.values()), 3),
-                "rechunk_sec": rechunk_sec,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": {},
+                "warm_total": detail["warm_total"],
+                "parallel_warm_total": detail["parallel_warm_total"],
+                "sf": sf_val,
             }
         )
-    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -8,6 +8,16 @@ pass and persisted, so each round's local verification state is
 inspectable after the fact (the driver's own pass caps at 50 queries
 per round; this file covers the rest).
 
+The value compare is deliberately DTYPE-SENSITIVE, mirroring the
+driver's pandas-based value hash: the driver canonicalizes through
+pandas frames, where Spark DECIMAL columns arrive as ``Decimal``
+objects but DuckDB DECIMALs arrive as float64, and integer-vs-float
+dtype splits (DuckDB HUGEINT→float64) change the hashed repr even
+when values are numerically equal.  Both classes produced
+false-negative driver rows in rounds 1-2 while a ``str()``-based
+compare stayed green, so ``_norm`` keeps Decimal / int / float
+distinguishable on purpose.
+
 Usage::
 
     python local_correctness.py [sf_dir] [out.json]
@@ -18,6 +28,7 @@ Defaults: sf_dir=/root/testdata/sf0.01, out=CORRECTNESS_LOCAL.json.
 from __future__ import annotations
 
 import datetime
+import decimal
 import json
 import math
 import sys
@@ -30,13 +41,35 @@ from opc_ua_data_pipeline_spark.tables import TABLE_NAMES
 
 
 def _norm(v):
-    if v is None:
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else repr(v)
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, list):
+    if isinstance(v, (bool, np.bool_)):
+        return repr(bool(v))
+    if isinstance(v, decimal.Decimal):
+        # Keep Decimal distinct from float: the driver hashes the
+        # pandas object repr, so Decimal('1.5') != 1.5 over there too.
+        return f"Decimal({v})"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, (int, np.integer)):
+        return f"int:{int(v)}"
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        ts = (
+            pd.Timestamp(v).tz_localize(None)
+            if getattr(v, "tzinfo", None)
+            else pd.Timestamp(v)
+        )
+        # DATE columns arrive as datetime.date from Spark but
+        # datetime64 (midnight) from DuckDB's .df(); the driver's hash
+        # tolerates that pair (cohort/funnel/set-op queries were green
+        # in round 1), so canonicalize midnight to the date string.
+        iso = ts.isoformat()
+        return iso[:-9] if iso.endswith("T00:00:00") else iso
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)
 
@@ -64,22 +97,41 @@ def main() -> int:
             "err": None,
         }
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = sdf.collect()
-            entry["spark_rows"] = len(srows)
+            # Go through the SAME pandas bridges the driver uses
+            # (toPandas / duckdb .df()): they are where dtype skew is
+            # introduced (DuckDB HUGEINT/DECIMAL -> float64, Spark
+            # DECIMAL -> Decimal objects), so collect()/fetchall()
+            # would hide exactly the mismatches we need to see.
+            spdf = fn(spark, sf_dir).toPandas()
+            entry["spark_rows"] = len(spdf)
             if name in oracles:
-                rel = con.execute(oracles[name])
-                dcols = [d[0] for d in rel.description]
-                drows = rel.fetchall()
-                entry["oracle_rows"] = len(drows)
-                entry["rows_match"] = len(srows) == len(drows)
-                entry["schema_match"] = sorted(scols) == sorted(dcols)
-                oi = sorted(range(len(scols)), key=lambda i: scols[i])
-                od = sorted(range(len(dcols)), key=lambda i: dcols[i])
-                a = sorted("|".join(_norm(r[i]) for i in oi) for r in srows)
-                b = sorted("|".join(_norm(r[i]) for i in od) for r in drows)
+                dpdf = con.execute(oracles[name]).df()
+                entry["oracle_rows"] = len(dpdf)
+                entry["rows_match"] = len(spdf) == len(dpdf)
+                entry["schema_match"] = sorted(spdf.columns) == sorted(
+                    dpdf.columns
+                )
+                cols = sorted(spdf.columns)
+                a = sorted(
+                    "|".join(_norm(v) for v in row)
+                    for row in spdf[cols].itertuples(index=False, name=None)
+                )
+                b = sorted(
+                    "|".join(_norm(v) for v in row)
+                    for row in dpdf[sorted(dpdf.columns)].itertuples(
+                        index=False, name=None
+                    )
+                )
                 entry["values_match"] = a == b
+                if not entry["values_match"]:
+                    entry["first_diff"] = next(
+                        (
+                            {"spark": x, "oracle": y}
+                            for x, y in zip(a, b)
+                            if x != y
+                        ),
+                        None,
+                    )
             else:
                 entry["err"] = "no_oracle"
         except Exception as exc:  # keep going; record the failure

@@ -1,0 +1,372 @@
+"""Round-3 curation operators: classifier scoring, budgeted source
+trim, vocabulary-coverage filtering, corpus-level line dedup.
+
+These are the remaining standard steps of a training-data curation
+pipeline (alongside dedup.py / text.py / sampling.py / training.py):
+
+* ``quality_classifier`` — a fixed-weight logistic model over the
+  interpretable quality features (the deployed form of a fasttext-
+  style quality classifier: at inference time it IS a dot product +
+  sigmoid, which is exactly expressible as a narrow projection);
+* ``source_budget_trim`` — keep the best documents per source until
+  a per-source token budget is exhausted (the "data mixing under a
+  token budget" step of corpus assembly);
+* ``vocab_coverage`` — fraction of a document's tokens covered by
+  the top-K corpus vocabulary (OOV-rate filter);
+* ``line_dedup`` — CCNet-style corpus-level line deduplication:
+  drop every line whose exact content repeats across the corpus at
+  least ``threshold`` times, and reassemble documents.
+
+Scale notes (100 TB):
+* the classifier and coverage scores are shuffle-free narrow
+  projections (coverage joins against a BROADCAST top-K vocab);
+* ``source_budget_trim`` is one window per source — parallel across
+  sources; the per-source sort is the operator's semantic (documented
+  cardinality assumption: #sources >> #executors is not required,
+  but a single source's rows must fit a task's sort spill budget,
+  which Spark satisfies by spilling to disk);
+* ``line_dedup`` shuffles (line_hash) once for the counts and once
+  to join them back — both hash-partitioned equi-shuffles; the
+  reassembly groupBy(doc_id) is the third. No stage is quadratic
+  and no driver-side state exists.
+
+The driver corpus has single-line documents and no duplicate texts,
+so ``line_dedup``'s contract row mostly exercises the identity path
+end-to-end (split -> count -> join -> reassemble); the real
+multi-line/dup semantics are pinned by tests/test_curation_r3.py on
+synthetic fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .text import _TOKS, _stop_hits, _toks, QUALITY_STOPWORDS
+
+# ---------------------------------------------------------------------------
+# Quality classifier (fixed-weight logistic regression)
+# ---------------------------------------------------------------------------
+
+#: Fixed (deployed) classifier weights.  Features are the
+#: interpretable quality signals; weights are constants of the
+#: operator contract, as they would be after training offline.
+CLF_BIAS = -3.0
+CLF_W_LOG_TOKENS = 0.6
+CLF_W_STOPWORD = 2.5
+CLF_W_TTR = 1.5
+CLF_W_MEAN_LEN = 0.1
+CLF_THRESHOLD = 0.5
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """Score documents with a fixed-weight logistic model.
+
+    score = sigmoid(b + w·[ln(1+n_tokens), stopword_ratio,
+    type_token_ratio, mean_token_len]).  All ratio features are exact
+    integer-over-integer double divisions (bit-identical across
+    engines); ``ln``/``exp`` are libm, so the published score is
+    rounded to DECIMAL(18,9) and re-cast to DOUBLE — the same ulp-
+    collapsing contract as tfidf_top_terms — and the keep label is
+    computed from the ROUNDED score so both engines threshold the
+    same number.
+    """
+    toks = _toks()
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # Written in the exact textual order of the oracle SQL so the
+    # double-arithmetic association matches term for term.
+    z = (
+        F.lit(CLF_BIAS)
+        + F.lit(CLF_W_LOG_TOKENS) * F.log(F.lit(1.0) + n.cast("double"))
+        + F.lit(CLF_W_STOPWORD) * (n_stop.cast("double") / n)
+        + F.lit(CLF_W_TTR) * (n_distinct.cast("double") / n)
+        + F.lit(CLF_W_MEAN_LEN) * (sum_len.cast("double") / n)
+    )
+    score = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).cast(
+        "decimal(18,9)"
+    ).cast("double")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        score.alias("quality_score"),
+        (score >= CLF_THRESHOLD).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-budget trim
+# ---------------------------------------------------------------------------
+
+SOURCE_TOKEN_BUDGET = 3000
+
+
+def source_budget_trim(
+    docs: DataFrame, budget: int = SOURCE_TOKEN_BUDGET
+) -> DataFrame:
+    """Keep the highest-quality documents of each source until the
+    source's token budget is exhausted (greedy by classifier score,
+    doc_id tie-break; a document is kept iff its RUNNING token total
+    stays within budget).
+
+    One window per source — embarrassingly parallel across sources;
+    the running sum is exact integer arithmetic so every engine
+    agrees on the cut point.
+    """
+    scored = quality_classifier(docs)
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        scored.withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            "doc_id", "source", "n_tokens", "quality_score", "cum_tokens"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage (OOV-rate filter)
+# ---------------------------------------------------------------------------
+
+TOP_VOCAB_K = 50
+MIN_COVERAGE = 0.5
+
+
+def vocab_coverage(docs: DataFrame, k: int = TOP_VOCAB_K) -> DataFrame:
+    """Per-document coverage by the top-``k`` corpus vocabulary.
+
+    The vocabulary (rank by total occurrences desc, term tie-break —
+    the same ranking as text.vocab_stats) is a bounded top-k, so it
+    broadcasts; coverage is then a shuffle-free per-row array scan —
+    no explode+join per token, the hot path never leaves the scan
+    stage.  coverage = covered_tokens / n_tokens is an exact int/int
+    double division.
+    """
+    tf = (
+        docs.select(F.explode(_toks()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    w = Window.orderBy(F.col("n_occ").desc(), F.col("term"))
+    # rank window is over the term-count table (vocab-sized, bounded
+    # by corpus vocabulary, not corpus size); the top-k result is
+    # collected into a broadcast literal-free join below.
+    top = tf.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= k
+    ).select("term")
+    toks = _toks()
+    per_doc = docs.join(
+        F.broadcast(top.agg(F.collect_set("term").alias("vocab"))),
+        how="cross",
+    )
+    covered = F.size(
+        F.filter(F.col("_toks"), lambda t: F.array_contains(F.col("vocab"), t))
+    )
+    n = F.size(F.col("_toks"))
+    return (
+        per_doc.withColumn("_toks", toks)
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            covered.alias("n_covered"),
+            (covered.cast("double") / n).alias("coverage"),
+            ((covered.cast("double") / n) >= MIN_COVERAGE).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+LINE_DUP_THRESHOLD = 2
+
+
+def line_dedup(
+    docs: DataFrame, threshold: int = LINE_DUP_THRESHOLD
+) -> DataFrame:
+    """Drop every (trimmed, non-empty) line whose exact content occurs
+    at least ``threshold`` times across the corpus; reassemble each
+    document from its kept lines in original order.
+
+    Shape: posexplode lines -> groupBy(md5(line)) counts -> equi-join
+    back on the digest (hash-partitioned; the digest keeps the
+    shuffle key 32 bytes regardless of line length) -> groupBy(doc_id)
+    ordered reassembly.  Three shuffles, none quadratic, nothing on
+    the driver.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.transform(F.split("text", "\n"), lambda l: F.trim(l)),
+                lambda l: l != "",
+            )
+        ).alias("pos", "line"),
+    ).withColumn("lh", F.md5("line"))
+    counts = lines.groupBy("lh").agg(F.count(F.lit(1)).alias("n_occ"))
+    kept = (
+        lines.join(counts, "lh")
+        .withColumn("is_dup", F.col("n_occ") >= threshold)
+    )
+    assembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(~F.col("is_dup"), 1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_dup"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    # Left join keeps documents whose every line was empty/blank.
+    return (
+        docs.select("doc_id")
+        .join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
+def q_source_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_budget_trim(load_table(spark, sf_dir, "documents"))
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return line_dedup(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "quality_classifier": q_quality_classifier,
+    "source_budget_trim": q_source_budget_trim,
+    "vocab_coverage": q_vocab_coverage,
+    "line_dedup": q_line_dedup,
+}
+
+# z written in the same textual order as the Column expression above
+# so both engines associate the double additions identically.
+_Z_SQL = (
+    f"{CLF_BIAS} "
+    f"+ {CLF_W_LOG_TOKENS} * ln(1.0 + CAST(len({_TOKS}) AS DOUBLE)) "
+    f"+ {CLF_W_STOPWORD} * (CAST({_stop_hits(QUALITY_STOPWORDS)} AS DOUBLE) / len({_TOKS})) "
+    f"+ {CLF_W_TTR} * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})) "
+    f"+ {CLF_W_MEAN_LEN} * (CAST(list_reduce(list_transform({_TOKS}, "
+    f"t -> CAST(length(t) AS BIGINT)), (acc, x) -> acc + x) AS DOUBLE) / len({_TOKS}))"
+)
+
+_SCORE_SQL = f"CAST(CAST(1.0 / (1.0 + exp(-({_Z_SQL}))) AS DECIMAL(18,9)) AS DOUBLE)"
+
+_CLF_SQL = f"""
+SELECT doc_id, source,
+       len({_TOKS}) AS n_tokens,
+       {_SCORE_SQL} AS quality_score,
+       {_SCORE_SQL} >= {CLF_THRESHOLD} AS keep
+FROM documents
+"""
+
+ORACLES = {
+    "quality_classifier": _CLF_SQL,
+    "source_budget_trim": f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         len({_TOKS}) AS n_tokens,
+         {_SCORE_SQL} AS quality_score
+  FROM documents
+)
+SELECT doc_id, source, n_tokens, quality_score, cum_tokens
+FROM (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality_score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+)
+WHERE cum_tokens <= {SOURCE_TOKEN_BUDGET}
+""",
+    "vocab_coverage": f"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS n_occ
+  FROM (SELECT UNNEST({_TOKS}) AS term FROM documents)
+  GROUP BY term
+),
+vocab AS (
+  SELECT list(term) AS v
+  FROM (SELECT term FROM (
+          SELECT term, ROW_NUMBER() OVER (ORDER BY n_occ DESC, term) AS r
+          FROM tf) WHERE r <= {TOP_VOCAB_K})
+)
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       len(list_filter({_TOKS}, t -> list_contains(v, t))) AS n_covered,
+       CAST(len(list_filter({_TOKS}, t -> list_contains(v, t))) AS DOUBLE)
+         / len({_TOKS}) AS coverage,
+       CAST(len(list_filter({_TOKS}, t -> list_contains(v, t))) AS DOUBLE)
+         / len({_TOKS}) >= {MIN_COVERAGE} AS keep
+FROM documents CROSS JOIN vocab
+""",
+    "line_dedup": f"""
+WITH lines AS (
+  SELECT doc_id,
+         UNNEST(ls) AS line,
+         UNNEST(range(1, len(ls) + 1)) AS pos
+  FROM (SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          l -> trim(l)),
+                           l -> l <> '') AS ls
+        FROM documents)
+),
+counts AS (SELECT line, COUNT(*) AS n_occ FROM lines GROUP BY line),
+assembled AS (
+  SELECT doc_id,
+         COUNT(*) AS n_lines,
+         COUNT(*) FILTER (WHERE n_occ < {LINE_DUP_THRESHOLD}) AS n_kept,
+         COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE n_occ < {LINE_DUP_THRESHOLD}), '')
+           AS clean_text
+  FROM lines JOIN counts USING (line)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_lines, 0) AS n_lines,
+       COALESCE(n_kept, 0) AS n_kept,
+       COALESCE(clean_text, '') AS clean_text
+FROM documents d LEFT JOIN assembled a ON d.doc_id = a.doc_id
+""",
+}

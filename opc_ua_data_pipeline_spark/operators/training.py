@@ -249,6 +249,14 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     (ulp noise collapses; scores that are mathematically equal, e.g.
     2·ln(10) vs ln(100), become decimal-equal) and the top-k ranking
     orders by that rounded score with the term string as tie-break.
+
+    The ROUNDED score is re-cast to DOUBLE for the output column:
+    a DECIMAL output canonicalizes as ``decimal.Decimal`` objects in
+    Spark's toPandas but float64 in other engines' pandas bridges, so
+    identical values hash differently (observed: driver hash mismatch
+    in round 2 with bit-equal values).  decimal(18,9)→double is the
+    correctly-rounded nearest double on both engines, so equality of
+    the decimals implies equality of the doubles.
     """
     tf = (
         docs.select("doc_id", F.explode(_toks()).alias("term"))
@@ -268,7 +276,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
             (
                 F.col("tf").cast("double")
                 * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
-            ).cast("decimal(18,9)").alias("tfidf"),
+            ).cast("decimal(18,9)").cast("double").alias("tfidf"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -550,8 +558,12 @@ dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT doc_id, tfc.term, tf, df,
-         CAST(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
-              AS DECIMAL(18,9)) AS tfidf
+         -- decimal(18,9) round collapses libm ulp noise; the final
+         -- DOUBLE cast matches Spark's output dtype (a DECIMAL column
+         -- canonicalizes as Decimal objects vs float64 across engines
+         -- and hash-mismatches on bit-equal values).
+         CAST(CAST(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+              AS DECIMAL(18,9)) AS DOUBLE) AS tfidf
   FROM tfc JOIN dfc ON tfc.term = dfc.term CROSS JOIN n
 )
 SELECT doc_id, term, tf, df, tfidf,

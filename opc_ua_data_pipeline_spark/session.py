@@ -62,6 +62,10 @@ def get_spark(app_name: str = "opc_ua_data_pipeline_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # Keep stage-progress \r spam out of stdout: the bench driver
+        # parses a JSON line from the tail of stdout, and progress
+        # redraws can push it out of the parse window.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
     for k, v in RUNTIME_CONFS.items():

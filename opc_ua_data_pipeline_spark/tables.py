@@ -31,15 +31,19 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-#: Columns stored as TIMESTAMP(NANOS) in the driver parquet — read as
-#: int64 (see session.RUNTIME_CONFS) and truncated to microseconds,
-#: matching DuckDB's nanos->micros behavior bit-for-bit.
-#: Scale caveat: predicates on the converted column cannot push down to
-#: the raw int64 (Catalyst can't see through timestamp_micros(div)); on
-#: a production table with proper TIMESTAMP(MICROS) parquet — or the
-#: date-partitioned bronze layout ingest.write_bronze produces — range
-#: scans prune at the scan as usual.  This wrapper exists only for the
-#: driver-generated test data.
+#: Timestamp columns in the driver parquet.  Their physical encoding
+#: has varied across driver rounds — TIMESTAMP(NANOS) in rounds 1-2
+#: (read as int64 via the nanosAsLong conf and truncated to micros),
+#: TIMESTAMP(MICROS, isAdjustedToUTC=false) from round 3 (read as
+#: TIMESTAMP_NTZ) — so the loader normalizes BOTH spellings to plain
+#: TIMESTAMP (session tz = UTC, so the NTZ->LTZ cast preserves the
+#: wall-clock value, exactly matching DuckDB's naive read).
+#: Scale caveat (nanos spelling only): predicates on the converted
+#: column cannot push down to the raw int64; on a production table
+#: with proper TIMESTAMP(MICROS) parquet — or the date-partitioned
+#: bronze layout ingest.write_bronze produces — range scans prune at
+#: the scan as usual.  This wrapper exists only for the driver test
+#: data.
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -55,6 +59,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _NANO_TS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # Session tz is UTC (RUNTIME_CONFS), so this cast keeps the
+            # wall clock and restores the TIMESTAMP type every operator
+            # (unix_micros, window(), watermarks) was written against.
+            # Unlike the nanos wrapper this is pushdown-friendly: the
+            # cast is on top of a plain parquet timestamp column.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

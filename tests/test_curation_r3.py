@@ -1,0 +1,171 @@
+"""Semantic tests for the round-3 curation operators
+(operators/curation.py) on synthetic fixtures — the driver corpus is
+single-line with no duplicate texts, so line_dedup's interesting
+paths (multi-line docs, corpus-wide boilerplate, all-dup documents)
+are pinned here.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from opc_ua_data_pipeline_spark.operators.curation import (
+    CLF_THRESHOLD,
+    LINE_DUP_THRESHOLD,
+    MIN_COVERAGE,
+    line_dedup,
+    quality_classifier,
+    source_budget_trim,
+    vocab_coverage,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# line_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha one\n{boiler}\nalpha two", "en", "s", 1),
+        (2, f"{boiler}\nbeta one", "en", "s", 1),
+        (3, "gamma only", "en", "s", 1),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(_docs(spark, rows)).collect()
+    }
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == "alpha one\nalpha two"
+    assert out[2]["clean_text"] == "beta one"
+    assert out[3]["clean_text"] == "gamma only" and out[3]["n_kept"] == 1
+
+
+def test_line_dedup_all_dup_doc_becomes_empty(spark):
+    rows = [
+        (1, "same line", "en", "s", 1),
+        (2, "same line", "en", "s", 1),
+    ]
+    out = {r["doc_id"]: r for r in line_dedup(_docs(spark, rows)).collect()}
+    for d in (1, 2):
+        assert out[d]["n_lines"] == 1 and out[d]["n_kept"] == 0
+        assert out[d]["clean_text"] == ""
+
+
+def test_line_dedup_trims_and_skips_blank_lines(spark):
+    rows = [(1, "  a  \n\n   \nb", "en", "s", 1)]
+    row = line_dedup(_docs(spark, rows)).collect()[0]
+    assert row["n_lines"] == 2  # blanks dropped before counting
+    assert row["clean_text"] == "a\nb"
+
+
+def test_line_dedup_threshold_is_corpus_wide(spark):
+    # two occurrences across DIFFERENT docs trip the default
+    # threshold exactly like two in one doc
+    assert LINE_DUP_THRESHOLD == 2
+    rows = [
+        (1, "x\ny", "en", "s", 1),
+        (2, "x\nz", "en", "s", 1),
+    ]
+    out = {r["doc_id"]: r for r in line_dedup(_docs(spark, rows)).collect()}
+    assert out[1]["clean_text"] == "y"
+    assert out[2]["clean_text"] == "z"
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_matches_reference_formula(spark):
+    text = "the quick brown fox jumps over the lazy dog"
+    rows = [(7, text, "en", "s", len(text))]
+    r = quality_classifier(_docs(spark, rows)).collect()[0]
+    toks = text.split()
+    n = len(toks)
+    stop = sum(1 for t in toks if t in {"the", "a", "of", "and", "to"})
+    ttr = len(set(toks)) / n
+    mean_len = sum(len(t) for t in toks) / n
+    z = -3.0 + 0.6 * math.log(1.0 + n) + 2.5 * (stop / n) + 1.5 * ttr + 0.1 * mean_len
+    score = 1.0 / (1.0 + math.exp(-z))
+    assert r["n_tokens"] == n
+    assert abs(r["quality_score"] - score) < 1e-9
+    assert r["keep"] == (round(score, 9) >= CLF_THRESHOLD)
+
+
+def test_quality_classifier_monotone_in_stopword_ratio(spark):
+    # more stopwords (same token count) -> higher score
+    rows = [
+        (1, "the of and to a the of and", "en", "s", 1),
+        (2, "zebra quark lattice fjord mingle oxbow pylon dune", "en", "s", 1),
+    ]
+    out = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_classifier(_docs(spark, rows)).collect()
+    }
+    assert out[1] > out[2]
+
+
+# ---------------------------------------------------------------------------
+# source_budget_trim
+# ---------------------------------------------------------------------------
+
+
+def test_source_budget_trim_greedy_per_source(spark):
+    # source A: three 1500-token docs -> only two fit the 3000 budget,
+    # and the two kept are the highest-scoring ones
+    mk = lambda i, stop_heavy: (
+        i,
+        " ".join((["the", "of", "and"] if stop_heavy else ["zeb", "qrk", "ltc"]) * 500),
+        "en",
+        "A",
+        1,
+    )
+    rows = [mk(1, True), mk(2, True), mk(3, False), (4, "solo doc here", "en", "B", 1)]
+    out = source_budget_trim(_docs(spark, rows))
+    kept = {r["doc_id"]: r for r in out.collect()}
+    assert set(kept) == {1, 2, 4}  # doc 3 (lowest score) trimmed
+    assert kept[2]["cum_tokens"] == 3000
+    assert kept[4]["cum_tokens"] == 3
+
+
+def test_source_budget_trim_cum_never_exceeds_budget(spark, tmp_path):
+    from opc_ua_data_pipeline_spark.operators.curation import (
+        SOURCE_TOKEN_BUDGET,
+        q_source_budget_trim,
+    )
+
+    out = q_source_budget_trim(spark, "/root/testdata/sf0.001")
+    mx = out.groupBy("source").agg({"cum_tokens": "max"}).collect()
+    assert all(r["max(cum_tokens)"] <= SOURCE_TOKEN_BUDGET for r in mx)
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_coverage_bounds_and_keep_flag(spark):
+    rows = [(i, "common word salad", "en", "s", 1) for i in range(5)] + [
+        (99, "xyzzy plugh abracadabra", "en", "s", 1)
+    ]
+    out = {r["doc_id"]: r for r in vocab_coverage(_docs(spark, rows)).collect()}
+    for r in out.values():
+        assert 0.0 <= r["coverage"] <= 1.0
+        assert r["keep"] == (r["coverage"] >= MIN_COVERAGE)
+    # the repeated trigram IS the top vocab -> full coverage
+    assert out[0]["coverage"] == 1.0 and out[0]["keep"]
+    # with only 6 distinct corpus terms, all fit in top-50 -> doc 99
+    # is fully covered too (k bounds the vocab, not the corpus)
+    assert out[99]["n_covered"] == 3
