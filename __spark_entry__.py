@@ -76,6 +76,7 @@ _PRIORITY = [
     "source_budget_trim",
     "vocab_coverage",
     "line_dedup",
+    "bloom_contamination",
     # (c) round-2-unwindowed queries, reference surface first
     "enrichment_join",
     "wire_roundtrip",

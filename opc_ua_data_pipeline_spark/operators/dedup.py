@@ -109,13 +109,16 @@ def minhash_signatures_wide(df: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
     strings — no row explosion.
     """
     assert n_seeds % 4 == 0
-    aggs = []
-    for k in range(n_seeds // 4):
-        h = F.md5(F.concat(F.lit(f"{k}:"), F.col("tok")))
-        for q in range(4):
-            aggs.append(
-                F.min(F.substring(h, q * 8 + 1, 8)).alias(f"sig_{4 * k + q}")
-            )
+    # SQL-string aggs: one parser call instead of ~100 py4j Column
+    # round trips (driver-side plan-build cost; see simhash note).
+    aggs = [
+        F.expr(
+            f"MIN(substring(md5(concat('{k}:', tok)), {q * 8 + 1}, 8)) "
+            f"AS sig_{4 * k + q}"
+        )
+        for k in range(n_seeds // 4)
+        for q in range(4)
+    ]
     return tokens(df).groupBy("doc_id").agg(*aggs)
 
 
@@ -226,26 +229,24 @@ def minhash_candidate_pairs(df: DataFrame) -> DataFrame:
     """
     n_bands = N_SEEDS // BAND_SIZE
     wide = minhash_signatures_wide(df)
-    bk = wide.select(
+    bk = wide.selectExpr(
         "doc_id",
         *[
-            F.concat_ws(
-                ",", *[F.col(f"sig_{b * BAND_SIZE + i}") for i in range(BAND_SIZE)]
-            ).alias(f"bk_{b}")
+            "concat_ws(',', "
+            + ", ".join(f"sig_{b * BAND_SIZE + i}" for i in range(BAND_SIZE))
+            + f") AS bk_{b}"
             for b in range(n_bands)
         ],
     ).localCheckpoint(eager=True)
     parts = []
     for b in range(n_bands):
         a, c = bk.alias("a"), bk.alias("c")
-        cond = (F.col(f"a.bk_{b}") == F.col(f"c.bk_{b}")) & (
-            F.col("a.doc_id") < F.col("c.doc_id")
-        )
+        cond_sql = f"a.bk_{b} = c.bk_{b} AND a.doc_id < c.doc_id"
         for j in range(b):
-            cond = cond & (F.col(f"a.bk_{j}") != F.col(f"c.bk_{j}"))
+            cond_sql += f" AND a.bk_{j} <> c.bk_{j}"
         parts.append(
-            a.join(c, cond).select(
-                F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b")
+            a.join(c, F.expr(cond_sql)).selectExpr(
+                "a.doc_id AS doc_a", "c.doc_id AS doc_b"
             )
         )
     out = parts[0]

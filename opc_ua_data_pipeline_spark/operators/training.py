@@ -117,6 +117,101 @@ def ngram_contamination(
     )
 
 
+#: Bloom decontamination parameters.  M = 2^20 bits (128 KiB bitmap as
+#: 16,384 longs); K = 4 positions per gram, carved as disjoint 5-hex
+#: (20-bit) windows of ONE md5 digest — exactly log2(M) bits each, so
+#: no modulo bias and one digest per gram.  With B distinct benchmark
+#: grams the per-gram false-positive rate is (1-e^(-K·B/M))^K — at
+#: B=10^4 that is ~2·10^-6; scale M with the benchmark to hold the
+#: rate (2^30 bits = 128 MiB still broadcasts).
+BLOOM_BITS_LOG2 = 20
+BLOOM_K = 4
+
+
+def _bloom_positions(gram: Column) -> list[Column]:
+    """K 20-bit positions from disjoint md5 hex windows (JVM-side)."""
+    h = F.md5(gram)
+    return [
+        F.conv(F.substring(h, 1 + 5 * i, 5), 16, 10).cast("long")
+        for i in range(BLOOM_K)
+    ]
+
+
+def bloom_build(benchmark: DataFrame, n: int = CONTAM_N) -> DataFrame:
+    """Build the benchmark's Bloom bitmap AS A TABLE: (word_idx, bits).
+
+    This is the 100 TB replacement for broadcasting the raw benchmark
+    n-gram dictionary (``ngram_contamination``): the dictionary grows
+    with the benchmark corpus, but the bitmap is a CONSTANT-size
+    artifact (<= 2^(BLOOM_BITS_LOG2-6) longs) chosen for the target
+    false-positive rate — it broadcasts no matter how large the
+    benchmark gets.  Build shape: distinct grams -> K (word, bit)
+    pairs -> groupBy(word) bit_or, all map-side combinable.
+    """
+    grams = _doc_ngrams_exploded(benchmark, n).select("gram").distinct()
+    pos = F.explode(F.array(*_bloom_positions(F.col("gram")))).alias("p")
+    # 63-bit words (bit lanes 0..62): bit 63 is the sign bit, whose
+    # shift/overflow semantics differ across engines (DuckDB raises on
+    # 1<<63); wasting one lane per word keeps every value positive and
+    # every shift engine-identical.
+    return (
+        grams.select(pos)
+        .selectExpr("p div 63 AS word_idx", "p % 63 AS bit")
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(bit AS INT))) AS bits"))
+    )
+
+
+def bloom_contamination(
+    docs: DataFrame, benchmark: DataFrame, n: int = CONTAM_N
+) -> DataFrame:
+    """Decontamination via the Bloom bitmap: a gram is flagged iff all
+    K of its bit positions are set.
+
+    Probe shape: distinct (doc, gram) -> K position rows -> ONE
+    equi-join against the (broadcast, fixed-size) bitmap table ->
+    all-K vote per gram -> per-doc counts.  Flags are a superset of
+    the exact ``ngram_contamination`` hits (Bloom filters have no
+    false negatives); the false-positive margin is the documented
+    (1-e^(-K·B/M))^K.  Fully deterministic — md5 positions — so the
+    flagged set is engine-exact and oracle-checkable, unlike
+    sketch-library blooms with platform-dependent hashing.
+    """
+    bloom = F.broadcast(bloom_build(benchmark, n))
+    doc_grams = _doc_ngrams_exploded(docs, n).distinct()
+    probes = doc_grams.select(
+        "doc_id",
+        "gram",
+        F.posexplode(F.array(*_bloom_positions(F.col("gram")))).alias(
+            "k", "p"
+        ),
+    ).selectExpr("doc_id", "gram", "p div 63 AS word_idx", "p % 63 AS bit")
+    hits = probes.join(bloom, "word_idx", "left").select(
+        "doc_id",
+        "gram",
+        F.coalesce(
+            F.expr("(shiftright(bits, CAST(bit AS INT)) & 1) = 1"),
+            F.lit(False),
+        ).alias("hit"),
+    )
+    per_gram = hits.groupBy("doc_id", "gram").agg(
+        F.min(F.col("hit").cast("int")).alias("all_set")
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("all_set").alias("n_flagged"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("n_flagged").cast("bigint").alias("n_flagged"),
+            (F.col("n_flagged") / F.col("n_grams")).alias("bloom_ratio"),
+        )
+    )
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition signals: the fraction of duplicate word
     {1,2,3}-grams per document.  Pure per-row array expressions —
@@ -411,8 +506,17 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bloom_contamination(
+        docs.filter(F.col("source") != BENCHMARK_SOURCE),
+        docs.filter(F.col("source") == BENCHMARK_SOURCE),
+    )
+
+
 QUERIES = {
     "ngram_contamination": q_contamination,
+    "bloom_contamination": q_bloom_contamination,
     "repetition_stats": q_repetition,
     "split_assign": q_split,
     "shard_assign": q_shard,
@@ -440,7 +544,63 @@ for _name, _lo, _hi in SPLITS:
     _SPLIT_CASE += f"WHEN {' AND '.join(_conds) or 'TRUE'} THEN '{_name}' "
 _SPLIT_CASE += "END"
 
+def _hex5_sql(h_expr: str, off: int) -> str:
+    """SQL for the 20-bit int value of 5 hex chars of ``h_expr``
+    starting at 1-based ``off`` (DuckDB has no conv())."""
+    e = "0"
+    for i in range(5):
+        e = (
+            f"({e} * 16 + (strpos('0123456789abcdef', "
+            f"substr({h_expr}, {off + i}, 1)) - 1))"
+        )
+    return e
+
+
+_BLOOM_POS_LIST = (
+    "["
+    + ", ".join(_hex5_sql("h", 1 + 5 * i) for i in range(BLOOM_K))
+    + "]"
+)
+
 ORACLES = {
+    "bloom_contamination": f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS} AS w FROM documents
+),
+ng AS (SELECT doc_id, source, {_ng(CONTAM_N)} AS grams FROM toks),
+bench_grams AS (SELECT DISTINCT UNNEST(grams) AS gram FROM ng
+                WHERE source = '{BENCHMARK_SOURCE}'),
+bench_pos AS (
+  SELECT UNNEST({_BLOOM_POS_LIST}) AS p
+  FROM (SELECT md5(gram) AS h FROM bench_grams)
+),
+bloom AS (
+  SELECT p // 63 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+  FROM bench_pos GROUP BY 1
+),
+doc_grams AS (SELECT DISTINCT doc_id, UNNEST(list_distinct(grams)) AS gram
+              FROM ng WHERE source <> '{BENCHMARK_SOURCE}'),
+probes AS (
+  SELECT doc_id, gram, UNNEST({_BLOOM_POS_LIST}) AS p
+  FROM (SELECT doc_id, gram, md5(gram) AS h FROM doc_grams)
+),
+hits AS (
+  SELECT doc_id, gram,
+         COALESCE(((bits >> CAST(p % 63 AS INT)) & 1) = 1, FALSE) AS hit
+  FROM probes LEFT JOIN bloom ON p // 63 = word_idx
+),
+per_gram AS (
+  SELECT doc_id, gram, MIN(CASE WHEN hit THEN 1 ELSE 0 END) AS all_set
+  FROM hits GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(all_set) AS BIGINT) AS n_flagged,
+       CAST(SUM(all_set) AS DOUBLE) / COUNT(*) AS bloom_ratio
+FROM per_gram
+GROUP BY doc_id
+""",
     "ngram_contamination": f"""
 WITH toks AS (
   SELECT doc_id, source, {_TOKS} AS w FROM documents

@@ -156,6 +156,48 @@ def test_source_budget_trim_cum_never_exceeds_budget(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# bloom_contamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_contamination_superset_of_exact_with_tiny_fp(spark):
+    """Bloom flags must contain every exact hit (no false negatives);
+    the false-positive overshoot should be within the documented
+    (1-e^(-K*B/M))^K envelope — effectively a handful of grams at
+    this corpus size."""
+    from pyspark.sql import functions as F
+
+    from opc_ua_data_pipeline_spark.operators.training import (
+        BENCHMARK_SOURCE,
+        bloom_contamination,
+        ngram_contamination,
+    )
+    from opc_ua_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("source") != BENCHMARK_SOURCE)
+    bench = docs.filter(F.col("source") == BENCHMARK_SOURCE)
+    exact = {
+        r["doc_id"]: r
+        for r in ngram_contamination(corpus, bench).collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in bloom_contamination(corpus, bench).collect()
+    }
+    assert set(exact) == set(bloom)
+    total_fp = 0
+    for d, e in exact.items():
+        b = bloom[d]
+        assert b["n_grams"] == e["n_grams"]
+        assert b["n_flagged"] >= e["n_contaminated"], d  # no false negatives
+        total_fp += b["n_flagged"] - e["n_contaminated"]
+    total_grams = sum(e["n_grams"] for e in exact.values())
+    # FP rate ~2e-6 at this benchmark size; allow enormous slack.
+    assert total_fp <= max(5, total_grams // 1000)
+
+
 def test_vocab_coverage_bounds_and_keep_flag(spark):
     rows = [(i, "common word salad", "en", "s", 1) for i in range(5)] + [
         (99, "xyzzy plugh abracadabra", "en", "s", 1)
