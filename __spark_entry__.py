@@ -77,6 +77,7 @@ _PRIORITY = [
     "vocab_coverage",
     "line_dedup",
     "bloom_contamination",
+    "pq_codes",
     # (c) round-2-unwindowed queries, reference surface first
     "enrichment_join",
     "wire_roundtrip",

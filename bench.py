@@ -56,6 +56,12 @@ HEADLINE = [
     "semantic_dedup",        # SemDeDup: bucketed cosine prune
     "pii_scrub",             # regex masking, scan-stage narrow pass
     "temperature_mix",       # data-derived keep rates + hash gate
+    # curation ops added in round 3:
+    "quality_classifier",    # fixed-weight logistic, scan-stage
+    "vocab_coverage",        # broadcast top-K vocab OOV filter
+    "line_dedup",            # corpus-level line dedup + reassembly
+    "bloom_contamination",   # constant-size bitmap decontamination
+    "source_budget_trim",    # per-source greedy token budget
 ]
 
 

@@ -117,6 +117,65 @@ def kmeans_assignments(
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half)
+# ---------------------------------------------------------------------------
+
+EMBED_DIM = 64
+PQ_SUBSPACES = 4
+PQ_CODEBOOK_K = 16
+PQ_ITERS = 2
+
+
+def pq_encode(
+    corpus: DataFrame,
+    dim: int = EMBED_DIM,
+    n_subspaces: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK_K,
+    n_iter: int = PQ_ITERS,
+) -> DataFrame:
+    """Product quantization: split each vector into ``n_subspaces``
+    contiguous subvectors, train an independent k-means codebook per
+    subspace (the same deterministic Lloyd machinery as
+    :func:`kmeans_assignments`), and emit each vector's per-subspace
+    code — dim×4 bytes collapse to n_subspaces codes, the compression
+    half of IVF-PQ, THE standard 100-TB ANN serving layout (IVF cells
+    from ``similarity.py`` route the search; PQ codes pay its memory).
+
+    Scale shape: every subspace's training is the broadcast-centroid
+    loop (nothing on the driver but the loop counter); the codebooks
+    are k×(dim/n_subspaces) doubles — trivially broadcast.  At real
+    scale codebooks train on a hash-gated sample (sampling.py) and
+    encode the full corpus in one pass; here corpus==sample so the
+    oracle can replay training exactly.
+
+    Deterministic end to end (md5-seeded, order-pinned folds,
+    decimal-exact means), so even the TRAINED codes have an exact
+    DuckDB oracle — the per-subspace Lloyd chains unrolled into one
+    WITH clause.
+    """
+    assert dim % n_subspaces == 0
+    d_sub = dim // n_subspaces
+    parts = []
+    for s in range(n_subspaces):
+        sub = corpus.select(
+            "vec_id", F.slice("embedding", s * d_sub + 1, d_sub).alias("embedding")
+        )
+        assigned = kmeans_assignments(sub, k=k, n_iter=n_iter)
+        parts.append(
+            assigned.select(
+                "vec_id",
+                F.lit(s).alias("subspace"),
+                F.col("cluster").alias("code"),
+                "dist",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Driver-contract query + unrolled-CTE oracle
 # ---------------------------------------------------------------------------
 
@@ -125,7 +184,11 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(load_table(spark, sf_dir, "embeddings"))
 
 
-QUERIES = {"kmeans_assignments": q_kmeans}
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_encode(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES = {"kmeans_assignments": q_kmeans, "pq_codes": q_pq_encode}
 
 _DIST = """
   list_reduce(
@@ -147,31 +210,37 @@ def kmeans_cte_body(
     return body, final
 
 
-def _kmeans_ctes(k: int, n_iter: int) -> tuple[str, str]:
+def _kmeans_ctes(
+    k: int, n_iter: int, src: str = "embeddings", prefix: str = ""
+) -> tuple[str, str]:
+    """Unrolled Lloyd chain over table/CTE ``src``; CTE names carry
+    ``prefix`` so several chains can coexist in one WITH clause (the
+    per-subspace PQ oracle builds one chain per subspace)."""
+    p = prefix
     ctes = [
-        f"""seeds AS (
+        f"""{p}seeds AS (
   SELECT (ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id))
            - 1 AS cluster,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-  FROM embeddings
+  FROM {src}
   QUALIFY cluster < {k}
 )""",
     ]
-    prev_cent = "seeds"
+    prev_cent = f"{p}seeds"
     for it in range(n_iter):
         ctes.append(
-            f"""assign{it} AS (
+            f"""{p}assign{it} AS (
   SELECT vec_id, embedding, cluster, dist FROM (
     SELECT e.vec_id, e.embedding, c.cluster, {_DIST} AS dist,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
                               ORDER BY {_DIST} ASC, c.cluster ASC) AS rank
-    FROM embeddings e CROSS JOIN {prev_cent} c
+    FROM {src} e CROSS JOIN {prev_cent} c
   ) WHERE rank = 1
 )"""
         )
         if it < n_iter - 1:
             ctes.append(
-                f"""cent{it} AS (
+                f"""{p}cent{it} AS (
   SELECT cluster, list(mean_val ORDER BY pos) AS centroid FROM (
     SELECT cluster, pos,
            CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
@@ -179,13 +248,13 @@ def _kmeans_ctes(k: int, n_iter: int) -> tuple[str, str]:
     FROM (SELECT cluster,
                  UNNEST(embedding) AS v,
                  UNNEST(generate_series(0, len(embedding) - 1)) AS pos
-          FROM assign{it})
+          FROM {p}assign{it})
     GROUP BY cluster, pos
   ) GROUP BY cluster
 )"""
             )
-            prev_cent = f"cent{it}"
-    return ",\n".join(ctes), f"assign{n_iter - 1}"
+            prev_cent = f"{p}cent{it}"
+    return ",\n".join(ctes), f"{p}assign{n_iter - 1}"
 
 
 def _kmeans_oracle(k: int = K_CLUSTERS, n_iter: int = KMEANS_ITERS) -> str:
@@ -193,4 +262,30 @@ def _kmeans_oracle(k: int = K_CLUSTERS, n_iter: int = KMEANS_ITERS) -> str:
     return f"WITH {body}\nSELECT vec_id, cluster, dist FROM {final}"
 
 
-ORACLES = {"kmeans_assignments": _kmeans_oracle()}
+def _pq_oracle(
+    dim: int = EMBED_DIM,
+    n_subspaces: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK_K,
+    n_iter: int = PQ_ITERS,
+) -> str:
+    d_sub = dim // n_subspaces
+    ctes, selects = [], []
+    for s in range(n_subspaces):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        ctes.append(
+            f"sub{s} AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding "
+            f"FROM embeddings)"
+        )
+        body, final = _kmeans_ctes(k, n_iter, src=f"sub{s}", prefix=f"s{s}_")
+        ctes.append(body)
+        selects.append(
+            f"SELECT vec_id, {s} AS subspace, cluster AS code, dist "
+            f"FROM {final}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLES = {
+    "kmeans_assignments": _kmeans_oracle(),
+    "pq_codes": _pq_oracle(),
+}

@@ -313,9 +313,13 @@ WITH scored AS (
 SELECT doc_id, source, n_tokens, quality_score, cum_tokens
 FROM (
   SELECT *,
-         SUM(n_tokens) OVER (PARTITION BY source
-                             ORDER BY quality_score DESC, doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         -- CAST: DuckDB integer SUM yields HUGEINT -> float64 in
+         -- pandas, which hash-mismatches Spark's BIGINT on equal
+         -- values (the repo's standing oracle rule for integer sums)
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY quality_score DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
   FROM scored
 )
 WHERE cum_tokens <= {SOURCE_TOKEN_BUDGET}

@@ -146,3 +146,34 @@ def test_kmeans_seed_selection_is_topk_heap(spark):
         seed_centroids(load_table(spark, SF, "embeddings"))
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round3_curation_plan_shapes(spark):
+    """Round-3 curation operators keep their scale contracts:
+    vocab_coverage and bloom_contamination join against BROADCAST
+    bounded-size sides (top-K vocab / fixed-size bitmap table);
+    line_dedup joins on digests with no nested loop; the per-source
+    budget window is partitioned (never a global sort)."""
+    plan = formatted_plan(Q["vocab_coverage"](spark, SF))
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = formatted_plan(Q["bloom_contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    plan = formatted_plan(Q["line_dedup"](spark, SF))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    plan = formatted_plan(Q["source_budget_trim"](spark, SF))
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = m.group(1).split(" ASC")[0].split(" DESC")[0]
+        assert head.strip(), m.group(1)  # window is partitioned
+
+
+def test_classifier_is_scan_stage_projection(spark):
+    """The quality classifier must stay a shuffle-free narrow pass —
+    no exchange, no Python eval in the plan."""
+    plan = formatted_plan(Q["quality_classifier"](spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
