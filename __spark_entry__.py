@@ -78,6 +78,7 @@ _PRIORITY = [
     "line_dedup",
     "bloom_contamination",
     "pq_codes",
+    "pq_adc_topk",
     # (c) round-2-unwindowed queries, reference surface first
     "enrichment_join",
     "wire_roundtrip",

@@ -103,16 +103,28 @@ def seed_centroids(corpus: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
     )
 
 
+def _kmeans_loop(
+    corpus: DataFrame, k: int, n_iter: int
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``n_iter`` Lloyd iterations; return (final assignment,
+    the centroid table USED for that final assignment) — the latter
+    is the codebook ADC scoring needs.  The recompute after the last
+    assign is skipped: nothing consumes it."""
+    cent = seed_centroids(corpus, k).localCheckpoint(eager=True)
+    assigned = None
+    for it in range(n_iter):
+        assigned = _assign(corpus, cent).localCheckpoint(eager=True)
+        if it < n_iter - 1:
+            cent = _recompute(assigned).localCheckpoint(eager=True)
+    return assigned, cent
+
+
 def kmeans_assignments(
     corpus: DataFrame, k: int = K_CLUSTERS, n_iter: int = KMEANS_ITERS
 ) -> DataFrame:
     """Run ``n_iter`` Lloyd iterations; return the final assignment
     (vec_id, cluster, dist)."""
-    cent = seed_centroids(corpus, k).localCheckpoint(eager=True)
-    assigned = None
-    for _ in range(n_iter):
-        assigned = _assign(corpus, cent).localCheckpoint(eager=True)
-        cent = _recompute(assigned).localCheckpoint(eager=True)
+    assigned, _ = _kmeans_loop(corpus, k, n_iter)
     return assigned.select("vec_id", "cluster", "dist")
 
 
@@ -175,6 +187,84 @@ def pq_encode(
     return out
 
 
+PQ_ADC_TOP_K = 10
+PQ_N_QUERIES = 5  # mirror similarity.N_QUERIES: vec_id < 5 are queries
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int = EMBED_DIM,
+    n_subspaces: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK_K,
+    n_iter: int = PQ_ITERS,
+    top_k: int = PQ_ADC_TOP_K,
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes — the PQ serving
+    path: each query builds one lookup table per subspace (its squared
+    L2 to every codebook centroid, |queries|×k×n_subspaces doubles),
+    and a vector's approximate distance is the SUM of 4 table lookups
+    — the corpus is never touched beyond its codes.
+
+    Scale shape: codes are joined to the BROADCAST per-subspace LUTs
+    (bounded by |queries|·k, corpus-independent); the only per-corpus
+    work is n_subspaces hash lookups + 3 additions per vector, then a
+    per-query top-k window.  The subspace partials add in a FIXED
+    textual order (((p0+p1)+p2)+p3) so the non-associative double sum
+    is engine-identical and even approximate distances hash-match the
+    oracle.
+    """
+    assert dim % n_subspaces == 0
+    d_sub = dim // n_subspaces
+    wide = None
+    luts = []
+    for s in range(n_subspaces):
+        sub = corpus.select(
+            "vec_id",
+            F.slice("embedding", s * d_sub + 1, d_sub).alias("embedding"),
+        )
+        assigned, cent = _kmeans_loop(sub, k, n_iter)
+        codes = assigned.select("vec_id", F.col("cluster").alias(f"code_{s}"))
+        wide = codes if wide is None else wide.join(codes, "vec_id")
+        q_sub = queries.select(
+            F.col("vec_id").alias("q_id"),
+            F.slice("embedding", s * d_sub + 1, d_sub).alias("q_emb"),
+        )
+        sq = F.zip_with(
+            F.col("q_emb"),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+        pd_ = F.aggregate(sq, F.lit(0.0), lambda acc, d: acc + d)
+        luts.append(
+            q_sub.crossJoin(cent).select(
+                "q_id",
+                F.col("cluster").alias(f"code_{s}"),
+                pd_.alias(f"pd_{s}"),
+            )
+        )
+    adc = wide
+    for s, lut in enumerate(luts):
+        on = [f"code_{s}"] + (["q_id"] if s > 0 else [])
+        adc = adc.join(F.broadcast(lut), on)
+    dist = F.col("pd_0")
+    for s in range(1, n_subspaces):
+        dist = dist + F.col(f"pd_{s}")
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("c_id").asc()
+    )
+    return (
+        adc.select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            dist.alias("adc_dist"),
+        )
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract query + unrolled-CTE oracle
 # ---------------------------------------------------------------------------
@@ -188,7 +278,16 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(load_table(spark, sf_dir, "embeddings"))
 
 
-QUERIES = {"kmeans_assignments": q_kmeans, "pq_codes": q_pq_encode}
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb.filter(F.col("vec_id") < PQ_N_QUERIES), emb)
+
+
+QUERIES = {
+    "kmeans_assignments": q_kmeans,
+    "pq_codes": q_pq_encode,
+    "pq_adc_topk": q_pq_adc,
+}
 
 _DIST = """
   list_reduce(
@@ -285,7 +384,74 @@ def _pq_oracle(
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _pq_adc_oracle(
+    dim: int = EMBED_DIM,
+    n_subspaces: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK_K,
+    n_iter: int = PQ_ITERS,
+    top_k: int = PQ_ADC_TOP_K,
+    n_queries: int = PQ_N_QUERIES,
+) -> str:
+    d_sub = dim // n_subspaces
+    assert n_iter >= 2, "cent-used name below assumes >=1 recompute"
+    ctes = []
+    for s in range(n_subspaces):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        ctes.append(
+            f"sub{s} AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding "
+            f"FROM embeddings)"
+        )
+        body, final = _kmeans_ctes(k, n_iter, src=f"sub{s}", prefix=f"s{s}_")
+        ctes.append(body)
+        ctes.append(
+            f"codes{s} AS (SELECT vec_id, cluster AS code_{s} FROM {final})"
+        )
+        # the codebook is the centroid table USED for the final assign
+        cb = f"s{s}_cent{n_iter - 2}"
+        ctes.append(
+            f"""lut{s} AS (
+  SELECT q.vec_id AS q_id, c.cluster AS code_{s},
+         list_reduce(
+           list_transform(generate_series(1, {d_sub}),
+             i -> (CAST(q.embedding[{lo} - 1 + i] AS DOUBLE) - c.centroid[i])
+                  * (CAST(q.embedding[{lo} - 1 + i] AS DOUBLE) - c.centroid[i])),
+           (acc, d) -> acc + d) AS pd_{s}
+  FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q
+  CROSS JOIN {cb} c
+)"""
+        )
+    wide_joins = " JOIN ".join(
+        [f"codes0 c0"]
+        + [f"codes{s} c{s} USING (vec_id)" for s in range(1, n_subspaces)]
+    )
+    code_cols = ", ".join(f"c{s}.code_{s}" for s in range(n_subspaces))
+    ctes.append(
+        f"codesw AS (SELECT c0.vec_id, {code_cols} FROM {wide_joins})"
+    )
+    lut_joins = "codesw w JOIN lut0 l0 ON w.code_0 = l0.code_0"
+    for s in range(1, n_subspaces):
+        lut_joins += (
+            f" JOIN lut{s} l{s} ON w.code_{s} = l{s}.code_{s}"
+            f" AND l{s}.q_id = l0.q_id"
+        )
+    dist = " + ".join(f"l{s}.pd_{s}" for s in range(n_subspaces))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT q_id, c_id, adc_dist, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY adc_dist ASC, c_id ASC) AS rank
+      FROM (SELECT l0.q_id, w.vec_id AS c_id, {dist} AS adc_dist
+            FROM {lut_joins}) t
+      WHERE q_id <> c_id)
+WHERE rank <= {top_k}
+"""
+    )
+
+
 ORACLES = {
     "kmeans_assignments": _kmeans_oracle(),
     "pq_codes": _pq_oracle(),
+    "pq_adc_topk": _pq_adc_oracle(),
 }
