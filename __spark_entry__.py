@@ -79,6 +79,8 @@ _PRIORITY = [
     "bloom_contamination",
     "pq_codes",
     "pq_adc_topk",
+    "pack_stats",
+    "curriculum_stages",
     # (c) round-2-unwindowed queries, reference surface first
     "enrichment_join",
     "wire_roundtrip",

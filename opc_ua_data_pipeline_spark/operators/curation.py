@@ -43,7 +43,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from .text import _TOKS, _stop_hits, _toks, QUALITY_STOPWORDS
+from .text import (
+    _TOKS,
+    _stop_hits,
+    _toks,
+    QUALITY_STOPWORDS,
+    unigram_logprob_scores,
+)
 
 # ---------------------------------------------------------------------------
 # Quality classifier (fixed-weight logistic regression)
@@ -188,6 +194,42 @@ def vocab_coverage(docs: DataFrame, k: int = TOP_VOCAB_K) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Curriculum staging by LM difficulty
+# ---------------------------------------------------------------------------
+
+N_CURRICULUM_STAGES = 4
+
+
+def curriculum_stages(
+    docs: DataFrame, n_stages: int = N_CURRICULUM_STAGES
+) -> DataFrame:
+    """Difficulty-ordered curriculum assignment: stage 1 holds each
+    source's most fluent quarter (highest mean unigram log-prob —
+    the perplexity proxy from text.unigram_logprob_scores), stage
+    ``n_stages`` its hardest.  Easy-to-hard data ordering is the
+    standard curriculum schedule; staging WITHIN source keeps the mix
+    of domains constant across stages.
+
+    One NTILE window per source — parallel across sources, same
+    cardinality contract as source_budget_trim; ordering ties break
+    on doc_id and the score itself is decimal-summed, so the stage
+    boundaries are engine-exact.
+    """
+    scored = unigram_logprob_scores(docs)
+    joined = docs.select("doc_id", "source").join(scored, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("mean_logprob").desc(), F.col("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "mean_logprob",
+        F.ntile(n_stages).over(w).alias("stage"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus-level line dedup (CCNet-style)
 # ---------------------------------------------------------------------------
 
@@ -273,11 +315,16 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curriculum_stages(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "quality_classifier": q_quality_classifier,
     "source_budget_trim": q_source_budget_trim,
     "vocab_coverage": q_vocab_coverage,
     "line_dedup": q_line_dedup,
+    "curriculum_stages": q_curriculum,
 }
 
 # z written in the same textual order as the Column expression above
@@ -344,6 +391,34 @@ SELECT doc_id,
        CAST(len(list_filter({_TOKS}, t -> list_contains(v, t))) AS DOUBLE)
          / len({_TOKS}) >= {MIN_COVERAGE} AS keep
 FROM documents CROSS JOIN vocab
+""",
+    "curriculum_stages": f"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS n_occ
+  FROM (SELECT UNNEST({_TOKS}) AS term FROM documents)
+  GROUP BY term
+),
+total AS (SELECT SUM(n_occ) AS total_occ FROM tf),
+lm AS (
+  SELECT term,
+         CAST(ln(CAST(n_occ AS DOUBLE) / CAST(total_occ AS DOUBLE))
+              AS DECIMAL(18,9)) AS lp
+  FROM tf CROSS JOIN total
+),
+scored AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS mean_logprob
+  FROM (SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents) dt
+  JOIN lm ON dt.term = lm.term
+  GROUP BY doc_id
+)
+SELECT s.doc_id, d.source, n_tokens, mean_logprob,
+       CAST(NTILE({N_CURRICULUM_STAGES})
+              OVER (PARTITION BY d.source
+                    ORDER BY mean_logprob DESC, s.doc_id) AS INTEGER)
+         AS stage
+FROM scored s JOIN documents d ON s.doc_id = d.doc_id
 """,
     "line_dedup": f"""
 WITH lines AS (

@@ -177,28 +177,34 @@ def bloom_contamination(
     flagged set is engine-exact and oracle-checkable, unlike
     sketch-library blooms with platform-dependent hashing.
     """
-    bloom = F.broadcast(bloom_build(benchmark, n))
+    bloom = bloom_build(benchmark, n)
     doc_grams = _doc_ngrams_exploded(docs, n).distinct()
-    probes = doc_grams.select(
-        "doc_id",
-        "gram",
-        F.posexplode(F.array(*_bloom_positions(F.col("gram")))).alias(
-            "k", "p"
-        ),
-    ).selectExpr("doc_id", "gram", "p div 63 AS word_idx", "p % 63 AS bit")
-    hits = probes.join(bloom, "word_idx", "left").select(
-        "doc_id",
-        "gram",
-        F.coalesce(
-            F.expr("(shiftright(bits, CAST(bit AS INT)) & 1) = 1"),
+    # Wide probe: the K positions stay COLUMNS and each takes its own
+    # broadcast join against the bitmap — no position explode (K× the
+    # rows) and no (doc, gram) re-aggregation shuffle afterwards; the
+    # all-K vote is a plain boolean AND in the projection.
+    staged = doc_grams
+    for i, p in enumerate(_bloom_positions(F.col("gram"))):
+        staged = staged.withColumn(f"_p{i}", p)
+    hit = F.lit(True)
+    for i in range(BLOOM_K):
+        side = F.broadcast(
+            bloom.selectExpr(f"word_idx AS _w{i}", f"bits AS _bits{i}")
+        )
+        staged = staged.join(
+            side, F.expr(f"_p{i} div 63 = _w{i}"), "left"
+        )
+        hit = hit & F.coalesce(
+            F.expr(
+                f"(shiftright(_bits{i}, CAST(_p{i} % 63 AS INT)) & 1) = 1"
+            ),
             F.lit(False),
-        ).alias("hit"),
-    )
-    per_gram = hits.groupBy("doc_id", "gram").agg(
-        F.min(F.col("hit").cast("int")).alias("all_set")
+        )
+    flagged = staged.select(
+        "doc_id", hit.cast("int").alias("all_set")
     )
     return (
-        per_gram.groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum("all_set").alias("n_flagged"),
@@ -432,6 +438,32 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     )
 
 
+def pack_stats(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Packing-efficiency rollup over :func:`pack_sequences`: per
+    shard, how many packs the token stream cuts into, the padding
+    waste of the final partial pack, and how many documents straddle
+    a pack boundary — the numbers a training job reads to size its
+    batch pipeline.  Because concatenate-then-chunk lays tokens
+    contiguously, n_packs = ceil(total_tokens/budget) exactly; all
+    arithmetic is integer + one exact int/int double division."""
+    packed = pack_sequences(docs, budget)
+    # integer `div`, not floor(double /): a per-shard token total past
+    # 2^53 would lose exactness in double division at real scale.
+    n_packs = F.expr(
+        f"(SUM(n_tokens) + {budget - 1}) div {budget}"
+    ).cast("bigint")
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        n_packs.alias("n_packs"),
+        (n_packs * budget - F.sum("n_tokens")).alias("waste_tokens"),
+        (
+            F.sum("n_tokens").cast("double") / (n_packs * budget)
+        ).alias("fill_ratio"),
+        F.count(F.when(F.col("spans_boundary"), 1)).alias("n_spanning"),
+    )
+
+
 MIN_TOKENS = 20
 MIN_TTR = 0.30
 MAX_CONTAMINATION = 0.05
@@ -523,6 +555,9 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf,
     "curation_pipeline": q_curation,
     "pack_sequences": lambda spark, sf: pack_sequences(
+        load_table(spark, sf, "documents")
+    ),
+    "pack_stats": lambda spark, sf: pack_stats(
         load_table(spark, sf, "documents")
     ),
 }
@@ -675,6 +710,39 @@ SELECT doc_id, shard, n_tokens,
        (start // {PACK_BUDGET})
          <> ((start + n_tokens - 1) // {PACK_BUDGET}) AS spans_boundary
 FROM c
+""",
+    "pack_stats": f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 1))
+              - 1 AS INTEGER) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || ':shard') AS hkey,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY hkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS start
+  FROM base
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((SUM(n_tokens) + {PACK_BUDGET - 1}) // {PACK_BUDGET} AS BIGINT)
+         AS n_packs,
+       CAST(((SUM(n_tokens) + {PACK_BUDGET - 1}) // {PACK_BUDGET})
+              * {PACK_BUDGET} - SUM(n_tokens) AS BIGINT) AS waste_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE)
+         / (((SUM(n_tokens) + {PACK_BUDGET - 1}) // {PACK_BUDGET})
+            * {PACK_BUDGET}) AS fill_ratio,
+       CAST(COUNT(*) FILTER (WHERE (start // {PACK_BUDGET})
+              <> ((start + n_tokens - 1) // {PACK_BUDGET})) AS BIGINT)
+         AS n_spanning
+FROM c
+GROUP BY shard
 """,
     "curation_pipeline": f"""
 WITH w0 AS (
