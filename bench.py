@@ -182,6 +182,9 @@ def main() -> None:
             "queries": timings,
             "warm_total": detail["warm_total"],
             "parallel_warm_total": detail["parallel_warm_total"],
+            # the headline set GROWS round over round (27 in r1/r2, 36
+            # in r3); totals are only comparable per query
+            "n_queries": len(HEADLINE),
             "sf": sf_val,
         }
     )

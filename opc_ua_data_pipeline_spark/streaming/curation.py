@@ -1,0 +1,85 @@
+"""Streaming curation: decontaminate documents as they arrive.
+
+The batch pipeline (operators/training.bloom_contamination) probes a
+(word_idx, bits) Bloom TABLE; a stream wants the stateless spelling —
+the same trade as ``dedup.minhash_band_keys_rowwise`` vs the aggregate
+signatures.  Here the bitmap (bounded by the FP-rate budget: 2^20 bits
+= ~16.6k longs, NOT by benchmark or corpus size) is materialized ONCE
+driver-side into an array literal, so every arriving document scores
+itself in a single narrow projection: per-row n-grams, 4 md5 windows
+per gram, 4 array lookups — no joins, no aggregation, no state.  That
+makes it composable with any source/sink and exactly-once for free.
+
+At 100 TB of STREAM this is the right shape (the bitmap is fixed-size
+and rides in the plan); if the bitmap ever had to grow past broadcast
+size the batch TABLE-join spelling takes over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.text import _toks
+from ..operators.training import (
+    BLOOM_BITS_LOG2,
+    BLOOM_K,
+    CONTAM_N,
+    _word_ngrams,
+    bloom_build,
+)
+
+
+def bloom_bitmap_local(benchmark: DataFrame, n: int = CONTAM_N) -> list[int]:
+    """Collect the Bloom table into a dense driver-side list (index =
+    word_idx).  Bounded by M = 2^BLOOM_BITS_LOG2 bits (~16.6k longs),
+    independent of benchmark size — the one collect in this module,
+    and it is of the SKETCH, never of data."""
+    n_words = (1 << BLOOM_BITS_LOG2) // 63 + 1
+    dense = [0] * n_words
+    for row in bloom_build(benchmark, n).collect():
+        dense[row["word_idx"]] = row["bits"]
+    return dense
+
+
+def bloom_flag_stream(
+    stream_docs: DataFrame,
+    bitmap: list[int],
+    n: int = CONTAM_N,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination stats as a stateless stream
+    projection: (doc_id, n_grams, n_flagged, bloom_ratio) — the same
+    contract columns as batch ``bloom_contamination``, and the same
+    universe (documents with at least one full n-gram); equality is
+    asserted row-for-row in tests/test_streaming_curation.py.
+    """
+    bm = F.lit(bitmap)
+    toks = _toks(text_col)
+    grams = F.array_distinct(_word_ngrams(toks, n))
+
+    def flagged(g: Column) -> Column:
+        h = F.md5(g)
+        hit = F.lit(True)
+        for i in range(BLOOM_K):
+            p = F.conv(F.substring(h, 1 + 5 * i, 5), 16, 10).cast("long")
+            word = F.element_at(bm, (p / F.lit(63)).cast("int") + 1)
+            # call_function: the SQL shiftright takes a COLUMN shift
+            # amount; the PySpark F.shiftright wrapper only takes int.
+            bit = F.call_function(
+                "shiftright", word, (p % 63).cast("int")
+            ).bitwiseAND(F.lit(1))
+            hit = hit & (bit == 1)
+        return hit
+
+    n_grams = F.size(grams)
+    n_flagged = F.size(F.filter(grams, flagged))
+    return (
+        stream_docs.filter(F.size(toks) >= n)
+        .select(
+            "doc_id",
+            n_grams.cast("long").alias("n_grams"),
+            n_flagged.cast("long").alias("n_flagged"),
+            (n_flagged.cast("double") / n_grams).alias("bloom_ratio"),
+        )
+    )
