@@ -81,6 +81,8 @@ _PRIORITY = [
     "pq_adc_topk",
     "pack_stats",
     "curriculum_stages",
+    "embedding_normalize",
+    "embedding_matryoshka",
     # (c) round-2-unwindowed queries, reference surface first
     "enrichment_join",
     "wire_roundtrip",

@@ -165,13 +165,14 @@ def vocab_coverage(docs: DataFrame, k: int = TOP_VOCAB_K) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
-    w = Window.orderBy(F.col("n_occ").desc(), F.col("term"))
-    # rank window is over the term-count table (vocab-sized, bounded
-    # by corpus vocabulary, not corpus size); the top-k result is
-    # collected into a broadcast literal-free join below.
-    top = tf.withColumn("r", F.row_number().over(w)).filter(
-        F.col("r") <= k
-    ).select("term")
+    # Top-k via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # heap + k-row driver merge), NOT a global row_number window: the
+    # vocabulary table is corpus-vocabulary-sized (millions of terms
+    # at 100 TB) and a partition-less window funnels it through one
+    # task's sort.
+    top = tf.orderBy(F.col("n_occ").desc(), F.col("term")).limit(k).select(
+        "term"
+    )
     toks = _toks()
     per_doc = docs.join(
         F.broadcast(top.agg(F.collect_set("term").alias("vocab"))),

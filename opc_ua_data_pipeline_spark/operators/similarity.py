@@ -328,6 +328,59 @@ def quantize_sq8(corpus: DataFrame) -> DataFrame:
     )
 
 
+MATRYOSHKA_DIMS = 16
+
+
+def normalize_embeddings(
+    corpus: DataFrame, prefix_dims: int | None = None
+) -> DataFrame:
+    """Embedding preprocessing: L2-normalize, optionally after
+    truncating to the leading ``prefix_dims`` (matryoshka-style
+    dimension reduction — prefix then renormalize, the serving trick
+    that trades recall for a dims/``prefix_dims`` memory cut).
+
+    Output is flattened (vec_id, pos, val, norm): the driver
+    canonicalizer can hash scalars but not array cells, and the flat
+    shape is what columnar ANN stores ingest anyway.  Exactness: the
+    norm is sqrt of the order-pinned left fold of exact float32→
+    double squares — sqrt is IEEE-correctly-rounded, so both engines
+    produce the identical double, and each division x/norm is then
+    identical too.  Zero vectors pass through with NULL values
+    (divide-by-zero guard).  Shuffle-free narrow pass.
+    """
+    emb = F.col("embedding")
+    if prefix_dims is not None:
+        emb = F.slice(emb, 1, prefix_dims)
+    staged = corpus.select("vec_id", emb.alias("e"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.col("e"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+    )
+    return (
+        staged.withColumn("norm", norm)
+        .select(
+            "vec_id",
+            "norm",
+            F.posexplode("e").alias("pos", "v"),
+        )
+        .select(
+            "vec_id",
+            "pos",
+            F.when(
+                F.col("norm") != 0, F.col("v").cast("double") / F.col("norm")
+            ).alias("val"),
+            "norm",
+        )
+    )
+
+
 def lsh_recall(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFrame:
     """Recall@k of the sign-LSH ANN against the exact top-k — the
     evaluation loop every ANN deployment runs before trusting an
@@ -404,7 +457,31 @@ QUERIES = {
     "semantic_dedup": lambda spark, sf: semantic_dedup(
         load_table(spark, sf, "embeddings")
     ),
+    "embedding_normalize": lambda spark, sf: normalize_embeddings(
+        load_table(spark, sf, "embeddings")
+    ),
+    "embedding_matryoshka": lambda spark, sf: normalize_embeddings(
+        load_table(spark, sf, "embeddings"), prefix_dims=MATRYOSHKA_DIMS
+    ),
 }
+
+
+def _normalize_sql(prefix: int | None = None) -> str:
+    e = "embedding" if prefix is None else f"embedding[1:{prefix}]"
+    norm = f"""sqrt(list_reduce(
+      list_transform(generate_series(1, len({e})),
+                     i -> CAST({e}[i] AS DOUBLE) * CAST({e}[i] AS DOUBLE)),
+      (acc, p) -> acc + p))"""
+    return f"""
+SELECT vec_id,
+       UNNEST(generate_series(0, len({e}) - 1)) AS pos,
+       UNNEST(CASE WHEN {norm} <> 0
+              THEN list_transform({e}, x -> CAST(x AS DOUBLE) / {norm})
+              ELSE list_transform({e}, x -> CAST(NULL AS DOUBLE)) END)
+         AS val,
+       {norm} AS norm
+FROM embeddings
+"""
 
 # DuckDB-side cosine with the SAME left-fold order as Spark's aggregate().
 _COS_SQL = """
@@ -455,6 +532,8 @@ WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= {NEARDUP_THRESHOLD}
 """
 
 ORACLES = {
+    "embedding_normalize": _normalize_sql(),
+    "embedding_matryoshka": _normalize_sql(MATRYOSHKA_DIMS),
     "ann_bruteforce_topk": _topk_sql("TRUE"),
     "ann_lsh_topk": _topk_sql(
         _BUCKET_SQL.format(e="q.embedding") + " = " + _BUCKET_SQL.format(e="c.embedding")

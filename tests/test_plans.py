@@ -157,6 +157,9 @@ def test_round3_curation_plan_shapes(spark):
     plan = formatted_plan(Q["vocab_coverage"](spark, SF))
     assert "Broadcast" in plan
     assert "CartesianProduct" not in plan
+    # top-K vocab must be a heap cut, not a partition-less window
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
 
     plan = formatted_plan(Q["bloom_contamination"](spark, SF))
     assert "BroadcastHashJoin" in plan
