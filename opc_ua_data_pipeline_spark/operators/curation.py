@@ -66,6 +66,34 @@ CLF_W_MEAN_LEN = 0.1
 CLF_THRESHOLD = 0.5
 
 
+def quality_score_col(text_col: str = "text") -> Column:
+    """The classifier score as a reusable Column expression (also the
+    streaming composition's building block — stateless by
+    construction).  Written in the exact textual order of the oracle
+    SQL so the double-arithmetic association matches term for term.
+    """
+    toks = _toks(text_col)
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    z = (
+        F.lit(CLF_BIAS)
+        + F.lit(CLF_W_LOG_TOKENS) * F.log(F.lit(1.0) + n.cast("double"))
+        + F.lit(CLF_W_STOPWORD) * (n_stop.cast("double") / n)
+        + F.lit(CLF_W_TTR) * (n_distinct.cast("double") / n)
+        + F.lit(CLF_W_MEAN_LEN) * (sum_len.cast("double") / n)
+    )
+    return (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).cast(
+        "decimal(18,9)"
+    ).cast("double")
+
+
 def quality_classifier(docs: DataFrame) -> DataFrame:
     """Score documents with a fixed-weight logistic model.
 
@@ -78,32 +106,11 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     computed from the ROUNDED score so both engines threshold the
     same number.
     """
-    toks = _toks()
-    n = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_distinct = F.size(F.array_distinct(toks))
-    sum_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    # Written in the exact textual order of the oracle SQL so the
-    # double-arithmetic association matches term for term.
-    z = (
-        F.lit(CLF_BIAS)
-        + F.lit(CLF_W_LOG_TOKENS) * F.log(F.lit(1.0) + n.cast("double"))
-        + F.lit(CLF_W_STOPWORD) * (n_stop.cast("double") / n)
-        + F.lit(CLF_W_TTR) * (n_distinct.cast("double") / n)
-        + F.lit(CLF_W_MEAN_LEN) * (sum_len.cast("double") / n)
-    )
-    score = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).cast(
-        "decimal(18,9)"
-    ).cast("double")
+    score = quality_score_col()
     return docs.select(
         "doc_id",
         "source",
-        F.size(toks).alias("n_tokens"),
+        F.size(_toks()).alias("n_tokens"),
         score.alias("quality_score"),
         (score >= CLF_THRESHOLD).alias("keep"),
     )
@@ -191,6 +198,39 @@ def vocab_coverage(docs: DataFrame, k: int = TOP_VOCAB_K) -> DataFrame:
             (covered.cast("double") / n).alias("coverage"),
             ((covered.cast("double") / n) >= MIN_COVERAGE).alias("keep"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus report card
+# ---------------------------------------------------------------------------
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """Per-source corpus health report: doc counts, token volume,
+    mean classifier quality, and keep rate — the one-page summary a
+    curation run publishes per ingest batch.
+
+    The mean of the (double) quality scores sums as DECIMAL(18,9) —
+    the scores are 9-dp-rounded by construction so the decimal cast
+    is lossless, the sum is associative (partition-order-free), and
+    one final division yields the identical double everywhere.
+    """
+    scored = quality_classifier(docs)
+    n = F.count(F.lit(1))
+    return scored.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / n).alias("mean_tokens"),
+        (
+            F.sum(F.col("quality_score").cast("decimal(18,9)")).cast(
+                "double"
+            )
+            / n
+        ).alias("mean_quality"),
+        (F.sum(F.col("keep").cast("int")).cast("double") / n).alias(
+            "keep_rate"
+        ),
     )
 
 
@@ -320,12 +360,17 @@ def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_stages(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_report(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "quality_classifier": q_quality_classifier,
     "source_budget_trim": q_source_budget_trim,
     "vocab_coverage": q_vocab_coverage,
     "line_dedup": q_line_dedup,
     "curriculum_stages": q_curriculum,
+    "corpus_report": q_corpus_report,
 }
 
 # z written in the same textual order as the Column expression above
@@ -392,6 +437,25 @@ SELECT doc_id,
        CAST(len(list_filter({_TOKS}, t -> list_contains(v, t))) AS DOUBLE)
          / len({_TOKS}) >= {MIN_COVERAGE} AS keep
 FROM documents CROSS JOIN vocab
+""",
+    "corpus_report": f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         len({_TOKS}) AS n_tokens,
+         {_SCORE_SQL} AS quality_score,
+         {_SCORE_SQL} >= {CLF_THRESHOLD} AS keep
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens,
+       CAST(SUM(CAST(quality_score AS DECIMAL(18,9))) AS DOUBLE)
+         / COUNT(*) AS mean_quality,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS keep_rate
+FROM scored
+GROUP BY source
 """,
     "curriculum_stages": f"""
 WITH tf AS (

@@ -56,6 +56,47 @@ def salted_stats(
     )
 
 
+SKEW_TOP_N = 10
+
+
+def key_skew_profile(
+    df: DataFrame, key: str, top_n: int = SKEW_TOP_N
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostics: the report an operator
+    team reads BEFORE choosing salting / AQE-skew-join / broadcast for
+    a 100 TB join.  Per heavy-hitter key: row count, share of table,
+    and skew factor (count / mean-count-per-key).  One partial-
+    aggregated groupBy; the key-count table (bounded by key
+    cardinality) feeds a TakeOrderedAndProject top-N and a 1-row
+    global summary that broadcasts back — nothing funnels the fact
+    table through one task.
+
+    share and skew_factor are exact int/int double divisions —
+    engine-identical.
+    """
+    counts = df.groupBy(F.col(key).alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), F.col("key_value")).limit(
+        top_n
+    )
+    return top.crossJoin(F.broadcast(totals)).select(
+        "key_value",
+        "n_rows",
+        (F.col("n_rows").cast("double") / F.col("total_rows")).alias(
+            "share"
+        ),
+        (
+            F.col("n_rows").cast("double")
+            / (F.col("total_rows").cast("double") / F.col("n_keys"))
+        ).alias("skew_factor"),
+    )
+
+
 def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_stats(
         load_table(spark, sf_dir, "events"),
@@ -65,7 +106,16 @@ def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"salted_event_stats": q_salted_event_stats}
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return key_skew_profile(
+        load_table(spark, sf_dir, "events"), "event_type"
+    )
+
+
+QUERIES = {
+    "salted_event_stats": q_salted_event_stats,
+    "key_skew_profile": q_key_skew,
+}
 
 ORACLES = {
     # the oracle is the UNSALTED aggregation: salting must be invisible
@@ -77,5 +127,23 @@ SELECT event_type,
        MAX(value) AS max_value
 FROM events
 GROUP BY event_type
+""",
+    "key_skew_profile": f"""
+WITH counts AS (
+  SELECT event_type AS key_value, COUNT(*) AS n_rows
+  FROM events GROUP BY event_type
+),
+totals AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+         COUNT(*) AS n_keys
+  FROM counts
+)
+SELECT key_value, n_rows,
+       CAST(n_rows AS DOUBLE) / total_rows AS share,
+       CAST(n_rows AS DOUBLE)
+         / (CAST(total_rows AS DOUBLE) / n_keys) AS skew_factor
+FROM (SELECT * FROM counts
+      ORDER BY n_rows DESC, key_value LIMIT {SKEW_TOP_N})
+CROSS JOIN totals
 """,
 }

@@ -42,21 +42,9 @@ def bloom_bitmap_local(benchmark: DataFrame, n: int = CONTAM_N) -> list[int]:
     return dense
 
 
-def bloom_flag_stream(
-    stream_docs: DataFrame,
-    bitmap: list[int],
-    n: int = CONTAM_N,
-    text_col: str = "text",
-) -> DataFrame:
-    """Per-document contamination stats as a stateless stream
-    projection: (doc_id, n_grams, n_flagged, bloom_ratio) — the same
-    contract columns as batch ``bloom_contamination``, and the same
-    universe (documents with at least one full n-gram); equality is
-    asserted row-for-row in tests/test_streaming_curation.py.
-    """
-    bm = F.lit(bitmap)
-    toks = _toks(text_col)
-    grams = F.array_distinct(_word_ngrams(toks, n))
+def _flagged_fn(bm: Column):
+    """Lambda factory: gram Column -> all-K-bloom-positions-set
+    Column, against the in-plan bitmap ``bm``."""
 
     def flagged(g: Column) -> Column:
         h = F.md5(g)
@@ -72,8 +60,26 @@ def bloom_flag_stream(
             hit = hit & (bit == 1)
         return hit
 
+    return flagged
+
+
+def bloom_flag_stream(
+    stream_docs: DataFrame,
+    bitmap: list[int],
+    n: int = CONTAM_N,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination stats as a stateless stream
+    projection: (doc_id, n_grams, n_flagged, bloom_ratio) — the same
+    contract columns as batch ``bloom_contamination``, and the same
+    universe (documents with at least one full n-gram); equality is
+    asserted row-for-row in tests/test_streaming_curation.py.
+    """
+    bm = F.lit(bitmap)
+    toks = _toks(text_col)
+    grams = F.array_distinct(_word_ngrams(toks, n))
     n_grams = F.size(grams)
-    n_flagged = F.size(F.filter(grams, flagged))
+    n_flagged = F.size(F.filter(grams, _flagged_fn(bm)))
     return (
         stream_docs.filter(F.size(toks) >= n)
         .select(
@@ -82,4 +88,85 @@ def bloom_flag_stream(
             n_flagged.cast("long").alias("n_flagged"),
             (n_flagged.cast("double") / n_grams).alias("bloom_ratio"),
         )
+    )
+
+
+MAX_BLOOM_RATIO = 0.05
+
+
+def curate_projection(
+    stream_docs: DataFrame,
+    bitmap: list[int],
+    n: int = CONTAM_N,
+    max_bloom_ratio: float = MAX_BLOOM_RATIO,
+) -> DataFrame:
+    """The full curation pass as ONE narrow projection: PII scrub,
+    classifier score + keep, Bloom contamination ratio, then the
+    filter.  A single select — deliberately NOT a join of the three
+    per-operator frames, which on a stream would be stream-stream
+    self-joins requiring watermark state for no reason.  Stateless,
+    so it composes with any source and inherits exactly-once from
+    the sink checkpoint alone.
+    """
+    from ..operators.curation import CLF_THRESHOLD, quality_score_col
+    from ..operators.text import PII_RULES
+
+    clean = F.col("text")
+    for _, pat, repl in PII_RULES:
+        clean = F.regexp_replace(clean, pat, repl)
+    score = quality_score_col()
+    toks = _toks()
+    grams = F.array_distinct(_word_ngrams(toks, n))
+    flag_fn = _flagged_fn(F.lit(bitmap))
+    n_grams = F.size(grams)
+    n_flagged = F.size(F.filter(grams, flag_fn))
+    return (
+        stream_docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            clean.alias("clean_text"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            score.alias("quality_score"),
+            n_grams.cast("long").alias("n_grams"),
+            n_flagged.cast("long").alias("n_flagged"),
+            (n_flagged.cast("double") / n_grams).alias("bloom_ratio"),
+        )
+        .filter(
+            (F.col("quality_score") >= CLF_THRESHOLD)
+            & (
+                (F.col("n_grams") == 0)
+                | (F.col("bloom_ratio") <= max_bloom_ratio)
+            )
+        )
+    )
+
+
+def start_corpus_ingest(
+    stream_docs: DataFrame,
+    bitmap: list[int],
+    table_path: str,
+    checkpoint: str,
+    max_bloom_ratio: float = MAX_BLOOM_RATIO,
+):
+    """End-to-end streaming corpus curation: PII scrub -> quality
+    classify -> Bloom decontaminate -> exactly-once parquet append,
+    partitioned by source.
+
+    Every stage is the STATELESS spelling (one projection + the
+    in-plan bitmap), so the whole pipeline's only state is the sink
+    checkpoint — restart-safe exactly-once for free, same guarantee
+    as the telemetry bronze path (start_bronze_ingest).  Documents
+    failing the classifier threshold or exceeding the contamination
+    budget are dropped before the write; kept rows carry their scores
+    so downstream mixing can re-weight without recomputing.
+    """
+    curated = curate_projection(stream_docs, bitmap, max_bloom_ratio=max_bloom_ratio)
+    return (
+        curated.writeStream.format("parquet")
+        .option("path", table_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("source")
+        .outputMode("append")
+        .start()
     )

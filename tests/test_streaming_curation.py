@@ -76,3 +76,66 @@ def test_stream_bloom_matches_batch(spark, tmp_path):
     assert len(got) > 0
     # and the stream actually flags something on this corpus
     assert sum(v[1] for v in got.values()) > 0
+
+
+def test_corpus_ingest_end_to_end_and_restart(spark, tmp_path):
+    """start_corpus_ingest: the one-projection curation pipeline over
+    a 2-file replay must (a) write exactly the rows the batch twin of
+    the projection produces, and (b) write NOTHING new on a restart
+    from the same checkpoint with no new input (exactly-once)."""
+    from opc_ua_data_pipeline_spark.streaming.curation import (
+        curate_projection,
+        start_corpus_ingest,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("source") == BENCHMARK_SOURCE)
+    corpus = docs.filter(F.col("source") != BENCHMARK_SOURCE)
+    bitmap = bloom_bitmap_local(bench)
+
+    want = sorted(
+        (r["doc_id"], r["quality_score"], r["n_flagged"])
+        for r in curate_projection(corpus, bitmap).collect()
+    )
+    assert len(want) > 0  # the filter keeps a nonempty curated set
+
+    rows = corpus.orderBy("doc_id").collect()
+    d = tmp_path / "in"
+    d.mkdir()
+    mid = len(rows) // 2
+    for i, chunk in enumerate([rows[:mid], rows[mid:]]):
+        spark.createDataFrame(chunk, corpus.schema).coalesce(1).write.parquet(
+            str(d / f"c{i}")
+        )
+    for i, f in enumerate(sorted(glob.glob(str(d / "c*" / "part-*.parquet")))):
+        os.rename(f, str(d / f"{i:02d}.parquet"))
+
+    out = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        q = start_corpus_ingest(stream, bitmap, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    got = sorted(
+        (r["doc_id"], r["quality_score"], r["n_flagged"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == want
+
+    # restart with no new files: exactly-once means no new rows
+    run_once()
+    again = sorted(
+        (r["doc_id"], r["quality_score"], r["n_flagged"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert again == want
