@@ -66,11 +66,11 @@ _MODULES = [
 # window (verified green in round 1, but the driver REGENERATED the
 # test parquet for round 3 — timestamps are now MICROS/NTZ — so a
 # fresh row on the new data is worth the slots).  The queries that
-# were hash-green in round 2 rotate to the back.  This list is 51
-# entries for a 50-slot window: the final (c) entry deliberately
-# overflows (r1-green, locally green in CORRECTNESS_LOCAL_r03) —
-# every query NOT in the driver window is still value-verified in
-# the committed local artifact.
+# were hash-green in round 2 rotate to the back.  This list exceeds
+# the 50-slot window by a couple of entries: the final (c) entries
+# deliberately overflow (r1-green, locally green in
+# CORRECTNESS_LOCAL_r03) — every query NOT in the driver window is
+# still value-verified in the committed local artifact.
 _PRIORITY = [
     # (a) contract shape changed in round 3
     "tfidf_top_terms",
@@ -89,6 +89,7 @@ _PRIORITY = [
     "embedding_matryoshka",
     "key_skew_profile",
     "corpus_report",
+    "ann_ivfpq_topk",
     # (c) round-2-unwindowed queries, reference surface first
     "enrichment_join",
     "wire_roundtrip",

@@ -199,6 +199,7 @@ def pq_adc_topk(
     k: int = PQ_CODEBOOK_K,
     n_iter: int = PQ_ITERS,
     top_k: int = PQ_ADC_TOP_K,
+    route_by_label: bool = False,
 ) -> DataFrame:
     """Asymmetric distance computation over PQ codes — the PQ serving
     path: each query builds one lookup table per subspace (its squared
@@ -213,10 +214,21 @@ def pq_adc_topk(
     textual order (((p0+p1)+p2)+p3) so the non-associative double sum
     is engine-identical and even approximate distances hash-match the
     oracle.
+
+    ``route_by_label=True`` is the full IVF-PQ search: candidates are
+    restricted to the query's cell (the label column standing in for
+    a trained coarse quantizer, as in similarity.centroid_topk), so
+    the scored set shrinks by ~the cell count while ADC still pays
+    only lookups — the two halves of the standard 100 TB ANN index
+    composed.
     """
     assert dim % n_subspaces == 0
     d_sub = dim // n_subspaces
-    wide = None
+    wide = (
+        corpus.select("vec_id", F.col("label").alias("c_cell"))
+        if route_by_label
+        else None
+    )
     luts = []
     for s in range(n_subspaces):
         sub = corpus.select(
@@ -226,19 +238,25 @@ def pq_adc_topk(
         assigned, cent = _kmeans_loop(sub, k, n_iter)
         codes = assigned.select("vec_id", F.col("cluster").alias(f"code_{s}"))
         wide = codes if wide is None else wide.join(codes, "vec_id")
-        q_sub = queries.select(
+        q_cols = [
             F.col("vec_id").alias("q_id"),
             F.slice("embedding", s * d_sub + 1, d_sub).alias("q_emb"),
-        )
+        ]
+        if route_by_label and s == 0:
+            q_cols.append(F.col("label").alias("q_cell"))
+        q_sub = queries.select(*q_cols)
         sq = F.zip_with(
             F.col("q_emb"),
             F.col("centroid"),
             lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
         )
         pd_ = F.aggregate(sq, F.lit(0.0), lambda acc, d: acc + d)
+        lut_cols = ["q_id"]
+        if route_by_label and s == 0:
+            lut_cols.append("q_cell")
         luts.append(
             q_sub.crossJoin(cent).select(
-                "q_id",
+                *lut_cols,
                 F.col("cluster").alias(f"code_{s}"),
                 pd_.alias(f"pd_{s}"),
             )
@@ -247,6 +265,8 @@ def pq_adc_topk(
     for s, lut in enumerate(luts):
         on = [f"code_{s}"] + (["q_id"] if s > 0 else [])
         adc = adc.join(F.broadcast(lut), on)
+    if route_by_label:
+        adc = adc.filter(F.col("c_cell") == F.col("q_cell"))
     dist = F.col("pd_0")
     for s in range(1, n_subspaces):
         dist = dist + F.col(f"pd_{s}")
@@ -283,10 +303,18 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb.filter(F.col("vec_id") < PQ_N_QUERIES), emb)
 
 
+def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb.filter(F.col("vec_id") < PQ_N_QUERIES), emb, route_by_label=True
+    )
+
+
 QUERIES = {
     "kmeans_assignments": q_kmeans,
     "pq_codes": q_pq_encode,
     "pq_adc_topk": q_pq_adc,
+    "ann_ivfpq_topk": q_ivfpq,
 }
 
 _DIST = """
@@ -391,6 +419,7 @@ def _pq_adc_oracle(
     n_iter: int = PQ_ITERS,
     top_k: int = PQ_ADC_TOP_K,
     n_queries: int = PQ_N_QUERIES,
+    route_by_label: bool = False,
 ) -> str:
     d_sub = dim // n_subspaces
     assert n_iter >= 2, "cent-used name below assumes >=1 recompute"
@@ -408,6 +437,7 @@ def _pq_adc_oracle(
         )
         # the codebook is the centroid table USED for the final assign
         cb = f"s{s}_cent{n_iter - 2}"
+        q_cell = ", q.label AS q_cell" if route_by_label and s == 0 else ""
         ctes.append(
             f"""lut{s} AS (
   SELECT q.vec_id AS q_id, c.cluster AS code_{s},
@@ -415,7 +445,7 @@ def _pq_adc_oracle(
            list_transform(generate_series(1, {d_sub}),
              i -> (CAST(q.embedding[{lo} - 1 + i] AS DOUBLE) - c.centroid[i])
                   * (CAST(q.embedding[{lo} - 1 + i] AS DOUBLE) - c.centroid[i])),
-           (acc, d) -> acc + d) AS pd_{s}
+           (acc, d) -> acc + d) AS pd_{s}{q_cell}
   FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) q
   CROSS JOIN {cb} c
 )"""
@@ -425,10 +455,19 @@ def _pq_adc_oracle(
         + [f"codes{s} c{s} USING (vec_id)" for s in range(1, n_subspaces)]
     )
     code_cols = ", ".join(f"c{s}.code_{s}" for s in range(n_subspaces))
+    cell_col = (
+        ", e.label AS c_cell" if route_by_label else ""
+    )
+    cell_join = (
+        " JOIN embeddings e ON e.vec_id = c0.vec_id" if route_by_label else ""
+    )
     ctes.append(
-        f"codesw AS (SELECT c0.vec_id, {code_cols} FROM {wide_joins})"
+        f"codesw AS (SELECT c0.vec_id, {code_cols}{cell_col} "
+        f"FROM {wide_joins}{cell_join})"
     )
     lut_joins = "codesw w JOIN lut0 l0 ON w.code_0 = l0.code_0"
+    if route_by_label:
+        lut_joins += " AND w.c_cell = l0.q_cell"
     for s in range(1, n_subspaces):
         lut_joins += (
             f" JOIN lut{s} l{s} ON w.code_{s} = l{s}.code_{s}"
@@ -454,4 +493,5 @@ ORACLES = {
     "kmeans_assignments": _kmeans_oracle(),
     "pq_codes": _pq_oracle(),
     "pq_adc_topk": _pq_adc_oracle(),
+    "ann_ivfpq_topk": _pq_adc_oracle(route_by_label=True),
 }
