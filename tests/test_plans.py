@@ -180,3 +180,15 @@ def test_classifier_is_scan_stage_projection(spark):
     plan = formatted_plan(Q["quality_classifier"](spark, SF))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_adc_joins_broadcast_luts(spark):
+    """ADC scoring must join the corpus codes against BROADCAST
+    lookup tables (bounded by |queries| x codebook size) — a shuffle
+    join here would move the corpus for a constant-size side.  (The
+    BroadcastNestedLoopJoins in the plan are the LUT construction's
+    deliberate |queries| x k cross joins — both sides constant-size —
+    so only CartesianProduct is forbidden.)"""
+    plan = formatted_plan(Q["pq_adc_topk"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
