@@ -23,6 +23,7 @@ from opc_ua_data_pipeline_spark.operators import (
     dashboard,
     dedup,
     graph,
+    hyperfunctions,
     ingest,
     layout,
     multimodal,
@@ -54,6 +55,7 @@ _MODULES = [
     training,
     layout,
     curation,
+    hyperfunctions,
 ]
 
 # The driver's correctness pass verifies the FIRST 50 registry entries
@@ -67,10 +69,10 @@ _MODULES = [
 # test parquet for round 3 — timestamps are now MICROS/NTZ — so a
 # fresh row on the new data is worth the slots).  The queries that
 # were hash-green in round 2 rotate to the back.  This list exceeds
-# the 50-slot window by a couple of entries: the final (c) entries
-# deliberately overflow (r1-green, locally green in
-# CORRECTNESS_LOCAL_r03) — every query NOT in the driver window is
-# still value-verified in the committed local artifact.
+# the 50-slot window by a few entries: the final (c) entries
+# deliberately overflow (r1-green, locally green in the committed
+# CORRECTNESS_LOCAL_r03 artifacts at BOTH sf0.01 and sf0.1) — every
+# query NOT in the driver window is still value-verified there.
 _PRIORITY = [
     # (a) contract shape changed in round 3
     "tfidf_top_terms",
@@ -90,6 +92,8 @@ _PRIORITY = [
     "key_skew_profile",
     "corpus_report",
     "ann_ivfpq_topk",
+    "time_weighted_avg",
+    "time_bucket_gapfill",
     # (c) round-2-unwindowed queries, reference surface first
     "enrichment_join",
     "wire_roundtrip",

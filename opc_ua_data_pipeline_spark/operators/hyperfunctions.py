@@ -1,0 +1,180 @@
+"""TimescaleDB-style hyperfunctions over the telemetry view.
+
+The reference stores telemetry in TimescaleDB (database/init.sql), whose
+analytics toolkit's most-used hyperfunctions beyond plain rollups are
+time-weighted aggregates and gap-filling.  Both re-expressed
+Spark-first here:
+
+* ``time_weighted_avg`` — LOCF (last-observation-carried-forward)
+  time-weighted mean per metric: each sample holds its value until the
+  next sample, so its weight is the gap to the successor.  The honest
+  average for irregularly-sampled OPC-UA telemetry, where plain AVG
+  over-weights bursts.
+* ``time_bucket_gapfill`` + LOCF fill — minute buckets materialized for
+  EVERY minute of each metric's span, with empty buckets carrying the
+  last seen value (marked ``is_gap``) — the dashboard-friendly dense
+  series (timescale's time_bucket_gapfill + locf()).
+
+Scale shapes:
+* time-weighted avg: one window (lead) + one groupBy per metric — the
+  same single-shuffle shape as the rollups; weights are exact BIGINT
+  microsecond gaps; the weighted sum follows the repo's decimal-sum
+  contract so partition order cannot change the result.
+* gapfill: the bucket spine is #metrics x #minutes-of-span rows —
+  bounded by wall-clock span, NOT by data volume; the LOCF window is
+  per metric (documented low-cardinality key, same contract as
+  progress_clamp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .ingest import TELEMETRY_SQL, telemetry
+
+_DEC = "decimal(38,6)"
+
+
+def time_weighted_avg(tel: DataFrame) -> DataFrame:
+    """LOCF time-weighted average of ``value_num`` per metric.
+
+    weight_i = micros(next sample's time) - micros(time): exact BIGINT.
+    The final sample of each metric has no successor — its holding
+    period is unknown, so it contributes no weight (standard LOCF
+    endpoint rule).  The weighted sum is ``(value * dt)`` cast to
+    DECIMAL(38,6) then summed — associative, partition-order-free —
+    and both final casts to DOUBLE divide as identical doubles on
+    every engine.
+    """
+    w = Window.partitionBy("metric").orderBy("time", "event_id")
+    dt = (
+        F.unix_micros(F.lead("time").over(w)) - F.unix_micros(F.col("time"))
+    ).alias("dt")
+    samples = (
+        tel.filter(F.col("value_num").isNotNull())
+        .select("metric", "time", "event_id", "value_num")
+        .withColumn("dt", dt)
+        .filter(F.col("dt").isNotNull())
+    )
+    return samples.groupBy("metric").agg(
+        (
+            F.sum(
+                (F.col("value_num") * F.col("dt").cast("double")).cast(_DEC)
+            ).cast("double")
+            / F.sum("dt").cast("double")
+        ).alias("time_weighted_avg"),
+        F.sum("dt").alias("total_weight_micros"),
+        F.count(F.lit(1)).alias("n_weighted_samples"),
+    )
+
+
+def time_bucket_gapfill(tel: DataFrame) -> DataFrame:
+    """Dense minute series per metric with LOCF fill.
+
+    Spine: every minute from each metric's first to last sample
+    (inclusive) — sequence + explode, bounded by time span.  Observed
+    buckets carry the decimal-exact minute average; empty buckets
+    carry the last observed average (``is_gap`` = true).  Leading
+    buckets before the first observation cannot exist by
+    construction (the spine starts at the first sample's minute).
+    """
+    samples = tel.filter(F.col("value_num").isNotNull())
+    minute = F.date_trunc("minute", F.col("time"))
+    observed = (
+        samples.groupBy(F.col("metric"), minute.alias("bucket"))
+        .agg(
+            (
+                F.sum(F.col("value_num").cast(_DEC)).cast("double")
+                / F.count("value_num")
+            ).alias("avg_value")
+        )
+    )
+    spine = (
+        samples.groupBy("metric")
+        .agg(
+            F.date_trunc("minute", F.min("time")).alias("mn"),
+            F.date_trunc("minute", F.max("time")).alias("mx"),
+        )
+        .select(
+            "metric",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 minute"))
+            ).alias("bucket"),
+        )
+    )
+    w = Window.partitionBy("metric").orderBy("bucket")
+    joined = spine.join(observed, ["metric", "bucket"], "left")
+    return joined.select(
+        "metric",
+        "bucket",
+        F.last("avg_value", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("avg_value"),
+        F.col("avg_value").isNull().alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_weighted_avg(telemetry(spark, sf_dir))
+
+
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return time_bucket_gapfill(telemetry(spark, sf_dir))
+
+
+QUERIES = {
+    "time_weighted_avg": q_time_weighted_avg,
+    "time_bucket_gapfill": q_gapfill,
+}
+
+ORACLES = {
+    "time_weighted_avg": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+samples AS (
+  SELECT metric, "time", event_id, value_num,
+         epoch_us(LEAD("time") OVER (PARTITION BY metric
+                                     ORDER BY "time", event_id))
+           - epoch_us("time") AS dt
+  FROM telemetry WHERE value_num IS NOT NULL
+)
+SELECT metric,
+       CAST(SUM(CAST(value_num * CAST(dt AS DOUBLE) AS DECIMAL(38,6)))
+            AS DOUBLE) / CAST(SUM(dt) AS DOUBLE) AS time_weighted_avg,
+       CAST(SUM(dt) AS BIGINT) AS total_weight_micros,
+       COUNT(*) AS n_weighted_samples
+FROM samples WHERE dt IS NOT NULL
+GROUP BY metric
+""",
+    "time_bucket_gapfill": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+samples AS (SELECT * FROM telemetry WHERE value_num IS NOT NULL),
+observed AS (
+  SELECT metric, date_trunc('minute', "time") AS bucket,
+         CAST(SUM(CAST(value_num AS DECIMAL(38,6))) AS DOUBLE)
+           / COUNT(value_num) AS avg_value
+  FROM samples GROUP BY 1, 2
+),
+spine AS (
+  SELECT metric,
+         UNNEST(generate_series(date_trunc('minute', mn),
+                                date_trunc('minute', mx),
+                                INTERVAL '1 minute')) AS bucket
+  FROM (SELECT metric, MIN("time") AS mn, MAX("time") AS mx
+        FROM samples GROUP BY metric)
+)
+SELECT s.metric, s.bucket,
+       LAST_VALUE(o.avg_value IGNORE NULLS)
+         OVER (PARTITION BY s.metric ORDER BY s.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS avg_value,
+       o.avg_value IS NULL AS is_gap
+FROM spine s LEFT JOIN observed o
+  ON s.metric = o.metric AND s.bucket = o.bucket
+""",
+}

@@ -1,0 +1,84 @@
+"""Semantic tests for the TimescaleDB-style hyperfunctions
+(operators/hyperfunctions.py) on synthetic fixtures with known gaps
+and holding periods — the oracle parity test covers the driver data;
+these pin the LOCF rules themselves.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+    time_bucket_gapfill,
+    time_weighted_avg,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _tel(spark, rows):
+    """rows: (metric, iso_minute_offset_seconds, value_num)"""
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    data = [
+        (base + datetime.timedelta(seconds=s), m, v, None, None, i)
+        for i, (m, s, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "time timestamp, metric string, value_num double, "
+        "value_str string, operator string, event_id long",
+    )
+
+
+def test_time_weighted_avg_holds_values_until_next_sample(spark):
+    # value 10 held for 60s, then 20 held for 180s; final sample has
+    # no successor -> excluded.  twa = (10*60 + 20*180) / 240 = 17.5
+    tel = _tel(
+        spark,
+        [("m", 0, 10.0), ("m", 60, 20.0), ("m", 240, 99.0)],
+    )
+    r = {row["metric"]: row for row in time_weighted_avg(tel).collect()}
+    assert r["m"]["time_weighted_avg"] == pytest.approx(17.5)
+    assert r["m"]["total_weight_micros"] == 240_000_000
+    assert r["m"]["n_weighted_samples"] == 2
+
+
+def test_time_weighted_avg_differs_from_plain_avg_on_bursts(spark):
+    # a burst of 3 samples at value 100 within one second, then one
+    # sample at 0 held for 10 minutes: plain avg ~75, twa ~= 100 only
+    # for ~1s of 600 -> near 0... LOCF weights make the burst almost
+    # irrelevant.
+    tel = _tel(
+        spark,
+        [
+            ("m", 0, 100.0),
+            ("m", 1, 100.0),
+            ("m", 2, 100.0),
+            ("m", 3, 0.0),
+            ("m", 603, 0.0),
+        ],
+    )
+    r = time_weighted_avg(tel).collect()[0]
+    assert r["time_weighted_avg"] < 1.0  # burst contributes ~3s/603s
+
+
+def test_gapfill_locf_fills_missing_minutes(spark):
+    # samples in minute 0 and minute 3 -> minutes 1, 2 are gaps
+    # carrying minute-0's average
+    tel = _tel(
+        spark,
+        [("m", 10, 4.0), ("m", 20, 6.0), ("m", 185, 9.0)],
+    )
+    out = {
+        row["bucket"].minute: row
+        for row in time_bucket_gapfill(tel).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[0]["avg_value"] == pytest.approx(5.0)
+    assert not out[0]["is_gap"]
+    assert out[1]["avg_value"] == pytest.approx(5.0) and out[1]["is_gap"]
+    assert out[2]["avg_value"] == pytest.approx(5.0) and out[2]["is_gap"]
+    assert out[3]["avg_value"] == pytest.approx(9.0)
+    assert not out[3]["is_gap"]
