@@ -94,6 +94,8 @@ _PRIORITY = [
     "ann_ivfpq_topk",
     "time_weighted_avg",
     "time_bucket_gapfill",
+    "counter_agg",
+    "trend_slope",
     # (c) round-2-unwindowed queries, reference surface first
     "enrichment_join",
     "wire_roundtrip",

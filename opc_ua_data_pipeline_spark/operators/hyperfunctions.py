@@ -115,6 +115,99 @@ def time_bucket_gapfill(tel: DataFrame) -> DataFrame:
     )
 
 
+def counter_agg(tel: DataFrame) -> DataFrame:
+    """Resets-aware counter aggregate (timescale ``counter_agg`` /
+    ``delta``): OPC-UA production counters are monotonic but reset on
+    machine restart; the true delta over a window is the sum of
+    positive sample-to-sample increases, with drops treated as resets
+    (the post-reset value counts fully, as the counter restarted from
+    0 — Prometheus/Timescale extrapolation-free rule).
+
+    One lag window + one groupBy per metric.  Deltas of doubles are
+    exact doubles; the decimal-cast sum keeps partition order out of
+    the result.  rate = delta / elapsed wall-clock (exact micros).
+    """
+    w = Window.partitionBy("metric").orderBy("time", "event_id")
+    prev = F.lag("value_num").over(w)
+    samples = (
+        tel.filter(F.col("value_num").isNotNull())
+        .select("metric", "time", "event_id", "value_num")
+        .withColumn("prev", prev)
+    )
+    inc = F.when(
+        F.col("prev").isNull(), F.lit(None).cast("double")
+    ).when(
+        F.col("value_num") >= F.col("prev"),
+        F.col("value_num") - F.col("prev"),
+    ).otherwise(F.col("value_num"))
+    return samples.groupBy("metric").agg(
+        F.sum(inc.cast(_DEC)).cast("double").alias("counter_delta"),
+        F.count(F.when(F.col("value_num") < F.col("prev"), 1)).alias(
+            "n_resets"
+        ),
+        (
+            F.sum(inc.cast(_DEC)).cast("double")
+            / (
+                (
+                    F.unix_micros(F.max("time"))
+                    - F.unix_micros(F.min("time"))
+                ).cast("double")
+                / 1e6
+            )
+        ).alias("rate_per_sec"),
+    )
+
+
+def trend_slope(tel: DataFrame) -> DataFrame:
+    """Per-metric linear trend (timescale ``stats_agg`` -> slope/
+    intercept): least-squares fit of value against time — the drift
+    detector for slowly-degrading sensors.
+
+    Determinism plan: x is re-centered to micros-since-first-sample
+    (exact BIGINT, bounded by the metric's span, so ``x`` and ``x·x``
+    round-trip double multiplication identically everywhere); the
+    per-row products cast to DECIMAL(38,6) before summing (the repo's
+    associativity contract); the closed-form slope then evaluates in
+    one pinned textual order on both engines.  The raw-moment formula
+    is catastrophically cancelling (n·Σxy − Σx·Σy subtracts ~equal
+    1e20s), which amplifies the one place engines disagree — the
+    DECIMAL→DOUBLE conversion of huge sums is correctly-rounded in
+    the JVM but double-rounded for int128 in other engines — so the
+    published slope/intercept are rounded to DECIMAL(38,12) and
+    re-cast (the tfidf ulp-collapse contract).  Slope is reported per
+    SECOND (per-micro slope × 1e6).
+    """
+    w = Window.partitionBy("metric")
+    samples = (
+        tel.filter(F.col("value_num").isNotNull())
+        .select("metric", "time", "value_num")
+        .withColumn(
+            "x",
+            (
+                F.unix_micros(F.col("time"))
+                - F.min(F.unix_micros(F.col("time"))).over(w)
+            ).cast("double"),
+        )
+    )
+    sx = F.sum(F.col("x").cast(_DEC)).cast("double")
+    sy = F.sum(F.col("value_num").cast(_DEC)).cast("double")
+    sxy = F.sum((F.col("x") * F.col("value_num")).cast(_DEC)).cast("double")
+    sxx = F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    slope_micro = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return samples.groupBy("metric").agg(
+        (slope_micro * F.lit(1e6))
+        .cast("decimal(38,12)")
+        .cast("double")
+        .alias("slope_per_sec"),
+        ((sy - slope_micro * sx) / n)
+        .cast("decimal(38,12)")
+        .cast("double")
+        .alias("intercept"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -128,9 +221,19 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_bucket_gapfill(telemetry(spark, sf_dir))
 
 
+def q_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return counter_agg(telemetry(spark, sf_dir))
+
+
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trend_slope(telemetry(spark, sf_dir))
+
+
 QUERIES = {
     "time_weighted_avg": q_time_weighted_avg,
     "time_bucket_gapfill": q_gapfill,
+    "counter_agg": q_counter_agg,
+    "trend_slope": q_trend_slope,
 }
 
 ORACLES = {
@@ -150,6 +253,58 @@ SELECT metric,
        COUNT(*) AS n_weighted_samples
 FROM samples WHERE dt IS NOT NULL
 GROUP BY metric
+""",
+    "counter_agg": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+samples AS (
+  SELECT metric, "time", event_id, value_num,
+         LAG(value_num) OVER (PARTITION BY metric
+                              ORDER BY "time", event_id) AS prev
+  FROM telemetry WHERE value_num IS NOT NULL
+),
+incs AS (
+  SELECT metric, "time", value_num, prev,
+         CASE WHEN prev IS NULL THEN NULL
+              WHEN value_num >= prev THEN value_num - prev
+              ELSE value_num END AS inc
+  FROM samples
+)
+SELECT metric,
+       CAST(SUM(CAST(inc AS DECIMAL(38,6))) AS DOUBLE) AS counter_delta,
+       CAST(COUNT(CASE WHEN value_num < prev THEN 1 END) AS BIGINT)
+         AS n_resets,
+       CAST(SUM(CAST(inc AS DECIMAL(38,6))) AS DOUBLE)
+         / (CAST(epoch_us(MAX("time")) - epoch_us(MIN("time")) AS DOUBLE)
+            / 1e6) AS rate_per_sec
+FROM incs
+GROUP BY metric
+""",
+    "trend_slope": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+samples AS (
+  SELECT metric, value_num,
+         CAST(epoch_us("time")
+                - MIN(epoch_us("time")) OVER (PARTITION BY metric)
+              AS DOUBLE) AS x
+  FROM telemetry WHERE value_num IS NOT NULL
+),
+agg AS (
+  SELECT metric,
+         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value_num AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * value_num AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         COUNT(*) AS n_samples
+  FROM samples GROUP BY metric
+)
+SELECT metric,
+       CAST(CAST(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e6
+                 AS DECIMAL(38,12)) AS DOUBLE) AS slope_per_sec,
+       CAST(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                 AS DECIMAL(38,12)) AS DOUBLE) AS intercept,
+       n_samples
+FROM agg
 """,
     "time_bucket_gapfill": f"""
 WITH telemetry AS ({TELEMETRY_SQL}),

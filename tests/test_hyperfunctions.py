@@ -82,3 +82,36 @@ def test_gapfill_locf_fills_missing_minutes(spark):
     assert out[2]["avg_value"] == pytest.approx(5.0) and out[2]["is_gap"]
     assert out[3]["avg_value"] == pytest.approx(9.0)
     assert not out[3]["is_gap"]
+
+
+def test_counter_agg_handles_resets(spark):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        counter_agg,
+    )
+
+    # 0 -> 10 -> 25 -> RESET(3) -> 8: delta = 10 + 15 + 3 + 5 = 33
+    tel = _tel(
+        spark,
+        [("c", 0, 0.0), ("c", 10, 10.0), ("c", 20, 25.0),
+         ("c", 30, 3.0), ("c", 40, 8.0)],
+    )
+    r = counter_agg(tel).collect()[0]
+    assert r["counter_delta"] == pytest.approx(33.0)
+    assert r["n_resets"] == 1
+    assert r["rate_per_sec"] == pytest.approx(33.0 / 40.0)
+
+
+def test_trend_slope_recovers_known_line(spark):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        trend_slope,
+    )
+
+    # y = 2*t_seconds + 5 exactly
+    tel = _tel(
+        spark,
+        [("m", s, 2.0 * s + 5.0) for s in (0, 30, 60, 90, 120)],
+    )
+    r = trend_slope(tel).collect()[0]
+    assert r["slope_per_sec"] == pytest.approx(2.0, rel=1e-6)
+    assert r["intercept"] == pytest.approx(5.0, rel=1e-6)
+    assert r["n_samples"] == 5
