@@ -96,6 +96,8 @@ _PRIORITY = [
     "time_bucket_gapfill",
     "counter_agg",
     "trend_slope",
+    "m4_downsample",
+    "uptime_agg",
     # (c) round-2-unwindowed queries, reference surface first
     "enrichment_join",
     "wire_roundtrip",

@@ -208,6 +208,78 @@ def trend_slope(tel: DataFrame) -> DataFrame:
     )
 
 
+def m4_downsample(tel: DataFrame) -> DataFrame:
+    """M4 downsampling per (metric, minute bucket): first/last/min/max
+    of the value — the standard error-free line-chart reduction (a
+    pixel column only ever renders those four points), and what a
+    Grafana panel should pull instead of raw rows at scale.
+
+    first/last are by (time, event_id) order via min_by/max_by on a
+    zero-padded string composite key — lexicographic order over
+    fixed-width digits equals the (time, event_id) order, and a
+    VARCHAR ordering key is the one form every engine's arg_min/
+    arg_max agrees on (DuckDB rejects struct keys).  One shuffle,
+    map-side combinable.
+    """
+    minute = F.date_trunc("minute", F.col("time"))
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("time")).cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    return (
+        tel.filter(F.col("value_num").isNotNull())
+        .groupBy(F.col("metric"), minute.alias("bucket"))
+        .agg(
+            F.min_by("value_num", key).alias("first_value"),
+            F.max_by("value_num", key).alias("last_value"),
+            F.min("value_num").alias("min_value"),
+            F.max("value_num").alias("max_value"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
+HEARTBEAT_TOLERANCE_SEC = 120
+
+
+def uptime_agg(
+    tel: DataFrame, tolerance_sec: int = HEARTBEAT_TOLERANCE_SEC
+) -> DataFrame:
+    """Heartbeat/uptime aggregate (timescale ``heartbeat_agg``): treat
+    each sample as a liveness ping; gaps longer than ``tolerance_sec``
+    split live intervals, and uptime is the summed span of the merged
+    intervals.  Exactly the reference's "is the machine running"
+    question computed from telemetry itself.
+
+    Same gap-split cumsum shape as sessionize: lag + boundary flag +
+    running interval id, then two exact integer aggregations (span
+    sums in micros).  One window + two groupBys, all per metric.
+    """
+    w = Window.partitionBy("metric").orderBy("time", "event_id")
+    gap = F.unix_micros(F.col("time")) - F.unix_micros(
+        F.lag("time").over(w)
+    )
+    new_interval = F.when(
+        gap.isNull() | (gap > tolerance_sec * 1_000_000), 1
+    ).otherwise(0)
+    flagged = tel.select("metric", "time", "event_id").withColumn(
+        "interval_id",
+        F.sum(new_interval).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    intervals = flagged.groupBy("metric", "interval_id").agg(
+        (
+            F.unix_micros(F.max("time")) - F.unix_micros(F.min("time"))
+        ).alias("span_micros")
+    )
+    return intervals.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("span_micros").cast("bigint").alias("uptime_micros"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -229,11 +301,21 @@ def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_slope(telemetry(spark, sf_dir))
 
 
+def q_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return m4_downsample(telemetry(spark, sf_dir))
+
+
+def q_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return uptime_agg(telemetry(spark, sf_dir))
+
+
 QUERIES = {
     "time_weighted_avg": q_time_weighted_avg,
     "time_bucket_gapfill": q_gapfill,
     "counter_agg": q_counter_agg,
     "trend_slope": q_trend_slope,
+    "m4_downsample": q_m4,
+    "uptime_agg": q_uptime,
 }
 
 ORACLES = {
@@ -305,6 +387,49 @@ SELECT metric,
                  AS DECIMAL(38,12)) AS DOUBLE) AS intercept,
        n_samples
 FROM agg
+""",
+    "m4_downsample": f"""
+WITH telemetry AS ({TELEMETRY_SQL})
+SELECT metric,
+       date_trunc('minute', "time") AS bucket,
+       arg_min(value_num, lpad(CAST(epoch_us("time") AS VARCHAR), 20, '0')
+                          || '-' || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+         AS first_value,
+       arg_max(value_num, lpad(CAST(epoch_us("time") AS VARCHAR), 20, '0')
+                          || '-' || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+         AS last_value,
+       MIN(value_num) AS min_value,
+       MAX(value_num) AS max_value,
+       COUNT(*) AS n_samples
+FROM telemetry
+WHERE value_num IS NOT NULL
+GROUP BY 1, 2
+""",
+    "uptime_agg": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+flagged AS (
+  SELECT metric, "time",
+         SUM(CASE WHEN prev IS NULL
+                    OR epoch_us("time") - epoch_us(prev)
+                       > {HEARTBEAT_TOLERANCE_SEC} * 1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY metric ORDER BY "time", event_id
+                 ROWS UNBOUNDED PRECEDING) AS interval_id
+  FROM (SELECT metric, "time", event_id,
+               LAG("time") OVER (PARTITION BY metric
+                                 ORDER BY "time", event_id) AS prev
+        FROM telemetry)
+),
+intervals AS (
+  SELECT metric, interval_id,
+         epoch_us(MAX("time")) - epoch_us(MIN("time")) AS span_micros
+  FROM flagged GROUP BY metric, interval_id
+)
+SELECT metric,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(span_micros) AS BIGINT) AS uptime_micros
+FROM intervals
+GROUP BY metric
 """,
     "time_bucket_gapfill": f"""
 WITH telemetry AS ({TELEMETRY_SQL}),

@@ -115,3 +115,36 @@ def test_trend_slope_recovers_known_line(spark):
     assert r["slope_per_sec"] == pytest.approx(2.0, rel=1e-6)
     assert r["intercept"] == pytest.approx(5.0, rel=1e-6)
     assert r["n_samples"] == 5
+
+
+def test_m4_downsample_picks_first_last_min_max(spark):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        m4_downsample,
+    )
+
+    tel = _tel(
+        spark,
+        [("m", 1, 5.0), ("m", 10, 1.0), ("m", 20, 9.0), ("m", 50, 3.0)],
+    )
+    r = m4_downsample(tel).collect()[0]
+    assert r["first_value"] == 5.0
+    assert r["last_value"] == 3.0
+    assert r["min_value"] == 1.0
+    assert r["max_value"] == 9.0
+    assert r["n_samples"] == 4
+
+
+def test_uptime_agg_merges_within_tolerance_and_splits_gaps(spark):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        uptime_agg,
+    )
+
+    # pings at 0, 60, 120 (one interval, span 120 s), then a 10-min
+    # gap, then 720, 780 (second interval, span 60 s)
+    tel = _tel(
+        spark,
+        [("m", s, 1.0) for s in (0, 60, 120, 720, 780)],
+    )
+    r = uptime_agg(tel).collect()[0]
+    assert r["n_intervals"] == 2
+    assert r["uptime_micros"] == (120 + 60) * 1_000_000

@@ -136,7 +136,17 @@ def test_type_dispatch_invariants(spark, values):
         else:
             try:
                 f = float(v)
-                is_num = not math.isnan(f) and not math.isinf(f)
+                # Python float() also accepts non-ASCII Unicode digits
+                # (e.g. '٠', ARABIC-INDIC ZERO), which the reference's
+                # wire format can never carry — its producer
+                # serializes str(float), always ASCII — and which
+                # Spark's double cast (correctly) rejects.  The model
+                # therefore counts only ASCII-spelled numbers.
+                is_num = (
+                    v.isascii()
+                    and not math.isnan(f)
+                    and not math.isinf(f)
+                )
             except ValueError:
                 is_num = False
             if is_num:
