@@ -74,9 +74,18 @@ _MODULES = [
 # CORRECTNESS_LOCAL_r03 artifacts at BOTH sf0.01 and sf0.1) — every
 # query NOT in the driver window is still value-verified there.
 _PRIORITY = [
-    # (a) contract shape changed in round 3
+    # (a) contract shape or implementation changed in round 3:
+    # tfidf/media changed output shape; the minhash/simhash family
+    # changed implementation (md5 digest QUARTERS for signatures,
+    # packed simhash vote counters, SQL-string plans) — stale rows
+    # outrank unchanged-green ones.
     "tfidf_top_terms",
     "media_features",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "dedup_verified_near_dups",
+    "simhash",
+    "simhash_near_dup_pairs",
     # (b) new round-3 operators (operators/curation.py)
     "quality_classifier",
     "source_budget_trim",
@@ -127,11 +136,6 @@ _PRIORITY = [
     "clicked_never_purchased",
     "dedup_exact",
     "dedup_jaccard_pairs",
-    "minhash_signatures",
-    "minhash_candidate_pairs",
-    "dedup_verified_near_dups",
-    "simhash",
-    "simhash_near_dup_pairs",
     "dedup_bow_groups",
     "dedup_incremental_new",
     "dedup_clusters",
