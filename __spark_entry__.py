@@ -28,6 +28,7 @@ from opc_ua_data_pipeline_spark.operators import (
     layout,
     multimodal,
     relational,
+    retrieval,
     rollups,
     sampling,
     similarity,
@@ -56,6 +57,7 @@ _MODULES = [
     layout,
     curation,
     hyperfunctions,
+    retrieval,
 ]
 
 # The driver's correctness pass verifies the FIRST 50 registry entries
@@ -74,6 +76,14 @@ _MODULES = [
 # CORRECTNESS_LOCAL_r03 artifacts at BOTH sf0.01 and sf0.1) — every
 # query NOT in the driver window is still value-verified there.
 _PRIORITY = [
+    # (0) newest operators (no prior CORRECTNESS row at all):
+    # retrieval.py (RAG chunking, BM25, count-min heavy hitters,
+    # hybrid RRF fusion) + the sequential-Poisson weighted sampler.
+    "chunk_documents",
+    "bm25_topk",
+    "heavy_hitters_cms",
+    "hybrid_search_rrf",
+    "weighted_sample",
     # (a) contract shape or implementation changed in round 3:
     # tfidf/media changed output shape; the minhash/simhash family
     # changed implementation (md5 digest QUARTERS for signatures,

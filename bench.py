@@ -62,6 +62,11 @@ HEADLINE = [
     "line_dedup",            # corpus-level line dedup + reassembly
     "bloom_contamination",   # constant-size bitmap decontamination
     "source_budget_trim",    # per-source greedy token budget
+    # retrieval + sampling ops added late in round 3:
+    "chunk_documents",       # RAG chunker: narrow generator projection
+    "bm25_topk",             # sparse keyword search, broadcast stats
+    "heavy_hitters_cms",     # count-min sketch + exact twin
+    "weighted_sample",       # sequential-Poisson weighted sample
 ]
 
 

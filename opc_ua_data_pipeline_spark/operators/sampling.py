@@ -236,8 +236,65 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHTED_SAMPLE_K = 100
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    key: str,
+    k: int = WEIGHTED_SAMPLE_K,
+    salt: str = "ws",
+) -> DataFrame:
+    """Sequential Poisson sampling (Ohlsson): a deterministic weighted
+    sample WITHOUT replacement of size k — inclusion probability
+    approximately proportional to ``weight_col``.
+
+    Each row gets a priority ``q = u / w`` where
+    ``u = (int(md5(key||salt)[:8], 16) + 1) / 2^32`` and
+    ``w = max(weight, 1)``; the sample is the k SMALLEST priorities.
+    Unlike the exponential-sort scheme (``-ln(u)/w``), this needs NO
+    libm call: u is exact (integer + power-of-two divide, both
+    error-free) and q is one IEEE division (correctly rounded), so
+    the priorities are bit-identical on every engine with no
+    ulp-collapse contract.
+
+    At 100 TB: a narrow projection + TakeOrderedAndProject (per-
+    partition k-row heaps, k-row driver merge) — no shuffle of the
+    corpus, no coordination state, reproducible under any layout.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key).cast("string"), F.lit(":" + salt))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)
+    w_ = F.greatest(F.col(weight_col), F.lit(1)).cast("double")
+    scored = df.select(
+        F.col(key),
+        F.col(weight_col).alias("weight"),
+        (u / w_).alias("priority"),
+    )
+    topk = scored.orderBy(F.col("priority").asc(), F.col(key).asc()).limit(k)
+    rank_w = Window.orderBy(F.col("priority").asc(), F.col(key).asc())
+    return topk.withColumn(
+        "sample_rank", F.row_number().over(rank_w).cast("int")
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample_topk(
+        load_table(spark, sf_dir, "documents"), "n_chars", "doc_id"
+    )
+
+
 QUERIES = {
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "dataset_mix": q_dataset_mix,
     "per_source_cap": q_source_cap,
     "epoch_mix": q_epoch_mix,
@@ -312,4 +369,20 @@ FROM (
 WHERE epoch < ({_FULL_EPOCHS})
    OR substr(md5(CAST(doc_id AS VARCHAR) || ':mixep' || CAST(epoch AS VARCHAR)),
              1, 8) < ({_FRAC_THRESH})
+"""
+
+ORACLES["weighted_sample"] = f"""
+WITH scored AS (
+  SELECT doc_id,
+         n_chars AS weight,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8))
+               AS BIGINT) + 1.0) / 4294967296.0
+           / CAST(greatest(n_chars, 1) AS DOUBLE) AS priority
+  FROM documents
+)
+SELECT doc_id, weight, priority,
+       CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS INTEGER)
+         AS sample_rank
+FROM scored
+QUALIFY sample_rank <= {WEIGHTED_SAMPLE_K}
 """
