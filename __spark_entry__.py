@@ -84,6 +84,8 @@ _PRIORITY = [
     "heavy_hitters_cms",
     "hybrid_search_rrf",
     "weighted_sample",
+    "text_bigram_logprob",
+    "neardup_pagerank",
     # (a) contract shape or implementation changed in round 3:
     # tfidf/media changed output shape; the minhash/simhash family
     # changed implementation (md5 digest QUARTERS for signatures,

@@ -293,6 +293,94 @@ def unigram_logprob_scores(df: DataFrame) -> DataFrame:
     )
 
 
+#: Add-k smoothing constant for the bigram LM (0.5 = Jeffreys prior;
+#: exactly representable in binary so the smoothed ratios are built
+#: from error-free operands on both engines).
+BIGRAM_SMOOTH_K = 0.5
+
+
+def _bigrams(text_col: str = "text") -> "Column":
+    """Adjacent-token bigrams as 'w1 w2' strings (empty for <2-token
+    docs).  1-based element_at over a 1..n-1 index sequence, guarded
+    because Spark's sequence(1, 0) counts DOWN instead of returning
+    empty."""
+    toks = _toks(text_col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bigram_logprob_scores(df: DataFrame) -> DataFrame:
+    """Fluency score under a corpus-trained BIGRAM language model with
+    add-k smoothing — the next step up from
+    :func:`unigram_logprob_scores` toward the KenLM-style perplexity
+    filters real curation pipelines deploy (same operator shape: train
+    counts on the corpus, join scores back on a key).
+
+    ``P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V)`` with V = unigram
+    vocabulary size; a document's score is the mean ln P over its
+    bigrams (docs with <2 tokens have no bigrams and drop out — the
+    length filters run upstream of any LM filter anyway).
+
+    Exactness: each bigram's logprob is rounded to DECIMAL(18,9)
+    (ulp-collapse, tfidf precedent) and the per-doc sum is exact
+    decimal addition; one double divide at the end.
+
+    At 100 TB: two count aggregates (bigram table ≲ corpus tokens,
+    unigram table = vocab), one 1-row vocab-size broadcast, then an
+    equi-join of exploded doc bigrams against the LM — same Zipf-skew
+    profile as the unigram join (AQE skew split handles the head; a
+    production top-K + backoff variant makes the LM broadcastable but
+    changes the score, so it isn't the oracle-checked form).
+    """
+    uni = (
+        df.select(F.explode(_toks()).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n_w1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    big = (
+        df.select(F.explode(_bigrams()).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_bg"))
+    )
+    k = BIGRAM_SMOOTH_K
+    lm = (
+        big.withColumn("w1", F.split("bg", " ")[0])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.log(
+                (F.col("n_bg").cast("double") + F.lit(k))
+                / (
+                    F.col("n_w1").cast("double")
+                    + F.lit(k) * F.col("v").cast("double")
+                )
+            )
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    doc_bg = df.select("doc_id", F.explode(_bigrams()).alias("bg"))
+    return (
+        doc_bg.join(lm, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("lp").cast("double") / F.count(F.lit(1))).alias(
+                "mean_bigram_logprob"
+            ),
+        )
+    )
+
+
 def corpus_stats(df: DataFrame) -> DataFrame:
     """Corpus rollup by (lang, source): doc counts and size stats —
     one partial-aggregated shuffle."""
@@ -342,6 +430,9 @@ QUERIES = {
         load_table(spark, sf, "documents")
     ),
     "text_unigram_logprob": lambda spark, sf: unigram_logprob_scores(
+        load_table(spark, sf, "documents")
+    ),
+    "text_bigram_logprob": lambda spark, sf: bigram_logprob_scores(
         load_table(spark, sf, "documents")
     ),
     "pii_scrub": lambda spark, sf: pii_scrub(
@@ -448,6 +539,44 @@ SELECT doc_id,
        CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS mean_logprob
 FROM (SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents) dt
 JOIN lm ON dt.term = lm.term
+GROUP BY doc_id
+""",
+    "text_bigram_logprob": f"""
+WITH uni AS (
+  SELECT w1, COUNT(*) AS n_w1
+  FROM (SELECT UNNEST({_TOKS}) AS w1 FROM documents)
+  GROUP BY w1
+),
+vocab AS (SELECT COUNT(*) AS v FROM uni),
+big AS (
+  SELECT bg, COUNT(*) AS n_bg
+  FROM (
+    SELECT UNNEST(list_transform(range(1, len(ts)),
+                                 i -> ts[i] || ' ' || ts[i + 1])) AS bg
+    FROM (SELECT {_TOKS} AS ts FROM documents)
+  )
+  GROUP BY bg
+),
+lm AS (
+  SELECT bg,
+         CAST(ln((CAST(n_bg AS DOUBLE) + {BIGRAM_SMOOTH_K!r})
+                 / (CAST(n_w1 AS DOUBLE)
+                    + {BIGRAM_SMOOTH_K!r} * CAST(v AS DOUBLE)))
+              AS DECIMAL(18,9)) AS lp
+  FROM big
+  JOIN uni ON string_split(bg, ' ')[1] = uni.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS mean_bigram_logprob
+FROM (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM (SELECT doc_id, {_TOKS} AS ts FROM documents)
+) db
+JOIN lm ON db.bg = lm.bg
 GROUP BY doc_id
 """,
     "text_vocab_stats": f"""

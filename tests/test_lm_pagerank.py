@@ -1,0 +1,78 @@
+"""Property tests for the bigram LM scorer and near-dup PageRank
+(oracle parity runs in tests/test_oracle_parity.py; these pin the
+semantics the oracle can't see)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opc_ua_data_pipeline_spark.operators.graph import pagerank
+from opc_ua_data_pipeline_spark.operators.text import (
+    _bigrams,
+    bigram_logprob_scores,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        list(enumerate(rows)), "doc_id long, text string"
+    )
+
+
+def test_bigram_extraction(spark):
+    df = _docs(spark, ["a b c", "a", "", "x  y"])
+    got = {
+        r.doc_id: r.bg
+        for r in df.select("doc_id", _bigrams().alias("bg")).collect()
+    }
+    assert got[0] == ["a b", "b c"]
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["x y"]  # tokenizer drops empty tokens
+
+
+def test_bigram_lm_prefers_frequent_patterns(spark):
+    # "a b" appears 9x in the corpus, "a z" once: the doc built from
+    # the frequent bigram must out-score the doc with the rare one.
+    corpus = _docs(spark, ["a b a b a b a b", "a b a b a b a b a b", "a z"])
+    out = {r.doc_id: r for r in bigram_logprob_scores(corpus).collect()}
+    assert out[0].mean_bigram_logprob > out[2].mean_bigram_logprob
+    # short docs (<2 tokens) drop out entirely
+    out2 = bigram_logprob_scores(_docs(spark, ["solo", "a b"])).collect()
+    assert {r.doc_id for r in out2} == {1}
+
+
+def test_pagerank_star_graph(spark):
+    # star: 0-1, 0-2, 0-3 — the hub must dominate, leaves tie exactly
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "doc_a long, doc_b long"
+    )
+    pr = {r.doc_id: r.pagerank for r in pagerank(edges).collect()}
+    assert set(pr) == {0, 1, 2, 3}
+    assert pr[0] > pr[1]
+    assert pr[1] == pr[2] == pr[3]
+    # total mass stays ~1 (per-iteration 12-dp rounding wiggle only)
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_symmetric_pair_uniform(spark):
+    # a single pair is a 2-node regular graph: PR stays uniform
+    edges = spark.createDataFrame([(7, 9)], "doc_a long, doc_b long")
+    pr = {r.doc_id: r.pagerank for r in pagerank(edges).collect()}
+    assert pr[7] == pr[9]
+    assert abs(pr[7] - 0.5) < 1e-9
+
+
+def test_pagerank_no_driver_data_loop(spark):
+    # the iteration count is fixed; ensure the implementation keeps
+    # data distributed (no collect) by checking it composes lazily up
+    # to the checkpoints and returns the node frame
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = pagerank(edges)
+    assert out.columns == ["doc_id", "pagerank"]
+    rows = out.collect()
+    assert len(rows) == 4
+    # higher-degree nodes (1,3 have deg 3) outrank deg-2 nodes (2,4)
+    pr = {r.doc_id: r.pagerank for r in rows}
+    assert min(pr[1], pr[3]) > max(pr[2], pr[4])
