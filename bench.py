@@ -67,6 +67,7 @@ HEADLINE = [
     "bm25_topk",             # sparse keyword search, broadcast stats
     "heavy_hitters_cms",     # count-min sketch + exact twin
     "weighted_sample",       # sequential-Poisson weighted sample
+    "text_bigram_logprob",   # bigram LM join (zip_with bigrams)
 ]
 
 

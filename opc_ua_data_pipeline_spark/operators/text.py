@@ -299,21 +299,31 @@ def unigram_logprob_scores(df: DataFrame) -> DataFrame:
 BIGRAM_SMOOTH_K = 0.5
 
 
-def _bigrams(text_col: str = "text") -> "Column":
-    """Adjacent-token bigrams as 'w1 w2' strings (empty for <2-token
-    docs).  1-based element_at over a 1..n-1 index sequence, guarded
-    because Spark's sequence(1, 0) counts DOWN instead of returning
-    empty."""
-    toks = _toks(text_col)
+def _bigram_arr(ts: "Column") -> "Column":
+    """Adjacent-token bigrams ('w1 w2' strings) from an ALREADY
+    MATERIALIZED token-array column.  zip_with over two slices — O(n)
+    per row.  (The tempting transform(sequence(1, n-1), i ->
+    element_at(ts, i) || element_at(ts, i+1)) spelling is O(n²) when
+    ``ts`` is an expression: higher-order lambdas re-evaluate their
+    argument expression per element, so each element_at re-tokenized
+    the document — measured 15x slower at sf0.1.)  The when-guard
+    exists because Spark's sequence/slice arithmetic on size<2 would
+    produce negative lengths."""
     return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
+        F.size(ts) >= 2,
+        F.zip_with(
+            F.slice(ts, 1, F.size(ts) - 1),
+            F.slice(ts, 2, F.size(ts) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _bigrams(text_col: str = "text") -> "Column":
+    """Bigrams straight from a text column (tests/small frames; the
+    operator body pre-projects the token array instead — see
+    :func:`_bigram_arr`)."""
+    return _bigram_arr(_toks(text_col))
 
 
 def bigram_logprob_scores(df: DataFrame) -> DataFrame:
@@ -339,14 +349,15 @@ def bigram_logprob_scores(df: DataFrame) -> DataFrame:
     production top-K + backoff variant makes the LM broadcastable but
     changes the score, so it isn't the oracle-checked form).
     """
+    toked = df.select("doc_id", _toks().alias("ts"))
     uni = (
-        df.select(F.explode(_toks()).alias("w1"))
+        toked.select(F.explode("ts").alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("n_w1"))
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     big = (
-        df.select(F.explode(_bigrams()).alias("bg"))
+        toked.select(F.explode(_bigram_arr(F.col("ts"))).alias("bg"))
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("n_bg"))
     )
@@ -368,7 +379,7 @@ def bigram_logprob_scores(df: DataFrame) -> DataFrame:
             .alias("lp"),
         )
     )
-    doc_bg = df.select("doc_id", F.explode(_bigrams()).alias("bg"))
+    doc_bg = toked.select("doc_id", F.explode(_bigram_arr(F.col("ts"))).alias("bg"))
     return (
         doc_bg.join(lm, "bg")
         .groupBy("doc_id")
