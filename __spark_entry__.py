@@ -86,6 +86,7 @@ _PRIORITY = [
     "weighted_sample",
     "text_bigram_logprob",
     "neardup_pagerank",
+    "dup_span_coverage",
     # (a) contract shape or implementation changed in round 3:
     # tfidf/media changed output shape; the minhash/simhash family
     # changed implementation (md5 digest QUARTERS for signatures,

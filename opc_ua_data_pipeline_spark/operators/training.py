@@ -546,8 +546,88 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_N = 4
+SPAN_MIN_DOCS = 2
+
+
+def dup_span_coverage(
+    docs: DataFrame, n: int = SPAN_N, min_docs: int = SPAN_MIN_DOCS
+) -> DataFrame:
+    """Cross-document duplicate-span coverage: per document, how many
+    token positions sit inside an n-gram that also occurs in >=
+    ``min_docs`` documents — the gram-granular approximation of
+    exact-substring dedup (the suffix-array step of "Deduplicating
+    Training Data Makes Language Models Better"): a high coverage
+    ratio marks boilerplate/mirrored passages that survive
+    document-level dedup.
+
+    Interval-union arithmetic makes this exact, not a gram count:
+    overlapping flagged grams [s, s+n-1] merge via one per-doc window
+    (``covered += min(n, s - prev_s)``), so repeated text isn't
+    double-counted.  All integers except the final ratio (one double
+    divide, identical both engines).
+
+    At 100 TB: one (gram -> distinct-doc count) aggregate (the same
+    shuffle profile as df counting; Zipf head handled by AQE skew
+    split), an equi-join back, and a per-document window — partitioned
+    by doc_id, so parallelism is #docs and state is one lag value.
+    """
+    toked = docs.select("doc_id", _toks().alias("ts"))
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(_word_ngrams(F.col("ts"), n)).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    flagged = grams.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        flagged.withColumn("prev", F.lag("pos").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_grams"),
+            F.sum(
+                F.when(F.col("prev").isNull(), F.lit(n)).otherwise(
+                    F.least(F.lit(n), F.col("pos") - F.col("prev"))
+                )
+            ).alias("covered_tokens"),
+        )
+    )
+    return (
+        toked.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ts").cast("long").alias("n_tokens"),
+            F.greatest(F.size("ts") - F.lit(n - 1), F.lit(0))
+            .cast("long")
+            .alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.when(F.size("ts") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("double")
+                / F.size("ts").cast("double")
+            )
+            .alias("dup_coverage_ratio"),
+        )
+    )
+
+
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_span_coverage(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "ngram_contamination": q_contamination,
+    "dup_span_coverage": q_dup_span_coverage,
     "bloom_contamination": q_bloom_contamination,
     "repetition_stats": q_repetition,
     "split_assign": q_split,
@@ -653,6 +733,42 @@ SELECT doc_id,
             AS DOUBLE) / COUNT(*) AS contamination_ratio
 FROM doc_grams
 GROUP BY doc_id
+""",
+    "dup_span_coverage": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         UNNEST({_ng(SPAN_N)}) AS gram,
+         UNNEST(generate_series(1, greatest(len(w) - {SPAN_N - 1}, 0)))
+           AS pos
+  FROM toks
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gram
+  ) WHERE nd >= {SPAN_MIN_DOCS}
+),
+flagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM grams JOIN dup USING (gram)
+),
+cov AS (
+  SELECT doc_id,
+         COUNT(*) AS n_dup_grams,
+         SUM(CASE WHEN prev IS NULL THEN {SPAN_N}
+                  ELSE least({SPAN_N}, pos - prev) END) AS covered
+  FROM flagged GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(greatest(len(w) - {SPAN_N - 1}, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(c.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+       CASE WHEN len(w) = 0 THEN 0.0
+            ELSE CAST(COALESCE(c.covered, 0) AS DOUBLE)
+                 / CAST(len(w) AS DOUBLE) END AS dup_coverage_ratio
+FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
 """,
     "repetition_stats": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),

@@ -19,8 +19,16 @@ same guarantee as the telemetry bronze path (start_bronze_ingest).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from ..operators.retrieval import CHUNK_OVERLAP, CHUNK_SIZE, chunk_documents
+from ..operators.retrieval import (
+    CHUNK_OVERLAP,
+    CHUNK_SIZE,
+    CMS_DEPTH,
+    _cms_bucket,
+    chunk_documents,
+)
+from ..operators.text import _toks
 
 
 def chunk_stream(
@@ -48,4 +56,27 @@ def start_chunk_ingest(
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def cms_sketch_stream(stream_docs: DataFrame) -> DataFrame:
+    """Streaming count-min sketch maintenance: the (j, bucket) counter
+    table as a streaming aggregation over arriving documents.
+
+    The sketch is THE streaming-native frequency structure — state is
+    the constant d x w counter grid (4x64 rows here), never the vocab,
+    so ``complete`` output mode is safe at any stream length: this is
+    the shape that keeps heavy-hitter tracking O(1)-state while exact
+    term counting would grow with the vocabulary.  Totals equal the
+    batch sketch built from the same documents (md5 positions are
+    content-deterministic), asserted in
+    tests/test_streaming_retrieval.py.
+    """
+    occ = stream_docs.select(F.explode(_toks()).alias("term"))
+    buckets = occ.select(
+        "term",
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("j"),
+    ).withColumn("bucket", _cms_bucket(F.col("term"), F.col("j")))
+    return buckets.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("bcnt")
     )

@@ -76,3 +76,41 @@ def test_pagerank_no_driver_data_loop(spark):
     # higher-degree nodes (1,3 have deg 3) outrank deg-2 nodes (2,4)
     pr = {r.doc_id: r.pagerank for r in rows}
     assert min(pr[1], pr[3]) > max(pr[2], pr[4])
+
+
+def test_dup_span_coverage_interval_union(spark):
+    from opc_ua_data_pipeline_spark.operators.training import (
+        dup_span_coverage,
+    )
+
+    # docs 0 and 1 share the passage "p q r s t u" (appears mid-doc);
+    # doc 2 is unique text. n=4, min_docs=2.
+    docs = spark.createDataFrame(
+        [
+            (0, "a1 b1 p q r s t u c1 d1"),
+            (1, "x1 p q r s t u y1 z1"),
+            (2, "m1 m2 m3 m4 m5 m6 m7 m8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_span_coverage(docs).collect()}
+    # shared passage has 6 tokens -> three 4-grams starting at each
+    # position; doc 0 grams start at pos 3,4,5 -> union covers 6 tokens
+    assert out[0].n_dup_grams == 3
+    assert out[0].covered_tokens == 6
+    assert abs(out[0].dup_coverage_ratio - 6 / 10) < 1e-12
+    assert out[1].covered_tokens == 6
+    assert out[2].n_dup_grams == 0 and out[2].covered_tokens == 0
+    # disjoint duplicated spans must not merge: doc 3/4 share two
+    # separated 4-grams
+    docs2 = spark.createDataFrame(
+        [
+            (3, "s1 s2 s3 s4 g1 g2 g3 s1 s2 s3 s4"),
+            (4, "s1 s2 s3 s4 h1 h2 h3 s1 s2 s3 s4"),
+        ],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r for r in dup_span_coverage(docs2).collect()}
+    # each doc: grams at pos 1 and pos 8 -> 4 + 4 = 8 covered tokens
+    assert out2[3].covered_tokens == 8
+    assert out2[3].n_dup_grams == 2

@@ -65,3 +65,61 @@ def test_chunk_ingest_matches_batch_and_restart(spark, tmp_path):
     q2 = start_chunk_ingest(stream2, out, ckpt)
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == len(want)
+
+
+def test_cms_sketch_stream_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from opc_ua_data_pipeline_spark.operators.retrieval import (
+        CMS_DEPTH,
+        _cms_bucket,
+    )
+    from opc_ua_data_pipeline_spark.operators.text import _toks
+    from opc_ua_data_pipeline_spark.streaming.retrieval import (
+        cms_sketch_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    want = {
+        (r.j, r.bucket): r["count"]
+        for r in (
+            docs.select(F.explode(_toks()).alias("term"))
+            .select(
+                "term",
+                F.explode(
+                    F.array(*[F.lit(j) for j in range(CMS_DEPTH)])
+                ).alias("j"),
+            )
+            .withColumn("bucket", _cms_bucket(F.col("term"), F.col("j")))
+            .groupBy("j", "bucket")
+            .count()
+            .collect()
+        )
+    }
+
+    d = tmp_path / "in"
+    _replay_dir(spark, docs, d)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        cms_sketch_stream(stream)
+        .writeStream.format("memory")
+        .queryName("cms_sketch")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.j, r.bucket): r.bcnt
+        for r in spark.sql("SELECT * FROM cms_sketch").collect()
+    }
+    assert got == want
+    assert len(got) > 0
+    # state is the counter grid: never more than d x w rows
+    assert len(got) <= CMS_DEPTH * 64
