@@ -87,6 +87,9 @@ _PRIORITY = [
     "text_bigram_logprob",
     "neardup_pagerank",
     "dup_span_coverage",
+    "small_quantity_revenue",
+    "event_transition_matrix",
+    "embedding_rp_project",
     # (a) contract shape or implementation changed in round 3:
     # tfidf/media changed output shape; the minhash/simhash family
     # changed implementation (md5 digest QUARTERS for signatures,

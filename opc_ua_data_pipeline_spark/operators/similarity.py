@@ -437,8 +437,83 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
+RP_OUT_DIMS = 16
+RP_IN_DIMS = 64
+
+
+def _rp_signs() -> list[list[float]]:
+    """The ±1 projection matrix, derived from md5 so BOTH engines (and
+    any re-run) build the identical matrix from the spec alone — no
+    RNG state to ship.  Row j, column i: sign = parity of the first
+    hex digit of md5('rp:i:j')."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1.0
+            for i in range(RP_IN_DIMS)
+        ]
+        for j in range(RP_OUT_DIMS)
+    ]
+
+
+def rp_project(corpus: DataFrame) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    deterministic ±1 (Achlioptas) matrix: the cheap dimension
+    reduction in front of ANN/clustering when matryoshka prefixes
+    aren't available (dense sign matrices preserve pairwise distances
+    within the JL bound, no trained codebook needed).
+
+    Exactness without a rounding contract: the fold is multiply/add
+    in pinned left-to-right order (IEEE ops, no libm) and the 1/√16
+    scale is a power-of-two divide — bit-identical on both engines.
+    The plan is a shuffle-free narrow pass; the 16 output folds are
+    assembled as ONE SQL string (driver plan-build stays O(1) py4j
+    round trips, the simhash lesson).  Output flattened to
+    (vec_id, out_pos, val) — scalar cells for the canonicalizer.
+    """
+    signs = _rp_signs()
+    exprs = []
+    for j, row in enumerate(signs):
+        arr = "array(" + ", ".join(repr(s) for s in row) + ")"
+        exprs.append(
+            f"CAST(aggregate(zip_with(embedding, {arr},"
+            " (x, s) -> CAST(x AS DOUBLE) * s), CAST(0.0 AS DOUBLE),"
+            f" (acc, p) -> acc + p) / 4.0 AS DOUBLE) AS rp_{j}"
+        )
+    wide = corpus.selectExpr("vec_id", *exprs)
+    stack = (
+        f"stack({RP_OUT_DIMS}, "
+        + ", ".join(f"{j}, rp_{j}" for j in range(RP_OUT_DIMS))
+        + ") AS (out_pos, val)"
+    )
+    return wide.selectExpr("vec_id", stack).selectExpr(
+        "vec_id", "CAST(out_pos AS INT) AS out_pos", "val"
+    )
+
+
+def _rp_sql() -> str:
+    rows = ", ".join(
+        "(" + str(j) + ", [" + ", ".join(repr(s) for s in row) + "])"
+        for j, row in enumerate(_rp_signs())
+    )
+    return f"""
+SELECT vec_id, CAST(j AS INTEGER) AS out_pos,
+       list_reduce(list_transform(generate_series(1, {RP_IN_DIMS}),
+                                  i -> CAST(embedding[i] AS DOUBLE) * sgn[i]),
+                   (acc, p) -> acc + p) / 4.0 AS val
+FROM embeddings CROSS JOIN (VALUES {rows}) AS s(j, sgn)
+"""
+
+
 QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
+    "embedding_rp_project": lambda spark, sf: rp_project(
+        load_table(spark, sf, "embeddings")
+    ),
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
     "embedding_neardup_pairs": q_embedding_neardup,
@@ -534,6 +609,7 @@ WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= {NEARDUP_THRESHOLD}
 ORACLES = {
     "embedding_normalize": _normalize_sql(),
     "embedding_matryoshka": _normalize_sql(MATRYOSHKA_DIMS),
+    "embedding_rp_project": _rp_sql(),
     "ann_bruteforce_topk": _topk_sql("TRUE"),
     "ann_lsh_topk": _topk_sql(
         _BUCKET_SQL.format(e="q.embedding") + " = " + _BUCKET_SQL.format(e="c.embedding")

@@ -114,3 +114,29 @@ def test_dup_span_coverage_interval_union(spark):
     # each doc: grams at pos 1 and pos 8 -> 4 + 4 = 8 covered tokens
     assert out2[3].covered_tokens == 8
     assert out2[3].n_dup_grams == 2
+
+
+def test_q17_and_transitions(spark):
+    from opc_ua_data_pipeline_spark.operators.relational import (
+        event_transition_matrix,
+        small_quantity_revenue,
+    )
+    from opc_ua_data_pipeline_spark.plans import formatted_plan
+    from opc_ua_data_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    q17 = small_quantity_revenue(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+    )
+    plan = formatted_plan(q17)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # brand filter reaches the part scan
+    assert "Brand#1" in plan and "PushedFilters" in plan
+
+    tm = event_transition_matrix(load_table(spark, sf, "events")).collect()
+    by_prev = {}
+    for r in tm:
+        by_prev.setdefault(r.prev_event, []).append(r)
+    for prev, rows in by_prev.items():
+        assert abs(sum(r.p_transition for r in rows) - 1.0) < 1e-9
+        assert sum(r.n_transitions for r in rows) == rows[0].row_total
