@@ -732,17 +732,18 @@ def event_transition_matrix(events: DataFrame) -> DataFrame:
     counts = pairs.groupBy("prev_event", "next_event").agg(
         F.count(F.lit(1)).alias("n_transitions")
     )
-    totals = counts.groupBy("prev_event").agg(
-        F.sum("n_transitions").alias("row_total")
-    )
-    return counts.join(totals, "prev_event").select(
+    # Row totals as a window over the #types² counts frame, NOT a
+    # groupBy+self-join: the join spelling re-executes the counts
+    # subtree (two full scans of events in the physical plan).
+    w_row = Window.partitionBy("prev_event")
+    return counts.select(
         "prev_event",
         "next_event",
         "n_transitions",
-        F.col("row_total").cast("bigint").alias("row_total"),
+        F.sum("n_transitions").over(w_row).cast("bigint").alias("row_total"),
         (
             F.col("n_transitions").cast("double")
-            / F.col("row_total").cast("double")
+            / F.sum("n_transitions").over(w_row).cast("double")
         ).alias("p_transition"),
     )
 
