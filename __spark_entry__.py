@@ -90,6 +90,7 @@ _PRIORITY = [
     "small_quantity_revenue",
     "event_transition_matrix",
     "embedding_rp_project",
+    "gapfill_interpolate",
     # (a) contract shape or implementation changed in round 3:
     # tfidf/media changed output shape; the minhash/simhash family
     # changed implementation (md5 digest QUARTERS for signatures,

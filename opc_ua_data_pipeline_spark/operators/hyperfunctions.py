@@ -115,6 +115,67 @@ def time_bucket_gapfill(tel: DataFrame) -> DataFrame:
     )
 
 
+def gapfill_interpolate(tel: DataFrame) -> DataFrame:
+    """Dense minute series with LINEAR interpolation — timescale's
+    ``time_bucket_gapfill`` + ``interpolate()`` companion to the LOCF
+    variant above: a gap bucket gets the straight line between the
+    nearest observed minute averages on either side.
+
+    Two windows per metric (last-non-null back, first-non-null
+    forward) over the same spine; the interpolation weight is a ratio
+    of exact integer second offsets, so the value expression is pure
+    IEEE arithmetic in pinned order (no libm) — bit-identical
+    cross-engine with no rounding contract.  Leading/trailing gaps
+    cannot exist (the spine spans first..last sample), so every gap
+    has both anchors.
+    """
+    # same observed/spine frames as the LOCF variant (kept inline so
+    # each operator stays a standalone plan)
+    samples = tel.filter(F.col("value_num").isNotNull())
+    minute = F.date_trunc("minute", F.col("time"))
+    observed = samples.groupBy(F.col("metric"), minute.alias("bucket")).agg(
+        (
+            F.sum(F.col("value_num").cast(_DEC)).cast("double")
+            / F.count("value_num")
+        ).alias("avg_value")
+    )
+    spine = (
+        samples.groupBy("metric")
+        .agg(
+            F.date_trunc("minute", F.min("time")).alias("mn"),
+            F.date_trunc("minute", F.max("time")).alias("mx"),
+        )
+        .select(
+            "metric",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("interval 1 minute"))
+            ).alias("bucket"),
+        )
+    )
+    joined = spine.join(observed, ["metric", "bucket"], "left")
+    w = Window.partitionBy("metric").orderBy("bucket")
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    obs_bucket = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
+    prev_v = F.last("avg_value", ignorenulls=True).over(back)
+    prev_t = F.last(obs_bucket, ignorenulls=True).over(back)
+    next_v = F.first("avg_value", ignorenulls=True).over(fwd)
+    next_t = F.first(obs_bucket, ignorenulls=True).over(fwd)
+    dt = F.unix_timestamp(F.col("bucket")) - F.unix_timestamp(prev_t)
+    dT = F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)
+    interp = prev_v + (next_v - prev_v) * (
+        dt.cast("double") / dT.cast("double")
+    )
+    return joined.select(
+        "metric",
+        "bucket",
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .otherwise(interp)
+        .alias("value"),
+        F.col("avg_value").isNull().alias("is_gap"),
+    )
+
+
 def counter_agg(tel: DataFrame) -> DataFrame:
     """Resets-aware counter aggregate (timescale ``counter_agg`` /
     ``delta``): OPC-UA production counters are monotonic but reset on
@@ -309,9 +370,14 @@ def q_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uptime_agg(telemetry(spark, sf_dir))
 
 
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gapfill_interpolate(telemetry(spark, sf_dir))
+
+
 QUERIES = {
     "time_weighted_avg": q_time_weighted_avg,
     "time_bucket_gapfill": q_gapfill,
+    "gapfill_interpolate": q_gapfill_interp,
     "counter_agg": q_counter_agg,
     "trend_slope": q_trend_slope,
     "m4_downsample": q_m4,
@@ -456,5 +522,54 @@ SELECT s.metric, s.bucket,
        o.avg_value IS NULL AS is_gap
 FROM spine s LEFT JOIN observed o
   ON s.metric = o.metric AND s.bucket = o.bucket
+""",
+    "gapfill_interpolate": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+samples AS (SELECT * FROM telemetry WHERE value_num IS NOT NULL),
+observed AS (
+  SELECT metric, date_trunc('minute', "time") AS bucket,
+         CAST(SUM(CAST(value_num AS DECIMAL(38,6))) AS DOUBLE)
+           / COUNT(value_num) AS avg_value
+  FROM samples GROUP BY 1, 2
+),
+spine AS (
+  SELECT metric,
+         UNNEST(generate_series(date_trunc('minute', mn),
+                                date_trunc('minute', mx),
+                                INTERVAL '1 minute')) AS bucket
+  FROM (SELECT metric, MIN("time") AS mn, MAX("time") AS mx
+        FROM samples GROUP BY metric)
+),
+anchored AS (
+  SELECT s.metric, s.bucket, o.avg_value,
+         LAST_VALUE(o.avg_value IGNORE NULLS)
+           OVER (PARTITION BY s.metric ORDER BY s.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prev_v,
+         LAST_VALUE(CASE WHEN o.avg_value IS NOT NULL THEN s.bucket END
+                    IGNORE NULLS)
+           OVER (PARTITION BY s.metric ORDER BY s.bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prev_t,
+         FIRST_VALUE(o.avg_value IGNORE NULLS)
+           OVER (PARTITION BY s.metric ORDER BY s.bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_v,
+         FIRST_VALUE(CASE WHEN o.avg_value IS NOT NULL THEN s.bucket END
+                     IGNORE NULLS)
+           OVER (PARTITION BY s.metric ORDER BY s.bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_t
+  FROM spine s LEFT JOIN observed o
+    ON s.metric = o.metric AND s.bucket = o.bucket
+)
+SELECT metric, bucket,
+       CASE WHEN avg_value IS NOT NULL THEN avg_value
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(epoch_us(bucket) - epoch_us(prev_t) AS DOUBLE)
+                    / CAST(epoch_us(next_t) - epoch_us(prev_t) AS DOUBLE))
+       END AS value,
+       avg_value IS NULL AS is_gap
+FROM anchored
 """,
 }

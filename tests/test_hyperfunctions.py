@@ -148,3 +148,21 @@ def test_uptime_agg_merges_within_tolerance_and_splits_gaps(spark):
     r = uptime_agg(tel).collect()[0]
     assert r["n_intervals"] == 2
     assert r["uptime_micros"] == (120 + 60) * 1_000_000
+
+
+def test_gapfill_interpolate_linear(spark):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        gapfill_interpolate,
+    )
+
+    # minute-0 avg 0.0, minute-3 avg 9.0 -> gaps at minutes 1, 2
+    # interpolate to 3.0 and 6.0 (exact thirds of the 3-minute span)
+    tel = _tel(spark, [("m", 0, 0.0), ("m", 185, 9.0)])
+    out = {
+        row["bucket"].minute: row for row in gapfill_interpolate(tel).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[0]["value"] == 0.0 and not out[0]["is_gap"]
+    assert out[1]["value"] == pytest.approx(3.0) and out[1]["is_gap"]
+    assert out[2]["value"] == pytest.approx(6.0) and out[2]["is_gap"]
+    assert out[3]["value"] == 9.0 and not out[3]["is_gap"]
