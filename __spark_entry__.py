@@ -22,6 +22,7 @@ from opc_ua_data_pipeline_spark.operators import (
     curation,
     dashboard,
     dedup,
+    dq,
     graph,
     hyperfunctions,
     ingest,
@@ -58,6 +59,7 @@ _MODULES = [
     curation,
     hyperfunctions,
     retrieval,
+    dq,
 ]
 
 # The driver's correctness pass verifies the FIRST 50 registry entries
@@ -91,6 +93,7 @@ _PRIORITY = [
     "event_transition_matrix",
     "embedding_rp_project",
     "gapfill_interpolate",
+    "dq_report",
     # (a) contract shape or implementation changed in round 3:
     # tfidf/media changed output shape; the minhash/simhash family
     # changed implementation (md5 digest QUARTERS for signatures,
