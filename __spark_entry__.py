@@ -27,6 +27,7 @@ from opc_ua_data_pipeline_spark.operators import (
     hyperfunctions,
     ingest,
     layout,
+    marts,
     multimodal,
     relational,
     retrieval,
@@ -60,6 +61,7 @@ _MODULES = [
     hyperfunctions,
     retrieval,
     dq,
+    marts,
 ]
 
 # The driver's correctness pass verifies the FIRST 50 registry entries
@@ -94,6 +96,14 @@ _PRIORITY = [
     "embedding_rp_project",
     "gapfill_interpolate",
     "dq_report",
+    # round-3 continuation wave 2: warehouse-mart shapes (marts.py)
+    "order_count_distribution",
+    "idle_rich_customers",
+    "top_supplier_revenue",
+    "market_share",
+    "returned_item_losses",
+    "parts_supplier_breadth",
+    "promo_revenue_share",
     # (a) contract shape or implementation changed in round 3:
     # tfidf/media changed output shape; the minhash/simhash family
     # changed implementation (md5 digest QUARTERS for signatures,

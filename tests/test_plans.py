@@ -192,3 +192,37 @@ def test_adc_joins_broadcast_luts(spark):
     plan = formatted_plan(Q["pq_adc_topk"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_marts_plan_shapes(spark):
+    """Warehouse-mart family (marts.py): top-k is a heap, the
+    filtered-fact ratios keep their predicates in the scan, and no
+    query degenerates to a nested loop / cartesian product (the
+    1-row threshold/max sides are broadcast by construction)."""
+    plan = formatted_plan(Q["returned_item_losses"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # pushed to the scan
+
+    plan = formatted_plan(Q["promo_revenue_share"](spark, SF))
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    for name in [
+        "order_count_distribution",
+        "market_share",
+        "parts_supplier_breadth",
+    ]:
+        p = formatted_plan(Q[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+
+    # Q22/Q15: the 1-row aggregate side must broadcast, and the
+    # anti join must stay a hash anti join
+    p = formatted_plan(Q["idle_rich_customers"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p  # threshold row
+    assert "LeftAnti" in p and "CartesianProduct" not in p
+    # global-max row: Catalyst rewrites crossJoin+equality-filter into
+    # an equi BroadcastHashJoin on the max value itself — accept any
+    # broadcast strategy, forbid the cartesian fallback
+    p = formatted_plan(Q["top_supplier_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
