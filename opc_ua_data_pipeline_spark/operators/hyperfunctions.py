@@ -16,10 +16,21 @@ Spark-first here:
   series (timescale's time_bucket_gapfill + locf()).
 
 Scale shapes:
-* time-weighted avg: one window (lead) + one groupBy per metric — the
-  same single-shuffle shape as the rollups; weights are exact BIGINT
-  microsecond gaps; the weighted sum follows the repo's decimal-sum
-  contract so partition order cannot change the result.
+* time-weighted avg / counter_agg / uptime_agg: metric is a
+  LOW-CARDINALITY key (~tens of values on real telemetry), so a bare
+  ``Window.partitionBy("metric")`` over full history would funnel each
+  metric's entire 100 TB share through ONE task's sort.  All three are
+  therefore two-pass de-skewed with the (metric, day) composite-key
+  pattern proven in dashboard.q_progress_clamp: the sequential window
+  (lead/lag/cumsum) runs inside (metric, day) partitions — day is a
+  prefix of the sort key, so day groups are contiguous in the global
+  (time, event_id) order — and the cross-day carry (next day's first
+  sample time / previous day's last sample value / per-day flag
+  offsets) comes from a per-(metric, day) boundary table that is tiny
+  (#metrics x #days rows) and broadcast back.  Results are
+  bit-identical to the single-window formulation (same exact integer
+  gaps, same decimal sums), so the oracles are unchanged; the per-task
+  sort is now bounded by one key's single day at any scale.
 * gapfill: the bucket spine is #metrics x #minutes-of-span rows —
   bounded by wall-clock span, NOT by data volume; the LOCF window is
   per metric (documented low-cardinality key, same contract as
@@ -46,15 +57,39 @@ def time_weighted_avg(tel: DataFrame) -> DataFrame:
     DECIMAL(38,6) then summed — associative, partition-order-free —
     and both final casts to DOUBLE divide as identical doubles on
     every engine.
+
+    De-skewed two-pass (see module docstring): ``lead(time)`` runs
+    inside (metric, day) windows; each day's LAST sample takes its
+    successor time from the next day-with-data's first sample, carried
+    in a broadcast per-(metric, day) boundary table.  The dt values —
+    and therefore the decimal weighted sum — are bit-identical to a
+    full-history lead.
     """
-    w = Window.partitionBy("metric").orderBy("time", "event_id")
-    dt = (
-        F.unix_micros(F.lead("time").over(w)) - F.unix_micros(F.col("time"))
-    ).alias("dt")
     samples = (
         tel.filter(F.col("value_num").isNotNull())
         .select("metric", "time", "event_id", "value_num")
-        .withColumn("dt", dt)
+        .withColumn("_day", F.to_date("time"))
+    )
+    w_local = Window.partitionBy("metric", "_day").orderBy("time", "event_id")
+    local = samples.withColumn("_next_local", F.lead("time").over(w_local))
+    # tiny boundary frame: each (metric, day)'s first sample time, and
+    # via lead over day order, the NEXT day-with-data's first time
+    w_days = Window.partitionBy("metric").orderBy("_day")
+    bounds = (
+        samples.groupBy("metric", "_day")
+        .agg(F.min("time").alias("_first"))
+        .withColumn("_next_day_first", F.lead("_first").over(w_days))
+        .select("metric", "_day", "_next_day_first")
+    )
+    samples = (
+        local.join(F.broadcast(bounds), ["metric", "_day"])
+        .withColumn(
+            "dt",
+            F.unix_micros(
+                F.coalesce("_next_local", "_next_day_first")
+            )
+            - F.unix_micros(F.col("time")),
+        )
         .filter(F.col("dt").isNotNull())
     )
     return samples.groupBy("metric").agg(
@@ -184,16 +219,38 @@ def counter_agg(tel: DataFrame) -> DataFrame:
     (the post-reset value counts fully, as the counter restarted from
     0 — Prometheus/Timescale extrapolation-free rule).
 
-    One lag window + one groupBy per metric.  Deltas of doubles are
-    exact doubles; the decimal-cast sum keeps partition order out of
-    the result.  rate = delta / elapsed wall-clock (exact micros).
+    Deltas of doubles are the same doubles on every engine; the
+    decimal-cast sum keeps partition order out of the result.
+    rate = delta / elapsed wall-clock (exact micros).
+
+    De-skewed two-pass (see module docstring): ``lag(value_num)`` runs
+    inside (metric, day) windows; each day's FIRST sample takes its
+    predecessor value from the previous day-with-data's last sample
+    (max_by on the zero-padded (time, event_id) composite key — the
+    m4_downsample ordering trick), carried in a broadcast boundary
+    table.  prev values are bit-identical to a full-history lag.
     """
-    w = Window.partitionBy("metric").orderBy("time", "event_id")
-    prev = F.lag("value_num").over(w)
     samples = (
         tel.filter(F.col("value_num").isNotNull())
         .select("metric", "time", "event_id", "value_num")
-        .withColumn("prev", prev)
+        .withColumn("_day", F.to_date("time"))
+    )
+    w_local = Window.partitionBy("metric", "_day").orderBy("time", "event_id")
+    local = samples.withColumn("_prev_local", F.lag("value_num").over(w_local))
+    _okey = F.concat(
+        F.lpad(F.unix_micros(F.col("time")).cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    w_days = Window.partitionBy("metric").orderBy("_day")
+    bounds = (
+        samples.groupBy("metric", "_day")
+        .agg(F.max_by("value_num", _okey).alias("_last"))
+        .withColumn("_prev_day_last", F.lag("_last").over(w_days))
+        .select("metric", "_day", "_prev_day_last")
+    )
+    samples = local.join(F.broadcast(bounds), ["metric", "_day"]).withColumn(
+        "prev", F.coalesce("_prev_local", "_prev_day_last")
     )
     inc = F.when(
         F.col("prev").isNull(), F.lit(None).cast("double")
@@ -315,20 +372,64 @@ def uptime_agg(
 
     Same gap-split cumsum shape as sessionize: lag + boundary flag +
     running interval id, then two exact integer aggregations (span
-    sums in micros).  One window + two groupBys, all per metric.
+    sums in micros).
+
+    De-skewed two-pass (see module docstring): the lag and the
+    interval-id cumsum both run inside (metric, day) windows.  The
+    first row of each day takes its predecessor time from the previous
+    day-with-data's last sample (broadcast boundary table), so the
+    boundary flags are bit-identical to the full-history lag; the
+    global interval id is the local per-day cumsum plus a per-(metric,
+    day) offset — the exclusive running total of each previous day's
+    flag count, computed on the tiny (#metrics x #days) day table and
+    broadcast back.  Interval ids (and so spans and counts) are the
+    same integers the single-window cumsum assigns.
     """
-    w = Window.partitionBy("metric").orderBy("time", "event_id")
-    gap = F.unix_micros(F.col("time")) - F.unix_micros(
-        F.lag("time").over(w)
+    pings = tel.select("metric", "time", "event_id").withColumn(
+        "_day", F.to_date("time")
     )
+    w_local = Window.partitionBy("metric", "_day").orderBy("time", "event_id")
+    w_days = Window.partitionBy("metric").orderBy("_day")
+    bounds = (
+        pings.groupBy("metric", "_day")
+        .agg(F.max("time").alias("_last"))
+        .withColumn("_prev_day_last", F.lag("_last").over(w_days))
+        .select("metric", "_day", "_prev_day_last")
+    )
+    prev_time = F.coalesce(
+        F.lag("time").over(w_local), F.col("_prev_day_last")
+    )
+    gap = F.unix_micros(F.col("time")) - F.unix_micros(prev_time)
     new_interval = F.when(
         gap.isNull() | (gap > tolerance_sec * 1_000_000), 1
     ).otherwise(0)
-    flagged = tel.select("metric", "time", "event_id").withColumn(
-        "interval_id",
-        F.sum(new_interval).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    flagged = (
+        pings.join(F.broadcast(bounds), ["metric", "_day"])
+        .withColumn("_flag", new_interval)
+        .withColumn(
+            "_local_id",
+            F.sum("_flag").over(
+                w_local.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    day_flags = flagged.groupBy("metric", "_day").agg(
+        F.sum("_flag").alias("_nflags")
+    )
+    offsets = day_flags.select(
+        "metric",
+        "_day",
+        F.coalesce(
+            F.sum("_nflags").over(
+                w_days.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    flagged = flagged.join(F.broadcast(offsets), ["metric", "_day"]).select(
+        "metric",
+        "time",
+        (F.col("_off") + F.col("_local_id")).alias("interval_id"),
     )
     intervals = flagged.groupBy("metric", "interval_id").agg(
         (
