@@ -1,0 +1,223 @@
+"""Incremental (streaming) twins of the batch hyperfunctions.
+
+The reference maintains its rollup-family aggregates INCREMENTALLY via
+TimescaleDB continuous-aggregate refresh policies
+(database/init.sql:31-34,51-54); the analytics-toolkit counterparts of
+``counter_agg`` and ``heartbeat_agg`` are likewise re-computed per
+refresh.  Here each becomes an ``applyInPandasWithState`` processor
+keyed by metric — the same O(1)-per-key state shape as
+:mod:`.alarms` — that emits the UPDATED per-metric aggregate after
+every micro-batch, so a dashboard reads the latest row per metric
+instead of recomputing history.
+
+Contract (tests/test_streaming_hyperfunctions.py): fed the same rows
+in event-time order, the LAST emitted row per metric equals the batch
+operator in :mod:`..operators.hyperfunctions` bit-for-bit — including
+the DECIMAL(38,6)-quantized delta sum, mirrored here with
+``decimal.Decimal(repr(x)).quantize(1e-6, ROUND_HALF_UP)``: both
+Java's ``Double.toString`` and Python's ``repr`` produce the shortest
+round-trip decimal string (the same VALUE), and both engines round
+half-up, so the Python accumulator is the JVM cast, exactly.
+
+State size: counter = (last sample, decimal sum as string, counters);
+uptime = (last ping, open-interval start, two counters) — O(1) per
+key; at scale the state store shards by metric across executors and
+nothing grows with stream length.
+"""
+
+from __future__ import annotations
+
+import decimal
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.hyperfunctions import HEARTBEAT_TOLERANCE_SEC
+
+_Q6 = decimal.Decimal("0.000001")
+
+
+def _dec(x: float) -> decimal.Decimal:
+    """Mirror Spark's CAST(double AS DECIMAL(38,6)): shortest-repr
+    decimal value rounded half-up to 6 places."""
+    return decimal.Decimal(repr(float(x))).quantize(
+        _Q6, rounding=decimal.ROUND_HALF_UP
+    )
+
+
+COUNTER_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType()),
+        T.StructField("counter_delta", T.DoubleType()),
+        T.StructField("n_resets", T.LongType()),
+        T.StructField("rate_per_sec", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+COUNTER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("delta_sum", T.StringType()),  # Decimal as string
+        T.StructField("n_resets", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def _counter_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """counter_agg streaming twin: resets-aware running delta.  The
+    per-sample increment rule matches operators/hyperfunctions.py
+    counter_agg exactly (drop counts fully: post-reset value restarts
+    from 0)."""
+    (metric,) = key
+    if state.exists:
+        last_v, dsum_s, n_resets, first_us, last_us, n = state.get
+        dsum = decimal.Decimal(dsum_s) if dsum_s is not None else None
+    else:
+        last_v, dsum, n_resets, first_us, last_us, n = (
+            None,
+            None,
+            0,
+            None,
+            None,
+            0,
+        )
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["time", "event_id"])
+        for row in pdf.itertuples():
+            v = row.value_num
+            if v is None or pd.isna(v):
+                continue
+            t_us = row.time.value // 1000
+            if last_v is not None:
+                inc = v - last_v if v >= last_v else v
+                if v < last_v:
+                    n_resets += 1
+                d = _dec(inc)
+                dsum = d if dsum is None else dsum + d
+            if first_us is None:
+                first_us = t_us
+            last_us = t_us
+            last_v = v
+            n += 1
+    state.update(
+        (
+            last_v,
+            str(dsum) if dsum is not None else None,
+            n_resets,
+            first_us,
+            last_us,
+            n,
+        )
+    )
+    if n:
+        delta = float(dsum) if dsum is not None else None
+        rate = None
+        if delta is not None:
+            elapsed_sec = float(last_us - first_us) / 1e6
+            if elapsed_sec != 0.0:
+                rate = delta / elapsed_sec
+            else:  # IEEE x/0.0, as the batch division would produce
+                rate = float("inf") if delta > 0 else (
+                    float("-inf") if delta < 0 else float("nan")
+                )
+        yield pd.DataFrame(
+            [(metric, delta, n_resets, rate, n)],
+            columns=[
+                "metric",
+                "counter_delta",
+                "n_resets",
+                "rate_per_sec",
+                "n_samples",
+            ],
+        )
+
+
+UPTIME_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType()),
+        T.StructField("n_intervals", T.LongType()),
+        T.StructField("uptime_micros", T.LongType()),
+        T.StructField("n_pings", T.LongType()),
+    ]
+)
+UPTIME_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("n_intervals", T.LongType()),
+        T.StructField("closed_micros", T.LongType()),
+        T.StructField("n_pings", T.LongType()),
+    ]
+)
+
+
+def _uptime_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """uptime_agg streaming twin: merged live intervals with the
+    heartbeat-tolerance gap split; all arithmetic is exact integer
+    microseconds, so stream == batch bit-for-bit."""
+    (metric,) = key
+    tol_us = HEARTBEAT_TOLERANCE_SEC * 1_000_000
+    if state.exists:
+        last_us, start_us, n_intervals, closed, n_pings = state.get
+    else:
+        last_us, start_us, n_intervals, closed, n_pings = (
+            None,
+            None,
+            0,
+            0,
+            0,
+        )
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["time", "event_id"])
+        for row in pdf.itertuples():
+            t_us = row.time.value // 1000
+            if last_us is None or t_us - last_us > tol_us:
+                if start_us is not None:
+                    closed += last_us - start_us
+                n_intervals += 1
+                start_us = t_us
+            last_us = t_us
+            n_pings += 1
+    state.update((last_us, start_us, n_intervals, closed, n_pings))
+    if n_pings:
+        open_span = (last_us - start_us) if start_us is not None else 0
+        yield pd.DataFrame(
+            [(metric, n_intervals, closed + open_span, n_pings)],
+            columns=["metric", "n_intervals", "uptime_micros", "n_pings"],
+        )
+
+
+def counter_agg_stream(telemetry: DataFrame) -> DataFrame:
+    return (
+        telemetry.filter("value_num IS NOT NULL")
+        .groupBy("metric")
+        .applyInPandasWithState(
+            _counter_fn,
+            COUNTER_OUTPUT_SCHEMA,
+            COUNTER_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def uptime_agg_stream(telemetry: DataFrame) -> DataFrame:
+    return telemetry.groupBy("metric").applyInPandasWithState(
+        _uptime_fn,
+        UPTIME_OUTPUT_SCHEMA,
+        UPTIME_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -112,26 +112,6 @@ def test_deviation_stream_matches_batch(spark, replay_dir):
     assert _rows(got, cols) == _rows(batch, cols)
 
 
-def test_deviation_tws_matches_batch(spark, replay_dir):
-    """The transformWithStateInPandas processor (modern API) must emit
-    exactly what the applyInPandasWithState and batch forms emit."""
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithStateInPandas needs protobuf (not in container)",
-    )
-    from opc_ua_data_pipeline_spark.streaming.alarms_tws import (
-        deviation_alarm_stream_tws,
-    )
-
-    stream = deviation_alarm_stream_tws(
-        telemetry_transform(file_stream(spark, replay_dir))
-    )
-    got = _run_stream(spark, stream, "dev_tws_stream")
-    batch = batch_alarms.q_deviation_alarms(spark, SF_DIR)
-    cols = ["metric", "time", "event_id", "pct", "alarm"]
-    assert _rows(got, cols) == _rows(batch, cols)
-
-
 def test_edge_stream_matches_batch(spark, replay_dir):
     stream = stream_alarms.edge_alarm_stream(
         telemetry_transform(file_stream(spark, replay_dir))
