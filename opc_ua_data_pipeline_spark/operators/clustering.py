@@ -285,6 +285,46 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_recall(
+    queries: DataFrame, corpus: DataFrame, top_k: int = PQ_ADC_TOP_K
+) -> DataFrame:
+    """Recall@k of the composed IVF-PQ index against the exact
+    brute-force top-k (similarity.brute_force_topk) — closing the ANN
+    evaluation loop on the production index shape, mirroring
+    similarity.lsh_recall.  The approximation error measured here is
+    end-to-end: cell routing misses + PQ quantization + the ADC-L2 vs
+    exact-cosine ranking gap.  The metric join is exact integer set
+    intersection per query; recall = hits / k.
+    """
+    from .similarity import brute_force_topk
+
+    exact = brute_force_topk(queries, corpus, top_k).select(
+        "q_id", F.col("c_id").alias("exact_id")
+    )
+    approx = pq_adc_topk(
+        queries, corpus, top_k=top_k, route_by_label=True
+    ).select("q_id", F.col("c_id").alias("approx_id"))
+    hits = (
+        exact.join(
+            approx,
+            (exact.q_id == approx.q_id)
+            & (exact.exact_id == approx.approx_id),
+        )
+        .groupBy(exact.q_id.alias("q_id"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("q_id")
+        .distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / top_k).alias("recall_at_k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract query + unrolled-CTE oracle
 # ---------------------------------------------------------------------------
@@ -310,11 +350,17 @@ def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_recall(emb.filter(F.col("vec_id") < PQ_N_QUERIES), emb)
+
+
 QUERIES = {
     "kmeans_assignments": q_kmeans,
     "pq_codes": q_pq_encode,
     "pq_adc_topk": q_pq_adc,
     "ann_ivfpq_topk": q_ivfpq,
+    "ann_ivfpq_recall": q_ivfpq_recall,
 }
 
 _DIST = """
@@ -489,9 +535,31 @@ WHERE rank <= {top_k}
     )
 
 
+def _ivfpq_recall_oracle() -> str:
+    """Exact-cosine top-k (similarity's oracle) vs the unrolled IVF-PQ
+    chain, intersected per query.  Both sub-oracles are full WITH
+    statements nested as CTE bodies (inner CTE names shadow)."""
+    from .similarity import _topk_sql
+
+    return f"""
+WITH exact AS ({_topk_sql("TRUE")}),
+approx AS ({_pq_adc_oracle(route_by_label=True)}),
+hits AS (
+  SELECT e.q_id, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+  GROUP BY e.q_id
+)
+SELECT q.q_id,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(n_hits, 0) AS DOUBLE) / {PQ_ADC_TOP_K} AS recall_at_k
+FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits ON q.q_id = hits.q_id
+"""
+
+
 ORACLES = {
     "kmeans_assignments": _kmeans_oracle(),
     "pq_codes": _pq_oracle(),
     "pq_adc_topk": _pq_adc_oracle(),
     "ann_ivfpq_topk": _pq_adc_oracle(route_by_label=True),
+    "ann_ivfpq_recall": _ivfpq_recall_oracle(),
 }

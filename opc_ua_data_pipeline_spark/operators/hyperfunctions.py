@@ -442,6 +442,77 @@ def uptime_agg(
     )
 
 
+def state_durations(tel: DataFrame) -> DataFrame:
+    """State aggregate (timescale ``state_agg`` / ``duration_in``):
+    per operator, each sample's metric is the machine's current state
+    and holds until the next sample (LOCF), so time-in-state is the
+    sum of holding gaps and ``n_entries`` counts transitions INTO the
+    state — "how long was each machine in each mode" computed from
+    telemetry itself.
+
+    Same (operator, day) two-pass de-skew as the other sequential
+    hyperfunctions (see module docstring): lead(time) and lag(state)
+    run inside contiguous per-day windows; day boundaries carry the
+    next day's first sample time and the previous day's last state
+    from one broadcast per-(operator, day) table.  The global last
+    sample holds for an unknown period and contributes no duration
+    (LOCF endpoint rule); all spans are exact BIGINT micros.
+    """
+    rows = (
+        tel.filter(F.col("operator").isNotNull())
+        .select("operator", "metric", "time", "event_id")
+        .withColumn("_day", F.to_date("time"))
+    )
+    w_local = Window.partitionBy("operator", "_day").orderBy(
+        "time", "event_id"
+    )
+    w_days = Window.partitionBy("operator").orderBy("_day")
+    _okey = F.concat(
+        F.lpad(F.unix_micros(F.col("time")).cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    bounds = (
+        rows.groupBy("operator", "_day")
+        .agg(
+            F.min("time").alias("_first"),
+            F.max_by("metric", _okey).alias("_last_state"),
+        )
+        .select(
+            "operator",
+            "_day",
+            F.lead("_first").over(w_days).alias("_next_day_first"),
+            F.lag("_last_state").over(w_days).alias("_prev_day_state"),
+        )
+    )
+    j = rows.join(F.broadcast(bounds), ["operator", "_day"])
+    dt = F.unix_micros(
+        F.coalesce(F.lead("time").over(w_local), F.col("_next_day_first"))
+    ) - F.unix_micros(F.col("time"))
+    prev_state = F.coalesce(
+        F.lag("metric").over(w_local), F.col("_prev_day_state")
+    )
+    entered = F.when(
+        prev_state.isNull() | (prev_state != F.col("metric")), 1
+    ).otherwise(0)
+    return (
+        j.select(
+            "operator",
+            F.col("metric").alias("state"),
+            dt.alias("dt"),
+            entered.alias("entered"),
+        )
+        .groupBy("operator", "state")
+        .agg(
+            F.coalesce(F.sum("dt"), F.lit(0))
+            .cast("bigint")
+            .alias("duration_micros"),
+            F.sum("entered").cast("bigint").alias("n_entries"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -475,7 +546,12 @@ def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_interpolate(telemetry(spark, sf_dir))
 
 
+def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return state_durations(telemetry(spark, sf_dir))
+
+
 QUERIES = {
+    "state_durations": q_state_durations,
     "time_weighted_avg": q_time_weighted_avg,
     "time_bucket_gapfill": q_gapfill,
     "gapfill_interpolate": q_gapfill_interp,
@@ -486,6 +562,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "state_durations": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+seq AS (
+  SELECT operator, metric, "time", event_id,
+         epoch_us(LEAD("time") OVER w) - epoch_us("time") AS dt,
+         LAG(metric) OVER w AS prev_state
+  FROM telemetry WHERE operator IS NOT NULL
+  WINDOW w AS (PARTITION BY operator ORDER BY "time", event_id)
+)
+SELECT operator, metric AS state,
+       CAST(COALESCE(SUM(dt), 0) AS BIGINT) AS duration_micros,
+       CAST(SUM(CASE WHEN prev_state IS NULL OR prev_state <> metric
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_entries,
+       COUNT(*) AS n_samples
+FROM seq
+GROUP BY operator, metric
+""",
     "time_weighted_avg": f"""
 WITH telemetry AS ({TELEMETRY_SQL}),
 samples AS (

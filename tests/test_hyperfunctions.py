@@ -150,6 +150,64 @@ def test_uptime_agg_merges_within_tolerance_and_splits_gaps(spark):
     assert r["uptime_micros"] == (120 + 60) * 1_000_000
 
 
+def test_state_durations_locf_and_entries(spark):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        state_durations,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # (state, offset_sec): A held 0-120, B 120-180, A re-entered at
+        # 180 with no successor (contributes no duration)
+        ("A", 0),
+        ("A", 60),
+        ("B", 120),
+        ("A", 180),
+    ]
+    tel = spark.createDataFrame(
+        [
+            (base + datetime.timedelta(seconds=s), st, None, None, "op-1", i)
+            for i, (st, s) in enumerate(rows)
+        ],
+        "time timestamp, metric string, value_num double, "
+        "value_str string, operator string, event_id long",
+    )
+    out = {r["state"]: r for r in state_durations(tel).collect()}
+    assert out["A"]["duration_micros"] == 120 * 1_000_000
+    assert out["A"]["n_entries"] == 2
+    assert out["A"]["n_samples"] == 3
+    assert out["B"]["duration_micros"] == 60 * 1_000_000
+    assert out["B"]["n_entries"] == 1
+
+
+def test_deskew_carries_across_day_boundaries(spark):
+    """The (metric, day) two-pass formulations must stitch the lead/
+    lag/interval chain across a midnight boundary exactly as a full-
+    history window would: last-of-day sees next day's first sample,
+    first-of-day sees previous day's last value, and an interval open
+    at midnight stays ONE interval."""
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        counter_agg,
+        time_weighted_avg,
+        uptime_agg,
+    )
+
+    # 23:59:00 day 1 -> 00:01:00 and 00:02:00 day 2
+    tel = _tel(spark, [("m", 86340, 10.0), ("m", 86460, 20.0), ("m", 86520, 5.0)])
+    twa = time_weighted_avg(tel).collect()[0]
+    # 10 held 120 s across midnight, 20 held 60 s
+    assert twa["time_weighted_avg"] == pytest.approx((10 * 120 + 20 * 60) / 180)
+    assert twa["total_weight_micros"] == 180 * 1_000_000
+
+    c = counter_agg(tel).collect()[0]
+    assert c["counter_delta"] == pytest.approx(15.0)  # +10 then reset to 5
+    assert c["n_resets"] == 1
+
+    u = uptime_agg(tel).collect()[0]
+    assert u["n_intervals"] == 1  # 120 s gap at midnight is within tolerance
+    assert u["uptime_micros"] == 180 * 1_000_000
+
+
 def test_gapfill_interpolate_linear(spark):
     from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
         gapfill_interpolate,
