@@ -68,6 +68,13 @@ HEADLINE = [
     "heavy_hitters_cms",     # count-min sketch + exact twin
     "weighted_sample",       # sequential-Poisson weighted sample
     "text_bigram_logprob",   # bigram LM join (zip_with bigrams)
+    # hyperfunctions (de-skewed in round 4) + round-4 additions:
+    "time_weighted_avg",     # (metric, day) two-pass LOCF weighting
+    "counter_agg",           # resets-aware delta, two-pass lag
+    "uptime_agg",            # heartbeat intervals, offset-table cumsum
+    "state_durations",       # state_agg: LOCF time-in-state
+    "ann_ivfpq_topk",        # composed IVF-PQ index serving path
+    "bmp_features",          # real container assembly + Arrow decode
 ]
 
 
@@ -78,7 +85,10 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    queries = entry_mod.queries()
+    # full union: headliners may include pytest-only registry trims
+    # (e.g. temperature_mix) — the bench races mechanisms, not the
+    # driver window
+    queries = entry_mod.all_queries()
     # Warm up the JVM + parquet footers so the first timed query doesn't
     # absorb one-time session costs.
     queries["dedup_exact"](spark, sf_dir).write.format("noop").mode(
@@ -159,6 +169,29 @@ def main() -> None:
         par[name] = min(run_once(fn, chunked_dir), run_once(fn, chunked_dir))
     shutil.rmtree(chunked_dir, ignore_errors=True)
 
+    # Scale-ramp guard: warm time at the main SF vs at the 10x-smaller
+    # SF.  A linear operator on 10x data should ramp well under ~15x
+    # (sub-second queries are plan-build-bound and ramp near 1x); a
+    # ratio beyond that is a quadratic/skew suspect worth a plan audit.
+    ramp_dir = os.environ.get(
+        "SPARK_GRAFT_RAMP_DIR", "/root/testdata/sf0.01"
+    )
+    ramp_ratio: dict[str, float] = {}
+    ramp_flagged: list[str] = []
+    if os.path.isdir(ramp_dir) and os.path.abspath(
+        ramp_dir
+    ) != os.path.abspath(sf_dir):
+        for name in HEADLINE:
+            fn = queries[name]
+            fn(spark, ramp_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()  # build/compile at the small SF
+            small = min(run_once(fn, ramp_dir), run_once(fn, ramp_dir))
+            r = round(warm[name] / small, 2) if small > 0 else None
+            ramp_ratio[name] = r
+            if r is not None and r > 15:
+                ramp_flagged.append(name)
+
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
@@ -171,6 +204,9 @@ def main() -> None:
         "queries_parallel_warm": par,
         "parallel_warm_total": round(sum(par.values()), 3),
         "rechunk_sec": rechunk_sec,
+        "scale_ramp_vs": ramp_dir,
+        "scale_ramp_warm_ratio": ramp_ratio,
+        "scale_ramp_flagged": ramp_flagged,
         "sf": sf_val,
     }
     # Full per-pass numbers go to a FILE; stdout gets ONE compact
@@ -191,6 +227,7 @@ def main() -> None:
             # the headline set GROWS round over round (27 in r1/r2, 36
             # in r3); totals are only comparable per query
             "n_queries": len(HEADLINE),
+            "scale_ramp_flagged": ramp_flagged,
             "sf": sf_val,
         }
     )
@@ -203,6 +240,7 @@ def main() -> None:
                 "queries": {},
                 "warm_total": detail["warm_total"],
                 "parallel_warm_total": detail["parallel_warm_total"],
+                "scale_ramp_flagged": ramp_flagged,
                 "sf": sf_val,
             }
         )

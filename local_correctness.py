@@ -85,7 +85,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
-    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    queries, oracles = entry_mod.all_queries(), entry_mod.all_oracle_sql()
     report: dict[str, dict] = {}
     for name, fn in queries.items():
         entry: dict = {

@@ -51,8 +51,10 @@ def _rows_to_set(cols, rows):
     return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
 
 
-QUERIES = entry_mod.queries()
-ORACLES = entry_mod.oracle_sql()
+# full union including pytest-only spellings (the registry trim must
+# not lose value-level verification)
+QUERIES = entry_mod.all_queries()
+ORACLES = entry_mod.all_oracle_sql()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
