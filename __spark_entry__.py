@@ -108,6 +108,7 @@ _PRIORITY = [
     "ann_ivfpq_recall",
     "bmp_features",
     "wav_features",
+    "hll_rollup_merge",
     "time_weighted_avg",
     "counter_agg",
     "uptime_agg",

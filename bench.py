@@ -75,6 +75,7 @@ HEADLINE = [
     "state_durations",       # state_agg: LOCF time-in-state
     "ann_ivfpq_topk",        # composed IVF-PQ index serving path
     "bmp_features",          # real container assembly + Arrow decode
+    "hll_rollup_merge",      # mergeable sketch rollup (minute->hour)
 ]
 
 

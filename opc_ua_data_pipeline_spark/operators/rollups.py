@@ -200,6 +200,45 @@ GROUP BY 1, 2
 """
 
 
+HLL_MERGE_RTOL = 0.15  # sketch estimates are engine-specific; bounded
+
+
+def hll_rollup_merge(events: DataFrame) -> DataFrame:
+    """Mergeable-sketch hierarchical rollup: per-(event_type, minute)
+    HLL sketches (Datasketches ``hll_sketch_agg``) UNIONED up to the
+    hour grain — the sketch analog of q_rollup_hourly_hierarchical,
+    and the only way distinct-count rollups compose at 100 TB (exact
+    distinct partials don't add; HLL registers max-merge losslessly).
+    A serving layer stores the minute sketches once and answers any
+    coarser grain by union, never rescanning the fact table.
+
+    Contract shape follows approx_distinct_users: the exact hourly
+    distinct count is hash-matched, the merged estimate is bounded
+    (``merge_ok``) because sketch internals are engine-specific.
+    """
+    minute = F.date_trunc("minute", F.col("ts"))
+    partials = events.groupBy(
+        F.col("event_type"), minute.alias("m")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = partials.groupBy(
+        "event_type", F.date_trunc("hour", F.col("m")).alias("bucket")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_users")
+    )
+    exact = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.join(merged, ["event_type", "bucket"]).select(
+        "event_type",
+        "bucket",
+        "exact_users",
+        (
+            F.abs(F.col("merged_users") - F.col("exact_users"))
+            <= F.lit(HLL_MERGE_RTOL) * F.col("exact_users")
+        ).alias("merge_ok"),
+    )
+
+
 def last_event_time(df: DataFrame, metric: str) -> DataFrame:
     """G5 — ungrouped MAX with COALESCE default
     (machine_dashboard.json:948 ``last_running`` CTE)."""
@@ -234,12 +273,19 @@ def q_rollup_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return machine_stats_sliding(telemetry(spark, sf_dir))
 
 
+def q_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    return hll_rollup_merge(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "rollup_minute": q_rollup_minute,
     "rollup_hourly": q_rollup_hourly,
     "rollup_hourly_hierarchical": q_rollup_hourly_hierarchical,
     "rollup_sliding": q_rollup_sliding,
     "last_running_time": q_last_running,
+    "hll_rollup_merge": q_hll_rollup_merge,
 }
 
 ORACLES = {
@@ -252,5 +298,15 @@ ORACLES = {
 WITH telemetry AS ({TELEMETRY_SQL})
 SELECT COALESCE(MAX("time"), TIMESTAMP '1970-01-01') AS clear_time
 FROM telemetry WHERE metric = 'signup'
+""",
+    # exact hourly distinct hash-matched; merged sketch estimate
+    # bounded (merge_ok must be TRUE for every bucket)
+    "hll_rollup_merge": """
+SELECT event_type,
+       date_trunc('hour', ts) AS bucket,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS merge_ok
+FROM events
+GROUP BY 1, 2
 """,
 }

@@ -141,6 +141,89 @@ def _counter_fn(
         )
 
 
+TWA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType()),
+        T.StructField("time_weighted_avg", T.DoubleType()),
+        T.StructField("total_weight_micros", T.LongType()),
+        T.StructField("n_weighted_samples", T.LongType()),
+    ]
+)
+TWA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("wsum", T.StringType()),  # Decimal as string
+        T.StructField("total_w", T.LongType()),
+        T.StructField("n_weighted", T.LongType()),
+    ]
+)
+
+
+def _twa_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """time_weighted_avg streaming twin: when sample i+1 arrives, the
+    HELD sample i finally has a known holding period, so its weighted
+    term value_i * dt lands in the accumulator — LOCF endpoint rule
+    for free (the open last sample contributes nothing until its
+    successor shows up)."""
+    (metric,) = key
+    if state.exists:
+        last_us, last_v, wsum_s, total_w, n_w = state.get
+        wsum = decimal.Decimal(wsum_s) if wsum_s is not None else None
+    else:
+        last_us, last_v, wsum, total_w, n_w = None, None, None, 0, 0
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["time", "event_id"])
+        for row in pdf.itertuples():
+            v = row.value_num
+            if v is None or pd.isna(v):
+                continue
+            t_us = row.time.value // 1000
+            if last_us is not None:
+                dt = t_us - last_us
+                term = _dec(last_v * float(dt))
+                wsum = term if wsum is None else wsum + term
+                total_w += dt
+                n_w += 1
+            last_us, last_v = t_us, v
+    state.update(
+        (
+            last_us,
+            last_v,
+            str(wsum) if wsum is not None else None,
+            total_w,
+            n_w,
+        )
+    )
+    if n_w:
+        yield pd.DataFrame(
+            [(metric, float(wsum) / float(total_w), total_w, n_w)],
+            columns=[
+                "metric",
+                "time_weighted_avg",
+                "total_weight_micros",
+                "n_weighted_samples",
+            ],
+        )
+
+
+def time_weighted_avg_stream(telemetry: DataFrame) -> DataFrame:
+    return (
+        telemetry.filter("value_num IS NOT NULL")
+        .groupBy("metric")
+        .applyInPandasWithState(
+            _twa_fn,
+            TWA_OUTPUT_SCHEMA,
+            TWA_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 UPTIME_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("metric", T.StringType()),
@@ -197,6 +280,114 @@ def _uptime_fn(
             [(metric, n_intervals, closed + open_span, n_pings)],
             columns=["metric", "n_intervals", "uptime_micros", "n_pings"],
         )
+
+
+STATE_DUR_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("operator", T.StringType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("duration_micros", T.LongType()),
+        T.StructField("n_entries", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("op_samples", T.LongType()),  # snapshot marker
+    ]
+)
+#: per-operator accumulators as parallel arrays (state cardinality is
+#: the metric-type count — O(#states) per key, bounded, not
+#: stream-length-dependent)
+STATE_DUR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_state", T.StringType()),
+        T.StructField("states", T.ArrayType(T.StringType())),
+        T.StructField("durations", T.ArrayType(T.LongType())),
+        T.StructField("entries", T.ArrayType(T.LongType())),
+        T.StructField("samples", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _state_dur_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """state_durations streaming twin: when the next sample arrives,
+    the HELD state's duration closes (LOCF), an entry is counted when
+    the arriving state differs from the held one.  Emits the full
+    per-state snapshot each micro-batch, tagged with the operator's
+    cumulative sample count so tests can pick the final snapshot."""
+    (operator,) = key
+    if state.exists:
+        last_us, last_state, names, durs, ents, samps = state.get
+        names, durs, ents, samps = (
+            list(names),
+            list(durs),
+            list(ents),
+            list(samps),
+        )
+    else:
+        last_us, last_state, names, durs, ents, samps = (
+            None,
+            None,
+            [],
+            [],
+            [],
+            [],
+        )
+    idx = {s: i for i, s in enumerate(names)}
+
+    def slot(s):
+        if s not in idx:
+            idx[s] = len(names)
+            names.append(s)
+            durs.append(0)
+            ents.append(0)
+            samps.append(0)
+        return idx[s]
+
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["time", "event_id"])
+        for row in pdf.itertuples():
+            st = row.metric
+            t_us = row.time.value // 1000
+            if last_state is not None:
+                durs[slot(last_state)] += t_us - last_us
+            i = slot(st)
+            if last_state is None or last_state != st:
+                ents[i] += 1
+            samps[i] += 1
+            last_us, last_state = t_us, st
+    state.update((last_us, last_state, names, durs, ents, samps))
+    total = sum(samps)
+    if names:
+        yield pd.DataFrame(
+            [
+                (operator, s, durs[i], ents[i], samps[i], total)
+                for i, s in enumerate(names)
+            ],
+            columns=[
+                "operator",
+                "state",
+                "duration_micros",
+                "n_entries",
+                "n_samples",
+                "op_samples",
+            ],
+        )
+
+
+def state_durations_stream(telemetry: DataFrame) -> DataFrame:
+    return (
+        telemetry.filter("operator IS NOT NULL")
+        .groupBy("operator")
+        .applyInPandasWithState(
+            _state_dur_fn,
+            STATE_DUR_OUTPUT_SCHEMA,
+            STATE_DUR_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def counter_agg_stream(telemetry: DataFrame) -> DataFrame:

@@ -132,6 +132,25 @@ def test_two_pass_windows_have_no_global_window(spark):
             assert head.strip(), (name, spec)
 
 
+def test_hyperfunction_windows_are_day_composite(spark):
+    """The sequential hyperfunctions must keep their (key, day)
+    two-pass de-skew: any window spec ordered by (time, event_id) —
+    the big-side sequential pass — must carry a _day column in its
+    partition spec; per-key-only windows may only order by _day (the
+    tiny boundary tables)."""
+    for name in [
+        "time_weighted_avg",
+        "counter_agg",
+        "uptime_agg",
+        "state_durations",
+    ]:
+        plan = formatted_plan(Q[name](spark, SF)).lower()
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            spec = m.group(1)
+            if "event_id" in spec:  # big-side sequential window
+                assert "_day" in spec, (name, spec)
+
+
 def test_kmeans_seed_selection_is_topk_heap(spark):
     """Seed picking must be a distributed top-k (TakeOrderedAndProject)
     over the corpus, not a global row_number window.  (Tested on the

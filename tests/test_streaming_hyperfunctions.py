@@ -17,11 +17,15 @@ import pytest
 
 from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
     counter_agg,
+    state_durations,
+    time_weighted_avg,
     uptime_agg,
 )
 from opc_ua_data_pipeline_spark.operators.ingest import telemetry, telemetry_transform
 from opc_ua_data_pipeline_spark.streaming.hyperfunctions import (
     counter_agg_stream,
+    state_durations_stream,
+    time_weighted_avg_stream,
     uptime_agg_stream,
 )
 from opc_ua_data_pipeline_spark.streaming.ingest import file_stream
@@ -95,6 +99,71 @@ def test_counter_stream_matches_batch(spark, replay_dir):
             b["n_resets"],
             b["rate_per_sec"],
         ), m
+
+
+def test_twa_stream_matches_batch(spark, replay_dir):
+    out = _run_stream(
+        spark,
+        time_weighted_avg_stream(
+            telemetry_transform(file_stream(spark, replay_dir))
+        ),
+        "twa_stream",
+    )
+    rows = out.collect()
+    assert len(rows) > len({r["metric"] for r in rows})
+    final = _final_per_metric(rows, "n_weighted_samples")
+    batch = {
+        r["metric"]: r
+        for r in time_weighted_avg(telemetry(spark, SF_DIR)).collect()
+    }
+    assert set(final) == set(batch)
+    for m, b in batch.items():
+        s = final[m]
+        assert (
+            s["time_weighted_avg"],
+            s["total_weight_micros"],
+            s["n_weighted_samples"],
+        ) == (
+            b["time_weighted_avg"],
+            b["total_weight_micros"],
+            b["n_weighted_samples"],
+        ), m
+
+
+def test_state_durations_stream_matches_batch(spark, replay_dir):
+    out = _run_stream(
+        spark,
+        state_durations_stream(
+            telemetry_transform(file_stream(spark, replay_dir))
+        ),
+        "state_dur_stream",
+    )
+    rows = out.collect()
+    # final snapshot per operator = rows tagged with its max op_samples
+    latest = {}
+    for r in rows:
+        if (
+            r["operator"] not in latest
+            or r["op_samples"] > latest[r["operator"]]
+        ):
+            latest[r["operator"]] = r["op_samples"]
+    final = {
+        (r["operator"], r["state"]): r
+        for r in rows
+        if r["op_samples"] == latest[r["operator"]]
+    }
+    batch = {
+        (r["operator"], r["state"]): r
+        for r in state_durations(telemetry(spark, SF_DIR)).collect()
+    }
+    assert set(final) == set(batch)
+    for k, b in batch.items():
+        s = final[k]
+        assert (
+            s["duration_micros"],
+            s["n_entries"],
+            s["n_samples"],
+        ) == (b["duration_micros"], b["n_entries"], b["n_samples"]), k
 
 
 def test_uptime_stream_matches_batch(spark, replay_dir):
