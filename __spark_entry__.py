@@ -90,18 +90,18 @@ _PYTEST_ONLY = {
 
 # The driver's correctness pass verifies the FIRST 50 registry entries
 # per round, so registration order is rotated each round.  Round 4
-# front-loads (a) the 4 new queries (state_durations, ann_ivfpq_recall,
-# bmp/wav_features) and the 3 hyperfunctions whose implementation
-# changed (de-skewed two-pass — bit-identical, but a fresh row on the
-# new code is the hard signal), then (b) the queries that have NEVER
-# had a driver row on the round-3-regenerated MICROS/NTZ parquet —
-# reference surface (alarms/dashboard/rollups) first, then the
-# ANN/clustering/text/training families.  79 entries carry priority
-# for 50 slots: the ~29 overflow entries (the relational/warehouse
-# family at the tail) are all r1-driver-green on the old encoding AND
-# value-verified at BOTH sf0.01 and sf0.1 in the committed
-# CORRECTNESS_LOCAL_r04 artifacts; round 5 should front-load exactly
-# that tail.
+# front-loads (a) the 6 new queries (state_durations, ann_ivfpq_recall,
+# bmp/wav_features, hll_rollup_merge, dup_span_scrub) and the 3
+# hyperfunctions whose implementation changed (de-skewed two-pass —
+# bit-identical, but a fresh row on the new code is the hard signal),
+# then (b) the queries that have NEVER had a driver row on the
+# round-3-regenerated MICROS/NTZ parquet — reference surface
+# (alarms/dashboard/rollups) first, then the ANN/clustering/text/
+# training families.  81 entries carry priority for 50 slots: the 31
+# overflow entries (the relational/warehouse family at the tail) are
+# all r1-driver-green on the old encoding AND value-verified at BOTH
+# sf0.01 and sf0.1 in the committed CORRECTNESS_LOCAL_r04 artifacts;
+# round 5 should front-load exactly that tail.
 _PRIORITY = [
     # (a) new in round 4 / implementation changed in round 4
     "state_durations",
@@ -109,6 +109,7 @@ _PRIORITY = [
     "bmp_features",
     "wav_features",
     "hll_rollup_merge",
+    "dup_span_scrub",
     "time_weighted_avg",
     "counter_agg",
     "uptime_agg",

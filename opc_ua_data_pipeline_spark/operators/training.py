@@ -625,9 +625,82 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_coverage(load_table(spark, sf_dir, "documents"))
 
 
+def dup_span_scrub(
+    docs: DataFrame, n: int = SPAN_N, min_docs: int = SPAN_MIN_DOCS
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2021):
+    cut every token that sits inside a cross-document duplicate
+    n-gram (the spans dup_span_coverage measures) and reassemble the
+    survivors in order — boilerplate/mirrored passages disappear from
+    every document that carries them while unique prose is untouched.
+
+    Scale shape: covered positions are ENUMERATED, not tested —
+    each flagged gram start s emits sequence(max(s, prev+n), s+n-1)
+    (the lag window de-overlaps, so total covered rows <= n_tokens,
+    linear), then one LEFT ANTI join drops covered token positions
+    and one per-doc aggregation rebuilds the text.  No per-token
+    membership probe against a per-doc span array (which would be
+    O(tokens x spans) in boilerplate-heavy docs).
+    """
+    toked = docs.select("doc_id", _toks().alias("ts"))
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(_word_ngrams(F.col("ts"), n)).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    flagged = grams.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    covered = (
+        flagged.withColumn("prev", F.lag("pos").over(w))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.when(F.col("prev").isNull(), F.col("pos")).otherwise(
+                        F.greatest(F.col("pos"), F.col("prev") + n)
+                    ),
+                    F.col("pos") + (n - 1),
+                )
+            ).alias("p"),
+        )
+    )
+    tokens = toked.select(
+        "doc_id", F.posexplode("ts").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = tokens.join(covered, ["doc_id", "p"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return toked.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias(
+            "kept_tokens"
+        ),
+        F.size("ts").cast("long").alias("n_tokens"),
+    )
+
+
+def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_span_scrub(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "ngram_contamination": q_contamination,
     "dup_span_coverage": q_dup_span_coverage,
+    "dup_span_scrub": q_dup_span_scrub,
     "bloom_contamination": q_bloom_contamination,
     "repetition_stats": q_repetition,
     "split_assign": q_split,
@@ -769,6 +842,54 @@ SELECT t.doc_id,
             ELSE CAST(COALESCE(c.covered, 0) AS DOUBLE)
                  / CAST(len(w) AS DOUBLE) END AS dup_coverage_ratio
 FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
+""",
+    "dup_span_scrub": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         UNNEST({_ng(SPAN_N)}) AS gram,
+         UNNEST(generate_series(1, greatest(len(w) - {SPAN_N - 1}, 0)))
+           AS pos
+  FROM toks
+),
+dup AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gram
+  ) WHERE nd >= {SPAN_MIN_DOCS}
+),
+flagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM grams JOIN dup USING (gram)
+),
+covered AS (
+  SELECT doc_id,
+         UNNEST(generate_series(
+           CASE WHEN prev IS NULL THEN pos
+                ELSE greatest(pos, prev + {SPAN_N}) END,
+           pos + {SPAN_N - 1})) AS p
+  FROM flagged
+),
+tokens AS (
+  SELECT doc_id, UNNEST(w) AS tok,
+         UNNEST(generate_series(1, len(w))) AS p
+  FROM toks
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM tokens t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+  WHERE c.p IS NULL
+),
+clean AS (
+  SELECT doc_id, COUNT(*) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY p) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(c.clean_text, '') AS clean_text,
+       CAST(COALESCE(c.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(w) AS BIGINT) AS n_tokens
+FROM toks t LEFT JOIN clean c ON t.doc_id = c.doc_id
 """,
     "repetition_stats": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS w FROM documents),

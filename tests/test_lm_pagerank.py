@@ -140,3 +140,41 @@ def test_q17_and_transitions(spark):
     for prev, rows in by_prev.items():
         assert abs(sum(r.p_transition for r in rows) - 1.0) < 1e-9
         assert sum(r.n_transitions for r in rows) == rows[0].row_total
+
+
+def test_dup_span_scrub_removes_shared_passage_only(spark):
+    from opc_ua_data_pipeline_spark.operators.training import (
+        dup_span_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a1 b1 p q r s t u c1 d1"),
+            (1, "x1 p q r s t u y1 z1"),
+            (2, "m1 m2 m3 m4 m5 m6 m7 m8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_span_scrub(docs).collect()}
+    # the shared 6-token passage disappears from BOTH carriers; the
+    # surrounding unique prose survives in order
+    assert out[0].clean_text == "a1 b1 c1 d1"
+    assert out[0].kept_tokens == 4 and out[0].n_tokens == 10
+    assert out[1].clean_text == "x1 y1 z1"
+    # unique doc is untouched
+    assert out[2].clean_text == "m1 m2 m3 m4 m5 m6 m7 m8"
+    assert out[2].kept_tokens == 8
+
+
+def test_dup_span_scrub_fully_duplicated_doc_empties(spark):
+    from opc_ua_data_pipeline_spark.operators.training import (
+        dup_span_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "p q r s"), (1, "p q r s")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dup_span_scrub(docs).collect()}
+    assert out[0].clean_text == "" and out[0].kept_tokens == 0
+    assert out[1].clean_text == "" and out[1].kept_tokens == 0
