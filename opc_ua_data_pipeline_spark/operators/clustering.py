@@ -167,20 +167,29 @@ def pq_encode(
     """
     assert dim % n_subspaces == 0
     d_sub = dim // n_subspaces
-    parts = []
-    for s in range(n_subspaces):
+
+    def train(s: int) -> DataFrame:
         sub = corpus.select(
-            "vec_id", F.slice("embedding", s * d_sub + 1, d_sub).alias("embedding")
+            "vec_id",
+            F.slice("embedding", s * d_sub + 1, d_sub).alias("embedding"),
         )
         assigned = kmeans_assignments(sub, k=k, n_iter=n_iter)
-        parts.append(
-            assigned.select(
-                "vec_id",
-                F.lit(s).alias("subspace"),
-                F.col("cluster").alias("code"),
-                "dist",
-            )
+        return assigned.select(
+            "vec_id",
+            F.lit(s).alias("subspace"),
+            F.col("cluster").alias("code"),
+            "dist",
         )
+
+    # Subspace trainings are independent Lloyd chains whose eager
+    # localCheckpoints would otherwise SERIALIZE (each checkpoint
+    # blocks the driver); submitting them from threads overlaps the
+    # per-iteration jobs on the scheduler.  Results are deterministic
+    # per subspace, so concurrency cannot change them.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_subspaces) as ex:
+        parts = list(ex.map(train, range(n_subspaces)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)
@@ -229,13 +238,26 @@ def pq_adc_topk(
         if route_by_label
         else None
     )
-    luts = []
-    for s in range(n_subspaces):
+
+    def train(s: int):
         sub = corpus.select(
             "vec_id",
             F.slice("embedding", s * d_sub + 1, d_sub).alias("embedding"),
         )
-        assigned, cent = _kmeans_loop(sub, k, n_iter)
+        return _kmeans_loop(sub, k, n_iter)
+
+    # Train the independent per-subspace codebooks concurrently (see
+    # pq_encode): the eager localCheckpoints inside each Lloyd chain
+    # would serialize the 4 trainings; thread-submitted jobs overlap
+    # on the scheduler with bit-identical results.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_subspaces) as ex:
+        trained = list(ex.map(train, range(n_subspaces)))
+
+    luts = []
+    for s in range(n_subspaces):
+        assigned, cent = trained[s]
         codes = assigned.select("vec_id", F.col("cluster").alias(f"code_{s}"))
         wide = codes if wide is None else wide.join(codes, "vec_id")
         q_cols = [
