@@ -92,12 +92,15 @@ def time_weighted_avg(tel: DataFrame) -> DataFrame:
         )
         .filter(F.col("dt").isNotNull())
     )
+    # try_divide: a metric whose samples all share one timestamp has
+    # total weight 0 — NULL average, not an ANSI divide-by-zero error
+    # (found by tests/test_deskew_properties.py)
     return samples.groupBy("metric").agg(
-        (
+        F.try_divide(
             F.sum(
                 (F.col("value_num") * F.col("dt").cast("double")).cast(_DEC)
-            ).cast("double")
-            / F.sum("dt").cast("double")
+            ).cast("double"),
+            F.sum("dt").cast("double"),
         ).alias("time_weighted_avg"),
         F.sum("dt").alias("total_weight_micros"),
         F.count(F.lit(1)).alias("n_weighted_samples"),
@@ -263,15 +266,13 @@ def counter_agg(tel: DataFrame) -> DataFrame:
         F.count(F.when(F.col("value_num") < F.col("prev"), 1)).alias(
             "n_resets"
         ),
-        (
-            F.sum(inc.cast(_DEC)).cast("double")
-            / (
-                (
-                    F.unix_micros(F.max("time"))
-                    - F.unix_micros(F.min("time"))
-                ).cast("double")
-                / 1e6
-            )
+        F.try_divide(
+            F.sum(inc.cast(_DEC)).cast("double"),
+            (
+                F.unix_micros(F.max("time"))
+                - F.unix_micros(F.min("time"))
+            ).cast("double")
+            / 1e6,
         ).alias("rate_per_sec"),
     )
 
@@ -312,7 +313,10 @@ def trend_slope(tel: DataFrame) -> DataFrame:
     sxy = F.sum((F.col("x") * F.col("value_num")).cast(_DEC)).cast("double")
     sxx = F.sum((F.col("x") * F.col("x")).cast(_DEC)).cast("double")
     n = F.count(F.lit(1)).cast("double")
-    slope_micro = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # try_divide: a metric with a single sample (or all samples at one
+    # timestamp) has zero x-variance — slope/intercept are undefined
+    # (NULL), not an ANSI divide-by-zero error
+    slope_micro = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
     return samples.groupBy("metric").agg(
         (slope_micro * F.lit(1e6))
         .cast("decimal(38,12)")

@@ -123,12 +123,9 @@ def _counter_fn(
         rate = None
         if delta is not None:
             elapsed_sec = float(last_us - first_us) / 1e6
-            if elapsed_sec != 0.0:
-                rate = delta / elapsed_sec
-            else:  # IEEE x/0.0, as the batch division would produce
-                rate = float("inf") if delta > 0 else (
-                    float("-inf") if delta < 0 else float("nan")
-                )
+            # elapsed 0 (all samples at one timestamp) -> NULL rate,
+            # mirroring the batch operator's try_divide
+            rate = delta / elapsed_sec if elapsed_sec != 0.0 else None
         yield pd.DataFrame(
             [(metric, delta, n_resets, rate, n)],
             columns=[
