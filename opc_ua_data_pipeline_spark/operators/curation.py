@@ -85,9 +85,9 @@ def quality_score_col(text_col: str = "text") -> Column:
     z = (
         F.lit(CLF_BIAS)
         + F.lit(CLF_W_LOG_TOKENS) * F.log(F.lit(1.0) + n.cast("double"))
-        + F.lit(CLF_W_STOPWORD) * (n_stop.cast("double") / n)
-        + F.lit(CLF_W_TTR) * (n_distinct.cast("double") / n)
-        + F.lit(CLF_W_MEAN_LEN) * (sum_len.cast("double") / n)
+        + F.lit(CLF_W_STOPWORD) * F.try_divide(n_stop.cast("double"), n)
+        + F.lit(CLF_W_TTR) * F.try_divide(n_distinct.cast("double"), n)
+        + F.lit(CLF_W_MEAN_LEN) * F.try_divide(sum_len.cast("double"), n)
     )
     return (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).cast(
         "decimal(18,9)"
@@ -112,7 +112,7 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
         "source",
         F.size(_toks()).alias("n_tokens"),
         score.alias("quality_score"),
-        (score >= CLF_THRESHOLD).alias("keep"),
+        F.coalesce(score >= CLF_THRESHOLD, F.lit(False)).alias("keep"),
     )
 
 
@@ -195,8 +195,11 @@ def vocab_coverage(docs: DataFrame, k: int = TOP_VOCAB_K) -> DataFrame:
             "doc_id",
             n.alias("n_tokens"),
             covered.alias("n_covered"),
-            (covered.cast("double") / n).alias("coverage"),
-            ((covered.cast("double") / n) >= MIN_COVERAGE).alias("keep"),
+            F.try_divide(covered.cast("double"), n).alias("coverage"),
+            F.coalesce(
+                F.try_divide(covered.cast("double"), n) >= MIN_COVERAGE,
+                F.lit(False),  # token-less docs are filtered, not NULL
+            ).alias("keep"),
         )
     )
 
@@ -380,8 +383,10 @@ _Z_SQL = (
     f"+ {CLF_W_LOG_TOKENS} * ln(1.0 + CAST(len({_TOKS}) AS DOUBLE)) "
     f"+ {CLF_W_STOPWORD} * (CAST({_stop_hits(QUALITY_STOPWORDS)} AS DOUBLE) / len({_TOKS})) "
     f"+ {CLF_W_TTR} * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})) "
-    f"+ {CLF_W_MEAN_LEN} * (CAST(list_reduce(list_transform({_TOKS}, "
-    f"t -> CAST(length(t) AS BIGINT)), (acc, x) -> acc + x) AS DOUBLE) / len({_TOKS}))"
+    f"+ {CLF_W_MEAN_LEN} * (CASE WHEN len({_TOKS}) = 0 THEN NULL "
+    f"ELSE CAST(list_reduce(list_transform({_TOKS}, "
+    f"t -> CAST(length(t) AS BIGINT)), (acc, x) -> acc + x) AS DOUBLE) "
+    f"/ len({_TOKS}) END)"
 )
 
 _SCORE_SQL = f"CAST(CAST(1.0 / (1.0 + exp(-({_Z_SQL}))) AS DECIMAL(18,9)) AS DOUBLE)"
@@ -390,7 +395,7 @@ _CLF_SQL = f"""
 SELECT doc_id, source,
        len({_TOKS}) AS n_tokens,
        {_SCORE_SQL} AS quality_score,
-       {_SCORE_SQL} >= {CLF_THRESHOLD} AS keep
+       COALESCE({_SCORE_SQL} >= {CLF_THRESHOLD}, FALSE) AS keep
 FROM documents
 """
 
@@ -434,8 +439,9 @@ SELECT doc_id,
        len(list_filter({_TOKS}, t -> list_contains(v, t))) AS n_covered,
        CAST(len(list_filter({_TOKS}, t -> list_contains(v, t))) AS DOUBLE)
          / len({_TOKS}) AS coverage,
-       CAST(len(list_filter({_TOKS}, t -> list_contains(v, t))) AS DOUBLE)
-         / len({_TOKS}) >= {MIN_COVERAGE} AS keep
+       COALESCE(CAST(len(list_filter({_TOKS}, t -> list_contains(v, t)))
+                     AS DOUBLE)
+                / len({_TOKS}) >= {MIN_COVERAGE}, FALSE) AS keep
 FROM documents CROSS JOIN vocab
 """,
     "corpus_report": f"""
@@ -443,7 +449,7 @@ WITH scored AS (
   SELECT doc_id, source,
          len({_TOKS}) AS n_tokens,
          {_SCORE_SQL} AS quality_score,
-         {_SCORE_SQL} >= {CLF_THRESHOLD} AS keep
+         COALESCE({_SCORE_SQL} >= {CLF_THRESHOLD}, FALSE) AS keep
   FROM documents
 )
 SELECT source,

@@ -53,14 +53,14 @@ def token_stats(df: DataFrame) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.length("text").alias("n_chars_measured"),
         F.octet_length("text").alias("n_bytes"),
-        (
+        F.try_divide(
             F.aggregate(
                 F.transform(toks, lambda t: F.length(t).cast("long")),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
-            )
-            / F.size(toks)
-        ).alias("mean_token_len"),
+            ),
+            F.size(toks),
+        ).alias("mean_token_len"),  # NULL on token-less docs (= DuckDB)
     )
 
 
@@ -111,8 +111,8 @@ def quality_scores(df: DataFrame) -> DataFrame:
         "doc_id",
         "lang",
         n.alias("n_tokens"),
-        (n_stop / n).alias("stopword_ratio"),
-        (n_distinct / n).alias("type_token_ratio"),
+        F.try_divide(n_stop, n).alias("stopword_ratio"),
+        F.try_divide(n_distinct, n).alias("type_token_ratio"),
         (n < 30).alias("too_short"),
     )
 
@@ -494,9 +494,11 @@ SELECT doc_id,
        len(list_distinct({_TOKS})) AS n_distinct_tokens,
        length(text) AS n_chars_measured,
        strlen(text) AS n_bytes,
-       CAST(list_reduce(list_transform({_TOKS}, t -> CAST(length(t) AS BIGINT)),
-                        (acc, x) -> acc + x) AS DOUBLE)
-         / len({_TOKS}) AS mean_token_len
+       CASE WHEN len({_TOKS}) = 0 THEN NULL
+            ELSE CAST(list_reduce(list_transform({_TOKS},
+                                                 t -> CAST(length(t) AS BIGINT)),
+                                  (acc, x) -> acc + x) AS DOUBLE)
+                 / len({_TOKS}) END AS mean_token_len
 FROM documents
 """,
     "text_quality_scores": f"""
@@ -516,11 +518,13 @@ FROM (SELECT doc_id, lang, text FROM documents)
     "text_fingerprints": f"""
 SELECT doc_id,
        md5(text) AS exact_fp,
-       md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS bow_fp,
-       list_reduce(
-         list_transform(generate_series(1, length(text)),
-                        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
-         (acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD}) AS rolling_fp
+       md5(COALESCE(array_to_string(list_sort(list_distinct({_TOKS})), ' '),
+                    '')) AS bow_fp,
+       CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+            ELSE list_reduce(
+              list_transform(generate_series(1, length(text)),
+                             i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+              (acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD}) END AS rolling_fp
 FROM documents
 """,
     "text_corpus_stats": """
