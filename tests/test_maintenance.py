@@ -47,3 +47,62 @@ def test_expire_partitions(spark, tmp_path):
     assert len(left) <= 4  # cutoff..today inclusive span
     # table still readable
     assert spark.read.parquet(path).count() > 0
+
+
+def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
+    """Dynamic-partition backfill must (a) replace the touched day's
+    contents, (b) leave every other partition's files byte-untouched,
+    and (c) be idempotent under replay."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from opc_ua_data_pipeline_spark.operators.ingest import telemetry, write_bronze
+    from opc_ua_data_pipeline_spark.operators.maintenance import (
+        backfill_partitions,
+    )
+
+    path = str(tmp_path / "bronze")
+    tel = telemetry(spark, "/root/testdata/sf0.001")
+    write_bronze(tel, path)
+    days = sorted(
+        p for p in os.listdir(path) if p.startswith("date=")
+    )
+    assert len(days) >= 3
+    target_day = days[1].split("=", 1)[1]
+
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(path + "/date=*/*.parquet")
+    }
+    n_before = spark.read.parquet(path).count()
+
+    # "corrected" replay of ONE day: values doubled
+    corrected = tel.filter(F.to_date("time") == target_day).withColumn(
+        "value_num", F.col("value_num") * 2
+    )
+    touched = backfill_partitions(spark, corrected, path)
+    assert touched == [target_day]
+
+    # (a) the day's rows were replaced, not appended
+    assert spark.read.parquet(path).count() == n_before
+    doubled = (
+        spark.read.parquet(path)
+        .filter(F.col("date") == target_day)
+        .agg(F.sum("value_num"))
+        .collect()[0][0]
+    )
+    original = (
+        tel.filter(F.to_date("time") == target_day)
+        .agg(F.sum(F.col("value_num") * 2))
+        .collect()[0][0]
+    )
+    assert abs(doubled - original) < 1e-6
+    # (b) untouched partitions kept their exact files
+    for f, mt in before.items():
+        if f"date={target_day}" not in f:
+            assert os.path.getmtime(f) == mt, f
+    # (c) idempotent replay
+    again = backfill_partitions(spark, corrected, path)
+    assert again == [target_day]
+    assert spark.read.parquet(path).count() == n_before
