@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
     counter_agg,
+    state_durations,
     time_weighted_avg,
     uptime_agg,
 )
@@ -47,13 +48,14 @@ def telemetry_rows(draw):
                 allow_infinity=False,
             )
         )
+        operator = draw(st.sampled_from([None, "op-0", "op-1"]))
         rows.append(
             (
                 _BASE + datetime.timedelta(seconds=off),
                 metric,
                 value,
                 None,
-                None,
+                operator,
                 i,
             )
         )
@@ -137,6 +139,36 @@ def _naive_uptime(tel, tolerance_sec=120):
     )
 
 
+def _naive_state_durations(tel):
+    w = Window.partitionBy("operator").orderBy("time", "event_id")
+    rows = tel.filter(F.col("operator").isNotNull()).select(
+        "operator", "metric", "time", "event_id"
+    )
+    dt = F.unix_micros(F.lead("time").over(w)) - F.unix_micros(
+        F.col("time")
+    )
+    prev_state = F.lag("metric").over(w)
+    entered = F.when(
+        prev_state.isNull() | (prev_state != F.col("metric")), 1
+    ).otherwise(0)
+    return (
+        rows.select(
+            "operator",
+            F.col("metric").alias("state"),
+            dt.alias("dt"),
+            entered.alias("entered"),
+        )
+        .groupBy("operator", "state")
+        .agg(
+            F.coalesce(F.sum("dt"), F.lit(0))
+            .cast("bigint")
+            .alias("duration_micros"),
+            F.sum("entered").cast("bigint").alias("n_entries"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
 def _rows(df, cols):
     return sorted(
         tuple(r[c] for c in cols) for r in df.select(*cols).collect()
@@ -167,4 +199,9 @@ def test_deskewed_equals_naive(spark, rows):
         uptime_agg(tel), ["metric", "n_intervals", "uptime_micros"]
     ) == _rows(
         _naive_uptime(tel), ["metric", "n_intervals", "uptime_micros"]
+    )
+    sd_cols = ["operator", "state", "duration_micros", "n_entries",
+               "n_samples"]
+    assert _rows(state_durations(tel), sd_cols) == _rows(
+        _naive_state_durations(tel), sd_cols
     )
