@@ -133,3 +133,34 @@ def streaming_machine_stats_sliding(
             "sample_count",
         )
     )
+
+
+def streaming_distinct_rollup(events: DataFrame) -> DataFrame:
+    """Watermarked hourly DISTINCT-USER rollup over the raw event
+    stream via the HLL sketch (``approx_count_distinct``) — the
+    streaming half of the mergeable-sketch story in
+    operators/rollups.hll_rollup_merge: exact distinct aggregation is
+    not incrementally maintainable (state would hold every user id
+    seen per bucket), but the sketch state is a CONSTANT-size register
+    set per (bucket, event_type), so the stream carries distinct
+    counts at 100 TB with bounded state.
+
+    Contract (tests/test_sketch_rollup.py): every emitted closed
+    bucket's estimate is within the sketch's error envelope of the
+    batch exact count; buckets are emitted once, on watermark close
+    (append mode).
+    """
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("bucket"),
+            "event_type",
+            "approx_users",
+            "n_events",
+        )
+    )
