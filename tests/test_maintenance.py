@@ -106,3 +106,59 @@ def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
     again = backfill_partitions(spark, corrected, path)
     assert again == [target_day]
     assert spark.read.parquet(path).count() == n_before
+
+
+def test_lake_lifecycle_end_to_end(spark, tmp_path):
+    """The full bronze-lake lifecycle in one drive: streaming-style
+    appends -> compaction -> a corrected-day backfill -> retention —
+    after every step the table answers the rollup query correctly and
+    stays partition-prunable.  This is the operational loop a
+    production deployment runs daily; each primitive is tested alone
+    above, this pins their composition."""
+    from pyspark.sql import functions as F
+
+    from opc_ua_data_pipeline_spark.operators.maintenance import (
+        backfill_partitions,
+    )
+    from opc_ua_data_pipeline_spark.operators.rollups import machine_stats
+
+    path = str(tmp_path / "bronze")
+    tel = telemetry(spark, "/root/testdata/sf0.001")
+
+    # 1. two appends (simulating micro-batches) -> duplicate rows
+    write_bronze(tel, path)
+    write_bronze(tel, path)
+    assert spark.read.parquet(path).count() == 2 * tel.count()
+
+    # 2. compact: same rows, fewer files
+    compact(spark, path)
+
+    # 3. backfill repairs the duplication day-by-day (replay of the
+    #    TRUE data for every day overwrites the doubled partitions)
+    days = backfill_partitions(spark, tel, path)
+    assert len(days) >= 3
+    lake = spark.read.parquet(path).drop("date")
+    assert lake.count() == tel.count()
+
+    # rollup over the repaired lake == rollup over the source
+    got = sorted(
+        map(str, machine_stats(lake, "minute").collect())
+    )
+    want = sorted(map(str, machine_stats(tel, "minute").collect()))
+    assert got == want
+
+    # 4. retention drops the oldest day; the rest still answers
+    import datetime
+
+    all_days = sorted(d.split("=", 1)[1] for d in os.listdir(path) if d.startswith("date="))
+    # pick keep_days so the cutoff lands exactly on the second day:
+    # everything strictly older (= the first day only) expires
+    keep = (
+        datetime.date.fromisoformat(all_days[-1])
+        - datetime.date.fromisoformat(all_days[1])
+    ).days
+    dropped = expire_partitions(path, keep_days=keep, today=all_days[-1])
+    assert dropped == [f"date={all_days[0]}"]
+    remaining = spark.read.parquet(path)
+    assert remaining.filter(F.col("date") == all_days[0]).count() == 0
+    assert remaining.count() == tel.filter(F.to_date("time") != all_days[0]).count()
