@@ -146,6 +146,7 @@ _PRIORITY = [
     "uptime_agg",
     "time_weighted_avg",
     "ann_ivfpq_recall",
+    "ann_lsh_recall",
     # (c) reference-surface re-checks
     "latest_value",
     "alarm_feed",

@@ -316,7 +316,9 @@ def ivfpq_recall(
     similarity.lsh_recall.  The approximation error measured here is
     end-to-end: cell routing misses + PQ quantization + the ADC-L2 vs
     exact-cosine ranking gap.  The metric join is exact integer set
-    intersection per query; recall = hits / k.
+    intersection per query; recall = hits / |exact top-k| — the
+    per-query EXACT result count, not the constant k, so recall can
+    reach 1.0 even when the corpus holds fewer than k candidates.
     """
     from .similarity import brute_force_topk
 
@@ -336,13 +338,15 @@ def ivfpq_recall(
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
-        exact.select("q_id")
-        .distinct()
+        exact.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("_n_exact"))
         .join(hits, "q_id", "left")
         .select(
             "q_id",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) / top_k).alias("recall_at_k"),
+            F.try_divide(
+                F.coalesce("n_hits", F.lit(0)), F.col("_n_exact")
+            ).alias("recall_at_k"),
         )
     )
 
@@ -573,8 +577,9 @@ hits AS (
 )
 SELECT q.q_id,
        CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
-       CAST(COALESCE(n_hits, 0) AS DOUBLE) / {PQ_ADC_TOP_K} AS recall_at_k
-FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits ON q.q_id = hits.q_id
+       CAST(COALESCE(n_hits, 0) AS DOUBLE) / q.n_exact AS recall_at_k
+FROM (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY q_id) q
+LEFT JOIN hits ON q.q_id = hits.q_id
 """
 
 

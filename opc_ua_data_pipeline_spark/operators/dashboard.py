@@ -30,13 +30,15 @@ from pyspark.sql import functions as F
 
 from .ingest import TELEMETRY_SQL, telemetry
 
-def _num_as_text() -> F.Column:
+def _num_as_text(col: F.Column | None = None) -> F.Column:
     """Portable numeric->text rendering (F3/F15): going through
     DECIMAL(18,2) pins the string form ('40.00', not '40.0'/'4e1')
     identically in Spark and DuckDB, avoiding Java-vs-C++ double-repr
     drift.  (Function, not module constant: Column construction needs
     an active session.)"""
-    return F.col("value_num").cast("decimal(18,2)").cast("string")
+    if col is None:
+        col = F.col("value_num")
+    return col.cast("decimal(18,2)").cast("string")
 
 
 _NUM_AS_TEXT_SQL = "CAST(CAST(value_num AS DECIMAL(18,2)) AS VARCHAR)"
@@ -58,18 +60,29 @@ def latest_per_metric(df: DataFrame, metrics: list[str]) -> DataFrame:
     """W1/P9 — DISTINCT ON (metric) over an IN-list
     (machine_dashboard.json:283): first row per metric by recency,
     value rendered as text via COALESCE(value_str, CAST(value_num)).
+
+    Spelled as a ``max_by(struct(payload), struct(time, event_id))``
+    aggregate — one map-side-combinable shuffle keeping O(1) state per
+    metric — instead of a ``row_number`` window, which sorts each
+    metric's FULL history inside one task to keep a single row (the
+    hottest dashboard family must not do that at 100 TB).  Struct
+    ordering keys compare field-wise, so the (time, event_id) DESC
+    tiebreak is identical to the window spelling.
     """
-    w = Window.partitionBy("metric").orderBy(
-        F.col("time").desc(), F.col("event_id").desc()
+    top = F.max_by(
+        F.struct(F.col("time"), F.col("value_str"), F.col("value_num")),
+        F.struct(F.col("time"), F.col("event_id")),
     )
     return (
         df.filter(F.col("metric").isin(metrics))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("metric")
+        .agg(top.alias("_top"))
         .select(
             "metric",
-            F.coalesce(F.col("value_str"), _num_as_text()).alias("value"),
-            "time",
+            F.coalesce(
+                F.col("_top.value_str"), _num_as_text(F.col("_top.value_num"))
+            ).alias("value"),
+            F.col("_top.time").alias("time"),
         )
     )
 

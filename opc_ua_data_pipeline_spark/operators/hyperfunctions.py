@@ -229,9 +229,11 @@ def counter_agg(tel: DataFrame) -> DataFrame:
     De-skewed two-pass (see module docstring): ``lag(value_num)`` runs
     inside (metric, day) windows; each day's FIRST sample takes its
     predecessor value from the previous day-with-data's last sample
-    (max_by on the zero-padded (time, event_id) composite key — the
-    m4_downsample ordering trick), carried in a broadcast boundary
-    table.  prev values are bit-identical to a full-history lag.
+    (max_by on a (time, event_id) STRUCT ordering key — structs
+    compare field-wise, so unlike the zero-padded-string spelling it
+    stays correct for negative pre-1970 micros or event_ids), carried
+    in a broadcast boundary table.  prev values are bit-identical to a
+    full-history lag.
     """
     samples = (
         tel.filter(F.col("value_num").isNotNull())
@@ -240,11 +242,7 @@ def counter_agg(tel: DataFrame) -> DataFrame:
     )
     w_local = Window.partitionBy("metric", "_day").orderBy("time", "event_id")
     local = samples.withColumn("_prev_local", F.lag("value_num").over(w_local))
-    _okey = F.concat(
-        F.lpad(F.unix_micros(F.col("time")).cast("string"), 20, "0"),
-        F.lit("-"),
-        F.lpad(F.col("event_id").cast("string"), 20, "0"),
-    )
+    _okey = F.struct(F.col("time"), F.col("event_id"))
     w_days = Window.partitionBy("metric").orderBy("_day")
     bounds = (
         samples.groupBy("metric", "_day")
@@ -295,18 +293,22 @@ def trend_slope(tel: DataFrame) -> DataFrame:
     published slope/intercept are rounded to DECIMAL(38,12) and
     re-cast (the tfidf ulp-collapse contract).  Slope is reported per
     SECOND (per-micro slope × 1e6).
+
+    De-skewed (round 5): the per-metric first-sample micros comes from
+    a ``groupBy`` aggregate broadcast-joined back — a map-side-
+    combinable shuffle over #metrics rows — instead of an unordered
+    ``Window.partitionBy("metric")`` min, which funnels each metric's
+    FULL history through one task at 100 TB.  ``x`` is the identical
+    BIGINT difference, so every downstream sum is bit-identical.
     """
-    w = Window.partitionBy("metric")
-    samples = (
-        tel.filter(F.col("value_num").isNotNull())
-        .select("metric", "time", "value_num")
-        .withColumn(
-            "x",
-            (
-                F.unix_micros(F.col("time"))
-                - F.min(F.unix_micros(F.col("time"))).over(w)
-            ).cast("double"),
-        )
+    base = tel.filter(F.col("value_num").isNotNull()).select(
+        "metric", "time", "value_num"
+    )
+    t0 = base.groupBy("metric").agg(
+        F.min(F.unix_micros(F.col("time"))).alias("_t0_us")
+    )
+    samples = base.join(F.broadcast(t0), "metric").withColumn(
+        "x", (F.unix_micros(F.col("time")) - F.col("_t0_us")).cast("double")
     )
     sx = F.sum(F.col("x").cast(_DEC)).cast("double")
     sy = F.sum(F.col("value_num").cast(_DEC)).cast("double")
@@ -344,6 +346,12 @@ def m4_downsample(tel: DataFrame) -> DataFrame:
     map-side combinable.
     """
     minute = F.date_trunc("minute", F.col("time"))
+    # PRECONDITION: lexicographic order over the zero-padded digits
+    # equals numeric order only for NON-NEGATIVE micros and event_ids
+    # (post-1970 timestamps).  This key is shared with the DuckDB
+    # oracle (which rejects struct arg_min/arg_max keys), so it stays
+    # a VARCHAR; the Spark-only boundary carries in counter_agg /
+    # state_durations use struct keys and have no such precondition.
     key = F.concat(
         F.lpad(F.unix_micros(F.col("time")).cast("string"), 20, "0"),
         F.lit("-"),
@@ -471,11 +479,9 @@ def state_durations(tel: DataFrame) -> DataFrame:
         "time", "event_id"
     )
     w_days = Window.partitionBy("operator").orderBy("_day")
-    _okey = F.concat(
-        F.lpad(F.unix_micros(F.col("time")).cast("string"), 20, "0"),
-        F.lit("-"),
-        F.lpad(F.col("event_id").cast("string"), 20, "0"),
-    )
+    # struct ordering key: field-wise comparison handles negative
+    # micros/event_ids, unlike the zero-padded-string spelling
+    _okey = F.struct(F.col("time"), F.col("event_id"))
     bounds = (
         rows.groupBy("operator", "_day")
         .agg(

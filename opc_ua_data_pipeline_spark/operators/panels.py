@@ -16,7 +16,7 @@ secondary key (the reference leaves it to heap order).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: The ten latest-value stat panels (machine_dashboard.json:109,177,
@@ -75,16 +75,19 @@ def production_info_panel(bronze: DataFrame) -> DataFrame:
     """``SELECT DISTINCT ON (metric) metric, COALESCE(value_str,
     CAST(value_num AS TEXT)) AS value FROM opcua_data WHERE metric IN
     (...) ORDER BY metric, time DESC`` (json:283)."""
-    w = Window.partitionBy("metric").orderBy(F.col("time").desc(), _tie().desc())
+    top = F.max_by(
+        F.struct(F.col("value_str"), F.col("value_num")),
+        F.struct(F.col("time"), _tie()),
+    )
     return (
         bronze.filter(F.col("metric").isin(INFO_METRICS))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("metric")
+        .agg(top.alias("_top"))
         .select(
             "metric",
             F.coalesce(
-                F.col("value_str"),
-                F.col("value_num").cast("decimal(18,2)").cast("string"),
+                F.col("_top.value_str"),
+                F.col("_top.value_num").cast("decimal(18,2)").cast("string"),
             ).alias("value"),
         )
     )

@@ -385,7 +385,9 @@ def lsh_recall(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFra
     """Recall@k of the sign-LSH ANN against the exact top-k — the
     evaluation loop every ANN deployment runs before trusting an
     index.  Both sides are the existing operators; the metric join is
-    per-query counting (ints), recall = hits/k."""
+    per-query counting (ints), recall = hits / |exact top-k| — the
+    per-query exact result count, not the constant k, so a corpus
+    smaller than k can still score 1.0 (mirrors ivfpq_recall)."""
     exact = brute_force_topk(queries, corpus, k).select(
         "q_id", F.col("c_id").alias("exact_id")
     )
@@ -402,13 +404,15 @@ def lsh_recall(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFra
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
-        exact.select("q_id")
-        .distinct()
+        exact.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("_n_exact"))
         .join(hits, "q_id", "left")
         .select(
             "q_id",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) / k).alias("recall_at_k"),
+            F.try_divide(
+                F.coalesce("n_hits", F.lit(0)), F.col("_n_exact")
+            ).alias("recall_at_k"),
         )
     )
 
@@ -688,8 +692,9 @@ hits AS (
 )
 SELECT q.q_id,
        COALESCE(n_hits, 0) AS n_hits,
-       CAST(COALESCE(n_hits, 0) AS DOUBLE) / {TOP_K} AS recall_at_k
-FROM (SELECT DISTINCT q_id FROM exact) q LEFT JOIN hits ON q.q_id = hits.q_id
+       CAST(COALESCE(n_hits, 0) AS DOUBLE) / q.n_exact AS recall_at_k
+FROM (SELECT q_id, COUNT(*) AS n_exact FROM exact GROUP BY q_id) q
+LEFT JOIN hits ON q.q_id = hits.q_id
 """,
 }
 

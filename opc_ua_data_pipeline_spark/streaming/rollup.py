@@ -164,3 +164,48 @@ def streaming_distinct_rollup(events: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+def streaming_m4_downsample(
+    telemetry: DataFrame, watermark: str = "1 minute"
+) -> DataFrame:
+    """Streaming twin of ``hyperfunctions.m4_downsample`` (the
+    continuous-aggregate family, database/init.sql:31-54): per
+    (metric, minute) first/last/min/max of the value, maintained
+    incrementally.
+
+    No keyed-state processor needed — all four measures are mergeable
+    aggregates: min/max trivially, first/last via ``min_by``/``max_by``
+    on the zero-padded (time, event_id) composite key (the exact key
+    the batch operator and its DuckDB oracle share), whose partial
+    state is one (key, value) pair per open bucket.  State rows =
+    #open-buckets x #metrics, independent of input volume.  Append
+    mode emits each bucket exactly once, on watermark close, equal to
+    its batch twin bit-for-bit.
+    """
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("time")).cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    return (
+        telemetry.filter(F.col("value_num").isNotNull())
+        .withWatermark("time", watermark)
+        .groupBy(F.window("time", "1 minute"), F.col("metric"))
+        .agg(
+            F.min_by("value_num", key).alias("first_value"),
+            F.max_by("value_num", key).alias("last_value"),
+            F.min("value_num").alias("min_value"),
+            F.max("value_num").alias("max_value"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            F.col("window.start").alias("bucket"),
+            "metric",
+            "first_value",
+            "last_value",
+            "min_value",
+            "max_value",
+            "n_samples",
+        )
+    )

@@ -16,8 +16,13 @@ Q = entry_mod.all_queries()
 def test_pricing_summary_scan(spark):
     plan = assert_plan(
         Q["pricing_summary"](spark, SF),
-        contains=["PushedFilters: [IsNotNull(l_shipdate)", "HashAggregate"],
+        contains=["HashAggregate"],
     )
+    # the shipdate predicate must reach the parquet scan; match the
+    # column inside the PushedFilters list rather than the exact
+    # Catalyst-internal IsNotNull(...)/LessThanOrEqual(...) rendering,
+    # which is Spark-version-sensitive
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan[:2000]
     # column pruning: 7 of 11 lineitem columns read
     schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
     assert len(schema.split(",")) == 7, schema
@@ -48,10 +53,26 @@ def test_dim_joins_broadcast(spark):
 
 
 def test_metric_filter_pushdown(spark):
-    assert_plan(
-        Q["latest_value"](spark, SF),
-        contains=["EqualTo(event_type,purchase)"],
-    )
+    # the metric equality must be a pushed parquet filter; assert the
+    # column's presence in PushedFilters, not Catalyst's exact
+    # EqualTo(col,lit) rendering (Spark-version-sensitive)
+    plan = formatted_plan(Q["latest_value"](spark, SF))
+    assert re.search(r"PushedFilters: \[[^\]]*event_type", plan), plan[:2000]
+
+
+def test_latest_per_metric_is_aggregate_not_window(spark):
+    """The DISTINCT ON (metric) family (machine_dashboard.json:283) is
+    the hottest dashboard query — it must plan as a max_by aggregate
+    with a PARTIAL (map-side-combinable) pass and O(1) state per
+    metric, never a row_number window that sorts each metric's full
+    history inside one task.  (Struct-buffered max_by plans as
+    SortAggregate — same strategy as m4_downsample — whose partial
+    pass collapses every scan partition to <= #metrics rows before
+    the one shuffle; the forbidden node is Window.)"""
+    plan = formatted_plan(Q["latest_per_metric"](spark, SF))
+    assert "Window" not in plan, plan[:2000]
+    assert "partial_max_by" in plan, plan[:2000]
+    assert plan.count("Exchange") <= 2, plan[:2000]  # 1 (+AQE read)
 
 
 def test_no_python_udfs_on_reference_surface(spark):

@@ -184,3 +184,37 @@ def test_sliding_rollup_stream_matches_batch(spark, replay_dir):
     # (bit-for-bit: decimal partial sums are order-independent).
     for r in got_rows:
         assert batch_by_key[(r[0], r[1])] == r
+
+
+def test_m4_stream_matches_batch(spark, replay_dir):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        m4_downsample,
+    )
+    from opc_ua_data_pipeline_spark.streaming.rollup import (
+        streaming_m4_downsample,
+    )
+
+    stream = streaming_m4_downsample(
+        telemetry_transform(file_stream(spark, replay_dir))
+    )
+    got = _run_stream(spark, stream, "m4_stream")
+
+    batch = m4_downsample(telemetry_transform(load_table(spark, SF_DIR, "events")))
+    cols = [
+        "bucket",
+        "metric",
+        "first_value",
+        "last_value",
+        "min_value",
+        "max_value",
+        "n_samples",
+    ]
+    got_rows = _rows(got, cols)
+    batch_by_key = {(r[0], r[1]): r for r in _rows(batch, cols)}
+
+    assert len(got_rows) > 0, "watermark should have closed some buckets"
+    # Every closed bucket equals its batch twin bit-for-bit: min/max
+    # and the min_by/max_by first/last are all order-independent
+    # mergeable aggregates.
+    for r in got_rows:
+        assert batch_by_key[(r[0], r[1])] == r
