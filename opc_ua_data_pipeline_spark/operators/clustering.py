@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ranking import bounded_rank
 from ..tables import load_table
 
 K_CLUSTERS = 4
@@ -82,10 +83,11 @@ def seed_centroids(corpus: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
     Seed selection is a distributed top-k (TakeOrderedAndProject heap:
     per-partition top-k + driver merge of k rows — plan-locked in
     tests/test_plans.py), NOT a global row_number window, which would
-    funnel the whole corpus through one task's sort.  The window that
-    assigns cluster ids 0..k-1 then runs over only k rows.
+    funnel the whole corpus through one task's sort.  Cluster ids
+    0..k-1 are then assigned by a Window-free bounded rank over the
+    k seed rows (functions/ranking.py).
     """
-    return (
+    seeds = (
         corpus.select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias(
@@ -95,11 +97,9 @@ def seed_centroids(corpus: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
         )
         .orderBy("h", "vec_id")
         .limit(k)
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy("h", "vec_id")),
-        )
-        .select((F.col("rn") - 1).alias("cluster"), "centroid")
+    )
+    return bounded_rank(seeds, [("h", "asc"), ("vec_id", "asc")], "rn").select(
+        (F.col("rn") - 1).alias("cluster"), "centroid"
     )
 
 

@@ -49,9 +49,10 @@ extension families), alongside dedup.py / similarity.py / text.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.ranking import bounded_rank
 from ..tables import load_table
 from .similarity import ORACLES as _SIM_ORACLES
 from .similarity import brute_force_topk
@@ -184,10 +185,10 @@ def bm25_topk(
     # + k-row driver merge — no global sort, no single-task window over
     # the full match set); the rank window then runs over k rows only.
     topk = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
-        "doc_id", "score", "rank"
-    )
+    # Window-free rank over the k-row frame (functions/ranking.py)
+    return bounded_rank(
+        topk, [("score", "desc"), ("doc_id", "asc")]
+    ).select("doc_id", "score", "rank")
 
 
 def _bm25_sql(terms: list[str], k: int) -> str:
@@ -281,12 +282,11 @@ def heavy_hitters_cms(docs: DataFrame, k: int = CMS_TOP_K) -> DataFrame:
         ).alias("j"),
     ).withColumn("bucket", _cms_bucket(F.col("term"), F.col("j")))
     sketch = buckets.groupBy("j", "bucket").agg(F.sum("cnt").alias("bcnt"))
-    # Vocab top-k via TakeOrderedAndProject, then rank over k rows only.
-    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
-    top = (
-        tc.orderBy(F.col("cnt").desc(), F.col("term").asc())
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+    # Vocab top-k via TakeOrderedAndProject, then a Window-free rank
+    # over the k-row frame (functions/ranking.py)
+    top = bounded_rank(
+        tc.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(k),
+        [("cnt", "desc"), ("term", "asc")],
     )
     est = (
         top.select("term", "rank", F.col("cnt").alias("exact_cnt"))
@@ -373,8 +373,11 @@ def hybrid_search_rrf(
         .cast("double")
         .alias("rrf_score"),
     )
-    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
-    return fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+    # fused frame is bounded by the two k-row input rankings;
+    # Window-free rank (functions/ranking.py)
+    return bounded_rank(
+        fused, [("rrf_score", "desc"), ("doc_id", "asc")], "fused_rank"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ranking import bounded_rank
 from ..tables import load_table
 
 
@@ -280,9 +281,9 @@ def weighted_sample_topk(
         (u / w_).alias("priority"),
     )
     topk = scored.orderBy(F.col("priority").asc(), F.col(key).asc()).limit(k)
-    rank_w = Window.orderBy(F.col("priority").asc(), F.col(key).asc())
-    return topk.withColumn(
-        "sample_rank", F.row_number().over(rank_w).cast("int")
+    # Window-free rank over the k-row frame (functions/ranking.py)
+    return bounded_rank(
+        topk, [("priority", "asc"), (key, "asc")], "sample_rank"
     )
 
 

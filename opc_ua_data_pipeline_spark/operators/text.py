@@ -215,17 +215,25 @@ def vocab_stats(df: DataFrame) -> DataFrame:
         .alias("_cum_local"),
     )
 
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # Exclusive prefix totals over the #range-partitions-row table
+    # (bounded, tiny) via a broadcast inequality self-join — the
+    # Window-free spelling (same rationale as functions/ranking.py):
+    # a partition-less window here would log the WindowExec warning
+    # that must stay reserved for real unbounded-frame regressions.
+    per = local.groupBy("_pid").agg(
+        F.count("*").alias("_cnt"),
+        F.sum("n_occurrences").alias("_sum"),
+    )
+    prev = per.select(
+        F.col("_pid").alias("_pid2"), "_cnt", "_sum"
+    )
     offsets = (
-        local.groupBy("_pid")
+        per.select("_pid")
+        .join(F.broadcast(prev), F.col("_pid2") < F.col("_pid"), "left")
+        .groupBy("_pid")
         .agg(
-            F.count("*").alias("_cnt"),
-            F.sum("n_occurrences").alias("_sum"),
-        )
-        .select(
-            "_pid",
-            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_rn_off"),
-            F.coalesce(F.sum("_sum").over(w_off), F.lit(0)).alias("_cum_off"),
+            F.coalesce(F.sum("_cnt"), F.lit(0)).alias("_rn_off"),
+            F.coalesce(F.sum("_sum"), F.lit(0)).alias("_cum_off"),
         )
     )
 

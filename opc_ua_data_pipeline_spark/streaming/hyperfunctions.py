@@ -23,6 +23,14 @@ State size: counter = (last sample, decimal sum as string, counters);
 uptime = (last ping, open-interval start, two counters) — O(1) per
 key; at scale the state store shards by metric across executors and
 nothing grows with stream length.
+
+Disorder contract: the LOCF accumulators are only correct for rows
+applied in event-time order.  Rows are sorted within each micro-batch,
+but a row arriving in a LATER micro-batch with an event time behind
+the key's last applied sample cannot be retro-inserted with O(1)
+state — so each processor DROPS such rows and counts them in an
+``n_disordered`` output column, making disorder a visible data-quality
+signal instead of silent corruption (negative dt, phantom resets).
 """
 
 from __future__ import annotations
@@ -55,6 +63,7 @@ COUNTER_OUTPUT_SCHEMA = T.StructType(
         T.StructField("n_resets", T.LongType()),
         T.StructField("rate_per_sec", T.DoubleType()),
         T.StructField("n_samples", T.LongType()),
+        T.StructField("n_disordered", T.LongType()),
     ]
 )
 COUNTER_STATE_SCHEMA = T.StructType(
@@ -65,6 +74,7 @@ COUNTER_STATE_SCHEMA = T.StructType(
         T.StructField("first_us", T.LongType()),
         T.StructField("last_us", T.LongType()),
         T.StructField("n_samples", T.LongType()),
+        T.StructField("n_disordered", T.LongType()),
     ]
 )
 
@@ -78,15 +88,16 @@ def _counter_fn(
     from 0)."""
     (metric,) = key
     if state.exists:
-        last_v, dsum_s, n_resets, first_us, last_us, n = state.get
+        last_v, dsum_s, n_resets, first_us, last_us, n, n_dis = state.get
         dsum = decimal.Decimal(dsum_s) if dsum_s is not None else None
     else:
-        last_v, dsum, n_resets, first_us, last_us, n = (
+        last_v, dsum, n_resets, first_us, last_us, n, n_dis = (
             None,
             None,
             0,
             None,
             None,
+            0,
             0,
         )
     chunks = [c for c in pdfs if len(c)]
@@ -97,6 +108,12 @@ def _counter_fn(
             if v is None or pd.isna(v):
                 continue
             t_us = row.time.value // 1000
+            if last_us is not None and t_us < last_us:
+                # late arrival behind the applied frontier: dropping it
+                # keeps the LOCF delta chain intact (a negative dt here
+                # would mint a phantom reset); surfaced via n_disordered
+                n_dis += 1
+                continue
             if last_v is not None:
                 inc = v - last_v if v >= last_v else v
                 if v < last_v:
@@ -116,6 +133,7 @@ def _counter_fn(
             first_us,
             last_us,
             n,
+            n_dis,
         )
     )
     if n:
@@ -127,13 +145,14 @@ def _counter_fn(
             # mirroring the batch operator's try_divide
             rate = delta / elapsed_sec if elapsed_sec != 0.0 else None
         yield pd.DataFrame(
-            [(metric, delta, n_resets, rate, n)],
+            [(metric, delta, n_resets, rate, n, n_dis)],
             columns=[
                 "metric",
                 "counter_delta",
                 "n_resets",
                 "rate_per_sec",
                 "n_samples",
+                "n_disordered",
             ],
         )
 
@@ -144,6 +163,7 @@ TWA_OUTPUT_SCHEMA = T.StructType(
         T.StructField("time_weighted_avg", T.DoubleType()),
         T.StructField("total_weight_micros", T.LongType()),
         T.StructField("n_weighted_samples", T.LongType()),
+        T.StructField("n_disordered", T.LongType()),
     ]
 )
 TWA_STATE_SCHEMA = T.StructType(
@@ -153,6 +173,7 @@ TWA_STATE_SCHEMA = T.StructType(
         T.StructField("wsum", T.StringType()),  # Decimal as string
         T.StructField("total_w", T.LongType()),
         T.StructField("n_weighted", T.LongType()),
+        T.StructField("n_disordered", T.LongType()),
     ]
 )
 
@@ -167,10 +188,17 @@ def _twa_fn(
     successor shows up)."""
     (metric,) = key
     if state.exists:
-        last_us, last_v, wsum_s, total_w, n_w = state.get
+        last_us, last_v, wsum_s, total_w, n_w, n_dis = state.get
         wsum = decimal.Decimal(wsum_s) if wsum_s is not None else None
     else:
-        last_us, last_v, wsum, total_w, n_w = None, None, None, 0, 0
+        last_us, last_v, wsum, total_w, n_w, n_dis = (
+            None,
+            None,
+            None,
+            0,
+            0,
+            0,
+        )
     chunks = [c for c in pdfs if len(c)]
     if chunks:
         pdf = pd.concat(chunks).sort_values(["time", "event_id"])
@@ -179,6 +207,11 @@ def _twa_fn(
             if v is None or pd.isna(v):
                 continue
             t_us = row.time.value // 1000
+            if last_us is not None and t_us < last_us:
+                # late arrival: a negative holding period would corrupt
+                # the weighted sum — drop and count instead
+                n_dis += 1
+                continue
             if last_us is not None:
                 dt = t_us - last_us
                 term = _dec(last_v * float(dt))
@@ -193,16 +226,18 @@ def _twa_fn(
             str(wsum) if wsum is not None else None,
             total_w,
             n_w,
+            n_dis,
         )
     )
     if n_w:
         yield pd.DataFrame(
-            [(metric, float(wsum) / float(total_w), total_w, n_w)],
+            [(metric, float(wsum) / float(total_w), total_w, n_w, n_dis)],
             columns=[
                 "metric",
                 "time_weighted_avg",
                 "total_weight_micros",
                 "n_weighted_samples",
+                "n_disordered",
             ],
         )
 
@@ -227,6 +262,7 @@ UPTIME_OUTPUT_SCHEMA = T.StructType(
         T.StructField("n_intervals", T.LongType()),
         T.StructField("uptime_micros", T.LongType()),
         T.StructField("n_pings", T.LongType()),
+        T.StructField("n_disordered", T.LongType()),
     ]
 )
 UPTIME_STATE_SCHEMA = T.StructType(
@@ -236,6 +272,7 @@ UPTIME_STATE_SCHEMA = T.StructType(
         T.StructField("n_intervals", T.LongType()),
         T.StructField("closed_micros", T.LongType()),
         T.StructField("n_pings", T.LongType()),
+        T.StructField("n_disordered", T.LongType()),
     ]
 )
 
@@ -249,11 +286,12 @@ def _uptime_fn(
     (metric,) = key
     tol_us = HEARTBEAT_TOLERANCE_SEC * 1_000_000
     if state.exists:
-        last_us, start_us, n_intervals, closed, n_pings = state.get
+        last_us, start_us, n_intervals, closed, n_pings, n_dis = state.get
     else:
-        last_us, start_us, n_intervals, closed, n_pings = (
+        last_us, start_us, n_intervals, closed, n_pings, n_dis = (
             None,
             None,
+            0,
             0,
             0,
             0,
@@ -263,6 +301,11 @@ def _uptime_fn(
         pdf = pd.concat(chunks).sort_values(["time", "event_id"])
         for row in pdf.itertuples():
             t_us = row.time.value // 1000
+            if last_us is not None and t_us < last_us:
+                # late ping behind the frontier: already inside (or
+                # before) the open interval — drop and count
+                n_dis += 1
+                continue
             if last_us is None or t_us - last_us > tol_us:
                 if start_us is not None:
                     closed += last_us - start_us
@@ -270,12 +313,18 @@ def _uptime_fn(
                 start_us = t_us
             last_us = t_us
             n_pings += 1
-    state.update((last_us, start_us, n_intervals, closed, n_pings))
+    state.update((last_us, start_us, n_intervals, closed, n_pings, n_dis))
     if n_pings:
         open_span = (last_us - start_us) if start_us is not None else 0
         yield pd.DataFrame(
-            [(metric, n_intervals, closed + open_span, n_pings)],
-            columns=["metric", "n_intervals", "uptime_micros", "n_pings"],
+            [(metric, n_intervals, closed + open_span, n_pings, n_dis)],
+            columns=[
+                "metric",
+                "n_intervals",
+                "uptime_micros",
+                "n_pings",
+                "n_disordered",
+            ],
         )
 
 
@@ -287,6 +336,7 @@ STATE_DUR_OUTPUT_SCHEMA = T.StructType(
         T.StructField("n_entries", T.LongType()),
         T.StructField("n_samples", T.LongType()),
         T.StructField("op_samples", T.LongType()),  # snapshot marker
+        T.StructField("n_disordered", T.LongType()),
     ]
 )
 #: per-operator accumulators as parallel arrays (state cardinality is
@@ -300,6 +350,7 @@ STATE_DUR_STATE_SCHEMA = T.StructType(
         T.StructField("durations", T.ArrayType(T.LongType())),
         T.StructField("entries", T.ArrayType(T.LongType())),
         T.StructField("samples", T.ArrayType(T.LongType())),
+        T.StructField("n_disordered", T.LongType()),
     ]
 )
 
@@ -314,7 +365,7 @@ def _state_dur_fn(
     cumulative sample count so tests can pick the final snapshot."""
     (operator,) = key
     if state.exists:
-        last_us, last_state, names, durs, ents, samps = state.get
+        last_us, last_state, names, durs, ents, samps, n_dis = state.get
         names, durs, ents, samps = (
             list(names),
             list(durs),
@@ -322,13 +373,14 @@ def _state_dur_fn(
             list(samps),
         )
     else:
-        last_us, last_state, names, durs, ents, samps = (
+        last_us, last_state, names, durs, ents, samps, n_dis = (
             None,
             None,
             [],
             [],
             [],
             [],
+            0,
         )
     idx = {s: i for i, s in enumerate(names)}
 
@@ -347,6 +399,11 @@ def _state_dur_fn(
         for row in pdf.itertuples():
             st = row.metric
             t_us = row.time.value // 1000
+            if last_us is not None and t_us < last_us:
+                # late state sample: retro-splitting a closed holding
+                # period needs unbounded state — drop and count
+                n_dis += 1
+                continue
             if last_state is not None:
                 durs[slot(last_state)] += t_us - last_us
             i = slot(st)
@@ -354,12 +411,12 @@ def _state_dur_fn(
                 ents[i] += 1
             samps[i] += 1
             last_us, last_state = t_us, st
-    state.update((last_us, last_state, names, durs, ents, samps))
+    state.update((last_us, last_state, names, durs, ents, samps, n_dis))
     total = sum(samps)
     if names:
         yield pd.DataFrame(
             [
-                (operator, s, durs[i], ents[i], samps[i], total)
+                (operator, s, durs[i], ents[i], samps[i], total, n_dis)
                 for i, s in enumerate(names)
             ],
             columns=[
@@ -369,6 +426,7 @@ def _state_dur_fn(
                 "n_entries",
                 "n_samples",
                 "op_samples",
+                "n_disordered",
             ],
         )
 

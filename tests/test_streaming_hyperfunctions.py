@@ -183,3 +183,77 @@ def test_uptime_stream_matches_batch(spark, replay_dir):
             b["n_intervals"],
             b["uptime_micros"],
         ), m
+
+
+def test_disordered_rows_dropped_and_counted(spark, tmp_path):
+    """Cross-micro-batch disorder contract: a row arriving in a LATER
+    micro-batch with event time behind its key's applied frontier is
+    DROPPED (never a negative dt / phantom reset) and surfaced in the
+    n_disordered output column; ordered rows keep the exact batch
+    semantics."""
+    import pandas as pd
+
+    from opc_ua_data_pipeline_spark.streaming.hyperfunctions import (
+        counter_agg_stream,
+        uptime_agg_stream,
+    )
+
+    d = tmp_path / "replay"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["time", "event_id", "metric", "value_num"]
+        )
+        pdf["time"] = pd.to_datetime(pdf["time"])
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(tmp_path / name)
+        )
+        import glob as g
+        import os
+        import shutil
+
+        f = g.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        dst = str(d / f"{name}.parquet")
+        shutil.move(f, dst)
+        os.utime(dst, (mtime, mtime))
+
+    write(
+        "00",
+        [
+            ("2024-01-01 00:00:00", 1, "m", 1.0),
+            ("2024-01-01 00:00:30", 2, "m", 2.0),
+            ("2024-01-01 00:01:00", 3, "m", 3.0),
+        ],
+        1700000000,
+    )
+    write(
+        "01",
+        [
+            # behind the frontier (00:01:00) -> must be dropped
+            ("2024-01-01 00:00:45", 4, "m", 100.0),
+            ("2024-01-01 00:01:30", 5, "m", 4.0),
+        ],
+        1700000060,
+    )
+
+    stream = spark.readStream.option("maxFilesPerTrigger", 1).schema(
+        "time timestamp, event_id long, metric string, value_num double"
+    ).parquet(str(d))
+
+    got = _run_stream(spark, counter_agg_stream(stream), "counter_disorder")
+    final = _final_per_metric(got.collect(), "n_samples")["m"]
+    # 1→2→3→4 applied in order: delta 3, no resets (the dropped 100.0
+    # would have minted a phantom reset), one disordered row counted
+    assert final["counter_delta"] == 3.0
+    assert final["n_resets"] == 0
+    assert final["n_samples"] == 4
+    assert final["n_disordered"] == 1
+
+    got_up = _run_stream(spark, uptime_agg_stream(stream), "uptime_disorder")
+    fin_up = _final_per_metric(got_up.collect(), "n_pings")["m"]
+    assert fin_up["n_pings"] == 4
+    assert fin_up["n_disordered"] == 1
+    # one merged interval 00:00:00 -> 00:01:30 (gaps <= tolerance)
+    assert fin_up["n_intervals"] == 1
+    assert fin_up["uptime_micros"] == 90_000_000
