@@ -147,6 +147,7 @@ _PRIORITY = [
     "time_weighted_avg",
     "ann_ivfpq_recall",
     "ann_lsh_recall",
+    "png_features",
     # (c) reference-surface re-checks
     "latest_value",
     "alarm_feed",

@@ -76,6 +76,9 @@ HEADLINE = [
     "ann_ivfpq_topk",        # composed IVF-PQ index serving path
     "bmp_features",          # real container assembly + Arrow decode
     "hll_rollup_merge",      # mergeable sketch rollup (minute->hour)
+    # round-5 additions:
+    "png_features",          # compressed container: zlib encode+decode
+    "latest_per_metric",     # hottest dashboard family, max_by spelling
 ]
 
 

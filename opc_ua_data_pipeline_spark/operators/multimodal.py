@@ -465,3 +465,236 @@ SELECT doc_id,
 FROM s
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# PNG: a real COMPRESSED container through the same mapInPandas path
+# ---------------------------------------------------------------------------
+
+#: 8x6 grayscale-8 PNG: 48 pixels = the same padded 48 doc bytes the
+#: BMP/WAV containers carry.
+_PNG_W, _PNG_H = 8, 6
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def as_png(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Assemble a REAL zlib-compressed 8x6 grayscale PNG per document.
+
+    Unlike the raw BMP/WAV containers (constant header + raw bytes,
+    built JVM-side), a PNG's IDAT is DEFLATE-compressed with per-chunk
+    CRC32s — inherently codec-side work, so the encoder runs in
+    mapInPandas on Python's stdlib ``zlib``.  Each scanline is filtered
+    with filter type ``row % 5`` (None/Sub/Up/Average/Paeth), so a
+    decoder cannot round-trip the pixels without implementing the full
+    filter set.  Pixel data: the document's first 48 bytes,
+    space-padded — the same content contract as ``as_bmp``/``as_wav``,
+    which is what gives the decoder an exact byte-arithmetic oracle.
+    """
+    import struct
+    import zlib
+
+    out_schema = (
+        "doc_id long, payload binary, media_type string, n_bytes long"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ihdr = struct.pack(
+            ">IIBBBBB", _PNG_W, _PNG_H, 8, 0, 0, 0, 0
+        )  # 8-bit grayscale, no interlace
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = (text or "")[:48].ljust(48).encode("utf-8")
+                filtered = bytearray()
+                prior = bytes(_PNG_W)
+                for r in range(_PNG_H):
+                    line = raw[r * _PNG_W : (r + 1) * _PNG_W]
+                    ftype = r % 5
+                    filtered.append(ftype)
+                    for i, x in enumerate(line):
+                        left = line[i - 1] if i else 0
+                        up = prior[i]
+                        ul = prior[i - 1] if i else 0
+                        if ftype == 0:
+                            v = x
+                        elif ftype == 1:
+                            v = x - left
+                        elif ftype == 2:
+                            v = x - up
+                        elif ftype == 3:
+                            v = x - ((left + up) >> 1)
+                        else:
+                            v = x - _paeth(left, up, ul)
+                        filtered.append(v & 0xFF)
+                    prior = line
+                payload = (
+                    _PNG_SIG
+                    + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+                    + _png_chunk(b"IEND", b"")
+                )
+                rows.append((doc_id, payload, "image/png", len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "payload", "media_type", "n_bytes"]
+            )
+
+    return df.select("doc_id", "text").mapInPandas(encode, out_schema)
+
+
+PNG_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, px_mean double, "
+    "px_min int, px_max int, top_left int, bottom_right int"
+)
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """REAL PNG decode in mapInPandas, stdlib-only: verify the
+    signature and every chunk CRC, parse IHDR, inflate the IDAT
+    stream, reverse all five scanline filters (None/Sub/Up/Average/
+    Paeth), then reduce the pixel array to stats.  ``bottom_right`` is
+    the proof of a correct decode: under the encoder's ``row % 5``
+    filter schedule the last row is Paeth-filtered against the row
+    above, so every earlier row must have been reconstructed exactly
+    for its value to come out right."""
+    import struct
+    import zlib
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:8] != _PNG_SIG:
+                    raise ValueError("not a PNG payload")
+                pos, w = 8, None
+                idat = bytearray()
+                while pos < len(b):
+                    (ln,) = struct.unpack_from(">I", b, pos)
+                    typ = b[pos + 4 : pos + 8]
+                    data = b[pos + 8 : pos + 8 + ln]
+                    (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
+                    if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                        raise ValueError(f"bad CRC in {typ!r}")
+                    if typ == b"IHDR":
+                        w, h, depth, ctype, comp, filt, ilace = (
+                            struct.unpack(">IIBBBBB", data)
+                        )
+                        if (depth, ctype, comp, filt, ilace) != (8, 0, 0, 0, 0):
+                            raise ValueError("unsupported PNG variant")
+                    elif typ == b"IDAT":
+                        idat.extend(data)
+                    elif typ == b"IEND":
+                        break
+                    pos += 12 + ln
+                raw = zlib.decompress(bytes(idat))
+                px = bytearray()
+                prior = bytes(w)
+                for r in range(h):
+                    ftype = raw[r * (w + 1)]
+                    line = raw[r * (w + 1) + 1 : (r + 1) * (w + 1)]
+                    recon = bytearray()
+                    for i, v in enumerate(line):
+                        left = recon[i - 1] if i else 0
+                        up = prior[i]
+                        ul = prior[i - 1] if i else 0
+                        if ftype == 0:
+                            x = v
+                        elif ftype == 1:
+                            x = v + left
+                        elif ftype == 2:
+                            x = v + up
+                        elif ftype == 3:
+                            x = v + ((left + up) >> 1)
+                        elif ftype == 4:
+                            x = v + _paeth(left, up, ul)
+                        else:
+                            raise ValueError(f"bad filter {ftype}")
+                        recon.append(x & 0xFF)
+                    px.extend(recon)
+                    prior = bytes(recon)
+                n = len(px)
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        float(sum(px)) / n,
+                        int(min(px)),
+                        int(max(px)),
+                        int(px[0]),
+                        int(px[-1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "px_mean",
+                    "px_min",
+                    "px_max",
+                    "top_left",
+                    "bottom_right",
+                ],
+            ).astype(
+                {"width": "int32", "height": "int32", "px_min": "int32",
+                 "px_max": "int32", "top_left": "int32",
+                 "bottom_right": "int32"}
+            )
+
+    return media.mapInPandas(parse, PNG_FEATURE_SCHEMA)
+
+
+def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_png_features(
+        as_png(load_table(spark, sf_dir, "documents"))
+    )
+
+
+QUERIES["png_features"] = q_png_features
+
+# Exact twin of the PNG round-trip: the decoded pixels ARE the padded
+# doc bytes (pure-ASCII corpus => ascii(char) == byte value), whatever
+# the container did to them in between — that independence from the
+# compression path is exactly what makes this an oracle.
+ORACLES["png_features"] = f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 48),
+                        i -> ascii(substr({_PAD_SQL}, CAST(i AS INTEGER), 1)))
+           AS p
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_PNG_W} AS INTEGER) AS width,
+       CAST({_PNG_H} AS INTEGER) AS height,
+       CAST(list_sum(p) AS DOUBLE) / 48 AS px_mean,
+       CAST(list_min(p) AS INTEGER) AS px_min,
+       CAST(list_max(p) AS INTEGER) AS px_max,
+       CAST(p[1] AS INTEGER) AS top_left,
+       CAST(p[48] AS INTEGER) AS bottom_right
+FROM px
+"""

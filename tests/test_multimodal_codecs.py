@@ -76,3 +76,52 @@ def test_wav_decoder_reads_rate_and_amplitude(spark):
     assert r["duration_sec"] == pytest.approx(6 / 16000)
     assert r["amp_peak"] == 128
     assert r["amp_mean"] == pytest.approx(sum(samples) / 6)
+
+
+def test_png_roundtrip_all_filters(spark):
+    """Encoder filters rows with type row%5; the decoder must undo
+    Sub/Up/Average/Paeth chains exactly to reproduce the byte stats."""
+    from opc_ua_data_pipeline_spark.operators.multimodal import (
+        as_png,
+        decode_png_features,
+    )
+
+    text = "".join(chr(33 + (i * 7) % 90) for i in range(48))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = decode_png_features(as_png(df)).collect()[0]
+    raw = text.encode()
+    assert (r["width"], r["height"]) == (8, 6)
+    assert r["px_mean"] == pytest.approx(sum(raw) / 48)
+    assert r["px_min"] == min(raw)
+    assert r["px_max"] == max(raw)
+    assert r["top_left"] == raw[0]
+    assert r["bottom_right"] == raw[-1]
+
+
+def test_png_decoder_verifies_crc(spark):
+    from opc_ua_data_pipeline_spark.operators.multimodal import (
+        as_png,
+        decode_png_features,
+    )
+
+    df = spark.createDataFrame([(1, "x" * 48)], "doc_id long, text string")
+    payload = bytearray(as_png(df).collect()[0]["payload"])
+    # flip one bit inside the IDAT data region (after sig+IHDR chunk)
+    payload[8 + 25 + 12] ^= 0x01
+    bad = spark.createDataFrame(
+        [(1, bytes(payload))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="bad CRC|CRC"):
+        decode_png_features(bad).collect()
+
+
+def test_png_decoder_rejects_non_png(spark):
+    from opc_ua_data_pipeline_spark.operators.multimodal import (
+        decode_png_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"BM" + b"\x00" * 100)], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not a PNG"):
+        decode_png_features(df).collect()
