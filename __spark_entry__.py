@@ -148,6 +148,7 @@ _PRIORITY = [
     "ann_ivfpq_recall",
     "ann_lsh_recall",
     "png_features",
+    "histogram_rollup_percentiles",
     # (c) reference-surface re-checks
     "latest_value",
     "alarm_feed",

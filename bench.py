@@ -79,6 +79,7 @@ HEADLINE = [
     # round-5 additions:
     "png_features",          # compressed container: zlib encode+decode
     "latest_per_metric",     # hottest dashboard family, max_by spelling
+    "histogram_rollup_percentiles",  # mergeable percentile rollup
 ]
 
 

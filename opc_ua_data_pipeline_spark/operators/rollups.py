@@ -24,7 +24,7 @@ bit-identical in both engines, no rounding tolerance needed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .ingest import TELEMETRY_SQL, telemetry
@@ -239,6 +239,84 @@ def hll_rollup_merge(events: DataFrame) -> DataFrame:
     )
 
 
+#: Fixed-bin histogram grid for the mergeable percentile rollup.
+#: Data-independent breaks are what make the partials mergeable AND
+#: streaming-compatible (no global min/max pre-pass); the grid covers
+#: the events.value domain with clamping edge bins.
+HIST_LO = 0.0
+HIST_W = 4.0
+HIST_BINS = 256
+
+
+def histogram_rollup_percentiles(events: DataFrame) -> DataFrame:
+    """Mergeable-histogram hierarchical rollup: per-(event_type, hour)
+    fixed-bin counts SUMMED up to the day grain, then p50/p95 read off
+    the merged histogram — the percentile analog of
+    :func:`hll_rollup_merge`, and the way percentile rollups compose
+    at 100 TB (exact percentile partials don't merge; bin counts add
+    losslessly, so a serving layer stores the hour histograms once and
+    answers any coarser grain by summation, never rescanning the fact
+    table).
+
+    Unlike the HLL case the result is engine-exact: the binning is
+    deterministic integer arithmetic, so the day-level histogram — and
+    therefore the bin-resolution percentiles (lower edge of the bin
+    where the cumulative count crosses ``ceil(q*n)``) — has a
+    bit-exact DuckDB oracle, not just a bounded-error check.
+
+    Scale shape: one groupBy to hour partials (map-side combinable),
+    one groupBy summing partials to day (input = #hours x #types x
+    <=B rows, not the fact table), and the percentile scan is a window
+    over <= HIST_BINS rows per (type, day) — a bounded spine, never
+    data-proportional.
+    """
+    b = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(HIST_LO)) / F.lit(HIST_W)),
+            F.lit(0),
+        ),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    partials = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            b.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    day = partials.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("h")).alias("bucket"),
+        "bin",
+    ).agg(F.sum("cnt").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type", "bucket")
+    cum = day.select(
+        "event_type",
+        "bucket",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("n"),
+    )
+    # integer rank thresholds k_q = ceil(q*n), via the positive-only
+    # identity ceil(a/b) = (a + b - 1) div b — keeps both engines in
+    # exact BIGINT arithmetic and away from trunc-vs-floor divergence
+    k50 = F.expr("(n + 1) div 2")
+    k95 = F.expr("(19 * n + 19) div 20")
+    edge = lambda: F.lit(HIST_LO) + F.col("bin").cast("double") * F.lit(HIST_W)  # noqa: E731
+    return cum.groupBy("event_type", "bucket").agg(
+        F.max("n").alias("n_values"),
+        F.min(F.when(F.col("cum") >= k50, edge())).alias("p50_lo"),
+        F.min(F.when(F.col("cum") >= k95, edge())).alias("p95_lo"),
+    )
+
+
 def last_event_time(df: DataFrame, metric: str) -> DataFrame:
     """G5 — ungrouped MAX with COALESCE default
     (machine_dashboard.json:948 ``last_running`` CTE)."""
@@ -273,6 +351,12 @@ def q_rollup_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return machine_stats_sliding(telemetry(spark, sf_dir))
 
 
+def q_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    return histogram_rollup_percentiles(load_table(spark, sf_dir, "events"))
+
+
 def q_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load_table
 
@@ -286,6 +370,7 @@ QUERIES = {
     "rollup_sliding": q_rollup_sliding,
     "last_running_time": q_last_running,
     "hll_rollup_merge": q_hll_rollup_merge,
+    "histogram_rollup_percentiles": q_histogram_rollup,
 }
 
 ORACLES = {
@@ -307,6 +392,32 @@ SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
        TRUE AS merge_ok
 FROM events
+GROUP BY 1, 2
+""",
+    "histogram_rollup_percentiles": """
+WITH bins AS (
+  SELECT event_type,
+         date_trunc('day', ts) AS bucket,
+         CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 4.0), 0), 255) AS INTEGER)
+           AS bin,
+         COUNT(*) AS cnt
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT event_type, bucket, bin,
+         SUM(cnt) OVER (PARTITION BY event_type, bucket ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type, bucket) AS n
+  FROM bins
+)
+SELECT event_type, bucket,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       MIN(CASE WHEN cum >= (n + 1) // 2
+                THEN 0.0 + bin * 4.0 END) AS p50_lo,
+       MIN(CASE WHEN cum >= (19 * n + 19) // 20
+                THEN 0.0 + bin * 4.0 END) AS p95_lo
+FROM cum
 GROUP BY 1, 2
 """,
 }

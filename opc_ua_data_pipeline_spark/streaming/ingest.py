@@ -11,6 +11,17 @@ stream cannot drift.
 Sources: Kafka in production (``kafka_stream``), file/rate sources for
 tests and replay (``file_stream``).  The Kafka reader is gated behind
 the kafka-sql package being on the classpath (not bundled here).
+
+Round-5 environment note: the live Kafka integration remains
+structural-only by necessity — neither the ``spark-sql-kafka`` jar nor
+any Kafka client library exists in this container (re-checked this
+round), and no broker is reachable.  Coverage stands as: option/plan
+structure pinned by tests/test_kafka_structural.py, and the full
+source->transform->exactly-once-sink behavior driven end-to-end
+through the schema-identical ``file_stream`` twin (the transforms are
+the same functions, so swapping the source format is config, not
+code).  First action if a jar ever appears: point ``kafka_stream`` at
+a real broker and re-run the wire_roundtrip contract on it.
 """
 
 from __future__ import annotations

@@ -209,3 +209,34 @@ def streaming_m4_downsample(
             "n_samples",
         )
     )
+
+
+def streaming_histogram_partials(events: DataFrame) -> DataFrame:
+    """Streaming half of
+    ``operators.rollups.histogram_rollup_percentiles``: watermarked
+    per-(event_type, hour, bin) fixed-bin counts.  Bin counts are
+    losslessly mergeable (plain sums), so the serving layer appends
+    each closed hour's partial histogram and answers any coarser grain
+    — day, week — by summation, exactly like the batch operator's
+    hour->day merge; state is #open-hours x #types x <=HIST_BINS rows,
+    independent of input volume.  Data-independent bin breaks are what
+    make this possible: no global min/max pre-pass, so the stream
+    needs no second look at history."""
+    from ..operators.rollups import HIST_BINS, HIST_LO, HIST_W
+
+    b = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(HIST_LO)) / F.lit(HIST_W)),
+            F.lit(0),
+        ),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    return (
+        events.filter(F.col("value").isNotNull())
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("window.start").alias("h"), "event_type", "bin", "cnt"
+        )
+    )
