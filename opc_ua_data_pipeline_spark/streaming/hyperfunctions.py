@@ -467,3 +467,125 @@ def uptime_agg_stream(telemetry: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+GAPFILL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType()),
+        T.StructField("bucket", T.TimestampType()),
+        T.StructField("avg_value", T.DoubleType()),
+        T.StructField("is_gap", T.BooleanType()),
+        T.StructField("n_disordered", T.LongType()),
+    ]
+)
+GAPFILL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("open_bucket_us", T.LongType()),
+        T.StructField("open_sum", T.StringType()),  # Decimal as string
+        T.StructField("open_cnt", T.LongType()),
+        T.StructField("last_avg", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_disordered", T.LongType()),
+    ]
+)
+
+_MIN_US = 60_000_000
+
+
+def _gapfill_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """time_bucket_gapfill streaming twin: a minute bucket CLOSES when a row
+    from a later bucket arrives; closing emits the observed bucket's
+    average (per-sample DECIMAL(38,6) accumulation — the batch cast,
+    exactly) followed by LOCF gap rows for every empty minute up to,
+    but not including, the newly opened bucket.  The stream's emitted
+    prefix equals the batch operator on every bucket strictly before
+    each metric's last observed bucket; the open tail bucket stays in
+    state (append semantics — same contract as the windowed rollups).
+    """
+    (metric,) = key
+    if state.exists:
+        open_us, sum_s, cnt, last_avg, last_us, n_dis = state.get
+        sm = decimal.Decimal(sum_s) if sum_s is not None else None
+    else:
+        open_us, sm, cnt, last_avg, last_us, n_dis = (
+            None,
+            None,
+            0,
+            None,
+            None,
+            0,
+        )
+    out: list[tuple] = []
+
+    def close_through(new_bucket_us: int) -> None:
+        """Emit the open bucket, then LOCF gaps up to new_bucket_us."""
+        nonlocal open_us, sm, cnt, last_avg
+        avg = float(sm) / cnt
+        out.append((metric, open_us, avg, False))
+        last_avg = avg
+        g = open_us + _MIN_US
+        while g < new_bucket_us:
+            out.append((metric, g, last_avg, True))
+            g += _MIN_US
+        open_us, sm, cnt = new_bucket_us, None, 0
+
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["time", "event_id"])
+        for row in pdf.itertuples():
+            v = row.value_num
+            if v is None or pd.isna(v):
+                continue
+            t_us = row.time.value // 1000
+            if last_us is not None and t_us < last_us:
+                n_dis += 1
+                continue
+            last_us = t_us
+            b_us = t_us - t_us % _MIN_US
+            if open_us is None:
+                open_us = b_us
+            elif b_us > open_us:
+                close_through(b_us)
+            d = _dec(v)
+            sm = d if sm is None else sm + d
+            cnt += 1
+    state.update(
+        (
+            open_us,
+            str(sm) if sm is not None else None,
+            cnt,
+            last_avg,
+            last_us,
+            n_dis,
+        )
+    )
+    if out:
+        yield pd.DataFrame(
+            [
+                (m, pd.Timestamp(us * 1000), a, g, n_dis)
+                for m, us, a, g in out
+            ],
+            columns=[
+                "metric",
+                "bucket",
+                "avg_value",
+                "is_gap",
+                "n_disordered",
+            ],
+        )
+
+
+def gapfill_locf_stream(telemetry: DataFrame) -> DataFrame:
+    return (
+        telemetry.filter("value_num IS NOT NULL")
+        .groupBy("metric")
+        .applyInPandasWithState(
+            _gapfill_fn,
+            GAPFILL_OUTPUT_SCHEMA,
+            GAPFILL_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

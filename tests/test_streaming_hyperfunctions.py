@@ -257,3 +257,41 @@ def test_disordered_rows_dropped_and_counted(spark, tmp_path):
     # one merged interval 00:00:00 -> 00:01:30 (gaps <= tolerance)
     assert fin_up["n_intervals"] == 1
     assert fin_up["uptime_micros"] == 90_000_000
+
+
+def test_gapfill_stream_matches_batch_prefix(spark, replay_dir):
+    """Every (metric, bucket) the stream emits — observed averages AND
+    LOCF gap rows — must equal the batch gapfill_locf row exactly; the
+    only rows the stream may withhold are each metric's still-open
+    tail bucket (append semantics)."""
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        time_bucket_gapfill,
+    )
+    from opc_ua_data_pipeline_spark.streaming.hyperfunctions import (
+        gapfill_locf_stream,
+    )
+
+    out = _run_stream(
+        spark,
+        gapfill_locf_stream(telemetry_transform(file_stream(spark, replay_dir))),
+        "gapfill_stream",
+    )
+    got = {
+        (r["metric"], r["bucket"]): (r["avg_value"], r["is_gap"])
+        for r in out.collect()
+    }
+    assert len(got) > 0
+    batch = {
+        (r["metric"], r["bucket"]): (r["avg_value"], r["is_gap"])
+        for r in time_bucket_gapfill(telemetry(spark, SF_DIR)).collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch.get(k))
+    # the stream must have closed all but the tail bucket per metric
+    per_metric_batch = {}
+    for (m, b), _ in batch.items():
+        per_metric_batch.setdefault(m, set()).add(b)
+    for m, buckets in per_metric_batch.items():
+        emitted = {b for (mm, b) in got if mm == m}
+        missing = buckets - emitted
+        assert len(missing) <= 1, (m, sorted(missing)[:3])
