@@ -115,3 +115,52 @@ def backfill_partitions(
         .parquet(table_path)
     )
     return days
+
+
+def upsert_partitions(
+    spark: SparkSession,
+    updates,
+    table_path: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+) -> list[str]:
+    """CDC upsert — MERGE INTO as copy-on-write at day granularity,
+    the correction primitive between append (write_bronze) and full
+    backfill (backfill_partitions): update rows WIN over existing rows
+    that share their key; new keys insert; every untouched partition's
+    files stay byte-identical.
+
+    Mechanics: the touched days are read back (partition-pruned scan),
+    existing rows whose key appears in the update set are dropped via
+    a left-anti join against the (broadcastable, update-sized) key
+    set, the survivors union the updates, and ONLY those day
+    partitions are dynamically overwritten.  Work is bounded by the
+    touched days regardless of table size, and replaying the same
+    upsert converges (idempotent, like backfill).
+
+    Scope contract: a key's corrected row must stay in its original
+    day partition (``time`` corrections within the day are fine).  A
+    cross-day move would need a delete in the old partition — at lake
+    scale that is a deletion-vector/Delta-Merge feature, deliberately
+    out of scope for a partition-granular copy-on-write.
+    """
+    up = updates.withColumn("date", F.to_date("time"))
+    days = sorted(
+        str(r[0]) for r in up.select("date").distinct().collect()
+    )  # driver sees #touched-days rows, bounded by the update window
+    existing = spark.read.parquet(table_path).filter(
+        F.col("date").cast("string").isin(days)
+    )
+    keys = up.select(*key_cols).distinct()
+    kept = existing.join(F.broadcast(keys), list(key_cols), "left_anti")
+    merged = (
+        kept.unionByName(up)
+        .repartition("date")
+        .sortWithinPartitions("metric", "time")
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(table_path)
+    )
+    return days

@@ -162,3 +162,64 @@ def test_lake_lifecycle_end_to_end(spark, tmp_path):
     remaining = spark.read.parquet(path)
     assert remaining.filter(F.col("date") == all_days[0]).count() == 0
     assert remaining.count() == tel.filter(F.to_date("time") != all_days[0]).count()
+
+
+def test_upsert_updates_win_inserts_new_and_leaves_rest_untouched(
+    spark, tmp_path
+):
+    """CDC upsert: update rows replace same-key rows, new keys insert,
+    untouched day partitions stay byte-identical, replay converges."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from opc_ua_data_pipeline_spark.operators.ingest import (
+        telemetry,
+        write_bronze,
+    )
+    from opc_ua_data_pipeline_spark.operators.maintenance import (
+        upsert_partitions,
+    )
+
+    path = str(tmp_path / "bronze")
+    tel = telemetry(spark, "/root/testdata/sf0.001")
+    write_bronze(tel, path)
+    n_before = spark.read.parquet(path).count()
+    days = sorted(p for p in os.listdir(path) if p.startswith("date="))
+    target_day = days[1].split("=", 1)[1]
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(path + "/date=*/*.parquet")
+    }
+
+    day_rows = tel.filter(F.to_date("time") == target_day)
+    # one corrected existing row + one brand-new key, same day
+    corrected = day_rows.orderBy("event_id").limit(1).withColumn(
+        "value_num", F.lit(12345.0)
+    )
+    max_id = tel.agg(F.max("event_id")).collect()[0][0]
+    inserted = day_rows.orderBy("event_id").limit(1).withColumn(
+        "event_id", F.lit(max_id + 1)
+    ).withColumn("value_num", F.lit(777.0))
+    updates = corrected.unionByName(inserted)
+
+    touched = upsert_partitions(spark, updates, path)
+    assert touched == [target_day]
+
+    after = spark.read.parquet(path)
+    assert after.count() == n_before + 1  # 1 update in place + 1 insert
+    fixed_id = corrected.collect()[0]["event_id"]
+    got = {
+        r["event_id"]: r["value_num"]
+        for r in after.filter(
+            F.col("event_id").isin(fixed_id, max_id + 1)
+        ).collect()
+    }
+    assert got[fixed_id] == 12345.0 and got[max_id + 1] == 777.0
+    # untouched partitions byte-identical
+    for f, mt in before.items():
+        if f"date={target_day}" not in f:
+            assert os.path.getmtime(f) == mt, f
+    # idempotent replay
+    upsert_partitions(spark, updates, path)
+    assert spark.read.parquet(path).count() == n_before + 1
