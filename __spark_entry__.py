@@ -149,6 +149,7 @@ _PRIORITY = [
     "ann_lsh_recall",
     "png_features",
     "histogram_rollup_percentiles",
+    "feature_drift_psi",
     # (c) reference-surface re-checks
     "latest_value",
     "alarm_feed",

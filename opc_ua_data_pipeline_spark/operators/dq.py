@@ -140,6 +140,84 @@ def dq_report(
     )
 
 
+#: PSI drift grid: coarse fixed bins (the industry-standard 10-20 bin
+#: PSI setup) over the events.value domain; Laplace smoothing keeps
+#: empty bins defined without epsilon hacks.
+PSI_LO, PSI_W, PSI_BINS = 0.0, 32.0, 16
+PSI_SPLIT = "2024-01-16"
+
+
+def feature_drift_psi(
+    events: DataFrame,
+    split_ts: str = PSI_SPLIT,
+    lo: float = PSI_LO,
+    w: float = PSI_W,
+    nbins: int = PSI_BINS,
+) -> DataFrame:
+    """Population Stability Index per event_type between a reference
+    window (before ``split_ts``) and the current window — THE standard
+    train/serve drift monitor a feature pipeline publishes next to its
+    DQ report (PSI < 0.1 stable, 0.1-0.25 shifting, > 0.25 drifted).
+
+    ``psi = sum_bins (q_i - p_i) * ln(q_i / p_i)`` with
+    Laplace-smoothed shares ``(cnt + 1) / (n + nbins)``, so empty bins
+    on either side are well-defined with no epsilon constants.  The
+    dense bin spine is #types x nbins rows (broadcast-scale); each
+    side's counts come from ONE map-side-combinable aggregate over the
+    fact scan — two passes of work total, output driver-sized.
+
+    Float contract (tfidf/bm25 precedent): the only libm call is
+    ``ln``; each per-bin term is rounded to DECIMAL(18,9) where that
+    call happens, the <= nbins decimal terms sum exactly (order-free),
+    and the total re-casts to DOUBLE — bit-identical cross-engine.
+    """
+    b = F.least(
+        F.greatest(F.floor((F.col("value") - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(nbins - 1),
+    ).cast("int")
+    is_ref = F.col("ts") < F.lit(split_ts).cast("timestamp")
+    counts = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", b.alias("bin"))
+        .agg(
+            F.sum(is_ref.cast("long")).alias("ref_cnt"),
+            F.sum((~is_ref).cast("long")).alias("cur_cnt"),
+        )
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(nbins - 1))).alias("bin"),
+        )
+    )
+    full = (
+        grid.join(counts, ["event_type", "bin"], "left")
+        .fillna(0, ["ref_cnt", "cur_cnt"])
+    )
+    totals = full.groupBy("event_type").agg(
+        F.sum("ref_cnt").alias("n_ref"), F.sum("cur_cnt").alias("n_cur")
+    )
+    joined = full.join(F.broadcast(totals), "event_type")
+    p = (F.col("ref_cnt") + 1).cast("double") / (
+        F.col("n_ref") + F.lit(nbins)
+    ).cast("double")
+    q = (F.col("cur_cnt") + 1).cast("double") / (
+        F.col("n_cur") + F.lit(nbins)
+    ).cast("double")
+    term = ((q - p) * F.log(q / p)).cast("decimal(18,9)")
+    return joined.groupBy("event_type").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.sum(term).cast("double").alias("psi"),
+    )
+
+
+def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return feature_drift_psi(load_table(spark, sf_dir, "events"))
+
+
 def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_report(
         load_table(spark, sf_dir, "lineitem"),
@@ -148,9 +226,55 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"dq_report": q_dq_report}
+QUERIES = {"dq_report": q_dq_report, "feature_drift_psi": q_feature_drift}
 
 ORACLES = {
+    # same textual arithmetic shape as the operator: shares as double
+    # divisions, one ln per bin, per-term DECIMAL(18,9) collapse
+    "feature_drift_psi": f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(FLOOR((value - {PSI_LO}) / {PSI_W}), 0),
+                    {PSI_BINS - 1}) AS INTEGER) AS bin,
+         (ts < TIMESTAMP '{PSI_SPLIT}') AS is_ref
+  FROM events WHERE value IS NOT NULL
+),
+counts AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_cnt,
+         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cur_cnt
+  FROM base GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, g.bin
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT UNNEST(generate_series(0, {PSI_BINS - 1})) AS bin) g
+),
+filled AS (
+  SELECT grid.event_type, grid.bin,
+         COALESCE(ref_cnt, 0) AS ref_cnt,
+         COALESCE(cur_cnt, 0) AS cur_cnt
+  FROM grid LEFT JOIN counts USING (event_type, bin)
+),
+tot AS (
+  SELECT event_type, SUM(ref_cnt) AS n_ref, SUM(cur_cnt) AS n_cur
+  FROM filled GROUP BY 1
+),
+terms AS (
+  SELECT f.event_type, t.n_ref, t.n_cur,
+         CAST(((CAST(cur_cnt + 1 AS DOUBLE) / CAST(n_cur + {PSI_BINS} AS DOUBLE))
+               - (CAST(ref_cnt + 1 AS DOUBLE) / CAST(n_ref + {PSI_BINS} AS DOUBLE)))
+              * ln((CAST(cur_cnt + 1 AS DOUBLE) / CAST(n_cur + {PSI_BINS} AS DOUBLE))
+                   / (CAST(ref_cnt + 1 AS DOUBLE) / CAST(n_ref + {PSI_BINS} AS DOUBLE)))
+              AS DECIMAL(18,9)) AS term
+  FROM filled f JOIN tot t USING (event_type)
+)
+SELECT event_type,
+       CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+       CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+       CAST(SUM(term) AS DOUBLE) AS psi
+FROM terms GROUP BY 1
+""",
     "dq_report": f"""
 WITH li AS (
   SELECT COUNT(*) AS n_rows,

@@ -116,3 +116,35 @@ def test_temperature_mix_rates_and_determinism(spark):
     assert sorted(r["doc_id"] for r in again.collect()) == sorted(
         r["doc_id"] for r in out.collect()
     )
+
+
+def test_psi_nonnegative_and_detects_shift(spark):
+    """Each PSI term (q-p)*ln(q/p) is sign-coherent, so PSI >= 0; a
+    genuinely shifted current window must score far above the
+    no-shift case."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from opc_ua_data_pipeline_spark.operators.dq import feature_drift_psi
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for i in range(400):
+        ref_t = t0 + datetime.timedelta(minutes=i)
+        cur_t = datetime.datetime(2024, 1, 20) + datetime.timedelta(minutes=i)
+        # stable: same distribution both windows
+        rows.append(("stable", ref_t, float(i % 100)))
+        rows.append(("stable", cur_t, float(i % 100)))
+        # drifted: current window shifted by +200
+        rows.append(("drifted", ref_t, float(i % 100)))
+        rows.append(("drifted", cur_t, 200.0 + float(i % 100)))
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    out = {r["event_type"]: r for r in feature_drift_psi(ev).collect()}
+    assert out["stable"]["psi"] >= 0.0
+    assert out["drifted"]["psi"] >= 0.0
+    assert out["stable"]["psi"] < 0.01
+    assert out["drifted"]["psi"] > 0.25  # the standard "drifted" bar
+    assert out["drifted"]["psi"] > 10 * out["stable"]["psi"]
