@@ -272,3 +272,25 @@ def test_marts_plan_shapes(spark):
     p = formatted_plan(Q["top_supplier_revenue"](spark, SF))
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_round5_plan_shapes(spark):
+    """Round-5 operators keep their scale contracts: the PSI monitor
+    is window-free with a broadcast totals join; the histogram rollup's
+    only windows run over the bounded (type, day, <=256-bin) spine,
+    partitioned on (event_type, bucket); the PNG codec path carries
+    exactly one Python stage (the mapInPandas codec itself)."""
+    plan = formatted_plan(Q["feature_drift_psi"](spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = formatted_plan(Q["histogram_rollup_percentiles"](spark, SF))
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "event_type" in spec and "bucket" in spec, spec
+
+    plan = formatted_plan(Q["png_features"](spark, SF))
+    # one numbered node header per operator: encoder + decoder, no more
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
+    assert "Exchange" not in plan  # narrow end to end
