@@ -286,9 +286,13 @@ def histogram_rollup_percentiles(events: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # bucket is a DATE (not midnight timestamp): DuckDB's
+    # date_trunc('day') yields DATE, and emitting the same type keeps
+    # strict collect()-level comparisons clean, not just the driver's
+    # midnight-tolerant hash
     day = partials.groupBy(
         "event_type",
-        F.date_trunc("day", F.col("h")).alias("bucket"),
+        F.to_date(F.col("h")).alias("bucket"),
         "bin",
     ).agg(F.sum("cnt").alias("cnt"))
     w_cum = (

@@ -127,7 +127,7 @@ def test_histogram_partials_merge_exactly(spark):
         ev.filter(F.col("value").isNotNull())
         .groupBy(
             "event_type",
-            F.date_trunc("day", F.col("ts")).alias("bucket"),
+            F.to_date(F.col("ts")).alias("bucket"),
             b.alias("bin"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
