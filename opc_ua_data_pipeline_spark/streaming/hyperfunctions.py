@@ -589,3 +589,124 @@ def gapfill_locf_stream(telemetry: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+GAPFILL_INTERP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("open_bucket_us", T.LongType()),
+        T.StructField("open_sum", T.StringType()),  # Decimal as string
+        T.StructField("open_cnt", T.LongType()),
+        T.StructField("prev_bucket_us", T.LongType()),
+        T.StructField("prev_avg", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_disordered", T.LongType()),
+    ]
+)
+
+
+def _gapfill_interp_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """gapfill_interpolate streaming twin: LINEAR interpolation needs
+    BOTH anchors, so a gap's rows are emitted at the moment its
+    right-hand observed bucket closes — later than the LOCF twin
+    emits them (which needs only the left anchor), but still exactly
+    once and in bucket order per metric.  The interpolation weight is
+    the same exact integer second ratio as the batch operator, so
+    emitted rows equal ``gapfill_interpolate`` bit-for-bit.
+
+    State adds one (bucket, avg) pair over the LOCF twin — still O(1)
+    per metric.
+    """
+    (metric,) = key
+    if state.exists:
+        open_us, sum_s, cnt, prev_us, prev_avg, last_us, n_dis = state.get
+        sm = decimal.Decimal(sum_s) if sum_s is not None else None
+    else:
+        open_us, sm, cnt, prev_us, prev_avg, last_us, n_dis = (
+            None,
+            None,
+            0,
+            None,
+            None,
+            None,
+            0,
+        )
+    out: list[tuple] = []
+
+    def close_through(new_bucket_us: int) -> None:
+        """Close the open bucket: emit pending gap rows (we now hold
+        their right anchor), then the observed bucket itself."""
+        nonlocal open_us, sm, cnt, prev_us, prev_avg
+        avg = float(sm) / cnt
+        if prev_us is not None:
+            g = prev_us + _MIN_US
+            dT = float((open_us - prev_us) // 1_000_000)
+            while g < open_us:
+                dt = float((g - prev_us) // 1_000_000)
+                interp = prev_avg + (avg - prev_avg) * (dt / dT)
+                out.append((metric, g, interp, True))
+                g += _MIN_US
+        out.append((metric, open_us, avg, False))
+        prev_us, prev_avg = open_us, avg
+        open_us, sm, cnt = new_bucket_us, None, 0
+
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["time", "event_id"])
+        for row in pdf.itertuples():
+            v = row.value_num
+            if v is None or pd.isna(v):
+                continue
+            t_us = row.time.value // 1000
+            if last_us is not None and t_us < last_us:
+                n_dis += 1
+                continue
+            last_us = t_us
+            b_us = t_us - t_us % _MIN_US
+            if open_us is None:
+                open_us = b_us
+            elif b_us > open_us:
+                close_through(b_us)
+            d = _dec(v)
+            sm = d if sm is None else sm + d
+            cnt += 1
+    state.update(
+        (
+            open_us,
+            str(sm) if sm is not None else None,
+            cnt,
+            prev_us,
+            prev_avg,
+            last_us,
+            n_dis,
+        )
+    )
+    if out:
+        yield pd.DataFrame(
+            [
+                (m, pd.Timestamp(us * 1000), a, g, n_dis)
+                for m, us, a, g in out
+            ],
+            columns=[
+                "metric",
+                "bucket",
+                "avg_value",
+                "is_gap",
+                "n_disordered",
+            ],
+        )
+
+
+def gapfill_interpolate_stream(telemetry: DataFrame) -> DataFrame:
+    return (
+        telemetry.filter("value_num IS NOT NULL")
+        .groupBy("metric")
+        .applyInPandasWithState(
+            _gapfill_interp_fn,
+            GAPFILL_OUTPUT_SCHEMA,  # same shape as the LOCF twin
+            GAPFILL_INTERP_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -295,3 +295,44 @@ def test_gapfill_stream_matches_batch_prefix(spark, replay_dir):
         emitted = {b for (mm, b) in got if mm == m}
         missing = buckets - emitted
         assert len(missing) <= 1, (m, sorted(missing)[:3])
+
+
+def test_gapfill_interp_stream_matches_batch_prefix(spark, replay_dir):
+    """Linear-interpolation gapfill on the stream: every emitted row
+    (observed average or interpolated gap) equals the batch
+    gapfill_interpolate row bit-for-bit; the only withheld rows are
+    the open tail bucket and the not-yet-anchored gaps after the last
+    emitted observation (all strictly newer than anything emitted)."""
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        gapfill_interpolate,
+    )
+    from opc_ua_data_pipeline_spark.streaming.hyperfunctions import (
+        gapfill_interpolate_stream,
+    )
+
+    out = _run_stream(
+        spark,
+        gapfill_interpolate_stream(
+            telemetry_transform(file_stream(spark, replay_dir))
+        ),
+        "gapfill_interp_stream",
+    )
+    got = {
+        (r["metric"], r["bucket"]): (r["avg_value"], r["is_gap"])
+        for r in out.collect()
+    }
+    assert len(got) > 0
+    assert any(v[1] for v in got.values()), "expected interpolated gaps"
+    batch = {
+        (r["metric"], r["bucket"]): (r["value"], r["is_gap"])
+        for r in gapfill_interpolate(telemetry(spark, SF_DIR)).collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch.get(k))
+    last_emitted = {}
+    for (m, b) in got:
+        if m not in last_emitted or b > last_emitted[m]:
+            last_emitted[m] = b
+    for (m, b) in batch:
+        if (m, b) not in got:
+            assert b > last_emitted[m], (m, b, last_emitted[m])
