@@ -150,6 +150,7 @@ _PRIORITY = [
     "png_features",
     "histogram_rollup_percentiles",
     "feature_drift_psi",
+    "cdc_dedup_ratio",
     # (c) reference-surface re-checks
     "latest_value",
     "alarm_feed",

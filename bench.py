@@ -80,6 +80,7 @@ HEADLINE = [
     "png_features",          # compressed container: zlib encode+decode
     "latest_per_metric",     # hottest dashboard family, max_by spelling
     "histogram_rollup_percentiles",  # mergeable percentile rollup
+    "cdc_dedup_ratio",       # content-defined chunk dedup stats
 ]
 
 

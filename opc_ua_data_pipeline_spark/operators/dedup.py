@@ -723,3 +723,145 @@ FROM ranked
 GROUP BY doc_id
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (FastCDC/rsync shape)
+# ---------------------------------------------------------------------------
+
+#: rolling window width and boundary modulus: a position ends a chunk
+#: when the 16-bit hash of the trailing 8-char window is 0 mod 32, so
+#: chunks average ~32 chars.  md5 stands in for the gear table — it is
+#: the one hash both engines derive identically (the repo-wide
+#: md5-positioning contract); a production pipeline would swap in a
+#: gear/rabin hash with the same boundary rule.
+CDC_WINDOW = 8
+CDC_MODULUS = 32
+
+
+def _cdc_edges_sql(text: str = "text") -> str:
+    """Spark SQL for the chunk edge list [0, b1, ..., n]: boundary
+    positions are content-defined, so an edit shifts only the chunks
+    it touches — boundaries downstream of the edit re-synchronize,
+    which is exactly what fixed-stride chunking cannot do."""
+    w, d = CDC_WINDOW, CDC_MODULUS
+    cond = (
+        f"i < length({text}) AND "
+        f"conv(substring(md5(substring({text}, i - {w - 1}, {w})), 1, 4),"
+        f" 16, 10) % {d} = 0"
+    )
+    bpos = (
+        f"filter(sequence({w}, greatest(length({text}), {w})),"
+        f" i -> {cond})"
+    )
+    return f"concat(array(0), {bpos}, array(length({text})))"
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """Explode each document into content-defined chunks
+    (doc_id, source, chunk_idx, chunk, chunk_len).
+
+    All chunking work is per-row array expressions (no shuffle); the
+    downstream digest groupBy is the only wide node — the chunk-store
+    dedup shuffle itself.
+    """
+    edges = _cdc_edges_sql()
+    chunk_structs = (
+        f"transform(sequence(1, size({edges}) - 1), k -> "
+        f"named_struct('chunk_idx', k, 'chunk', "
+        f"substring(text, element_at({edges}, k) + 1, "
+        f"element_at({edges}, k + 1) - element_at({edges}, k))))"
+    )
+    return (
+        docs.selectExpr(
+            "doc_id", "source", f"inline({chunk_structs})"
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )
+
+
+def cdc_dedup_ratio(docs: DataFrame) -> DataFrame:
+    """Per-source chunk-store dedup statistics over content-defined
+    chunks: total vs distinct chunk count and characters — the
+    dedup-ratio a CDC-chunked corpus store reports, robust to edits
+    in a way fixed-stride chunk digests are not (tests pin the
+    resynchronization property).
+
+    One narrow chunking pass, one groupBy on (source, digest) — the
+    canonical dedup shuffle — then a per-source rollup of the
+    digest-level partials.
+    """
+    by_digest = (
+        cdc_chunks(docs)
+        .select("source", F.md5("chunk").alias("digest"), "chunk_len")
+        .groupBy("source", "digest")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("chunk_len").alias("len"),
+        )
+    )
+    return by_digest.groupBy("source").agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("cnt") * F.col("len")).alias("chars_total"),
+        F.sum("len").alias("chars_distinct"),
+    )
+
+
+def q_cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc_dedup_ratio(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["cdc_dedup_ratio"] = q_cdc_dedup_ratio
+
+
+def _cdc_hex4_sql(md5_expr: str) -> str:
+    """16-bit int of the first 4 hex chars (DuckDB has no conv())."""
+    e = "0"
+    for i in range(4):
+        e = (
+            f"({e} * 16 + (strpos('0123456789abcdef', "
+            f"substr({md5_expr}, {i + 1}, 1)) - 1))"
+        )
+    return e
+
+
+_CDC_COND = (
+    f"i < strlen(text) AND "
+    f"{_cdc_hex4_sql(f'md5(substr(text, i - {CDC_WINDOW - 1}, {CDC_WINDOW}))')}"
+    f" % {CDC_MODULUS} = 0"
+)
+
+ORACLES["cdc_dedup_ratio"] = f"""
+WITH e AS (
+  SELECT source,
+         text,
+         list_concat(
+           list_concat([0],
+             list_filter(
+               generate_series({CDC_WINDOW}, greatest(strlen(text), {CDC_WINDOW})),
+               i -> {_CDC_COND})),
+           [strlen(text)]) AS edges
+  FROM documents
+),
+c AS (
+  SELECT source,
+         UNNEST(list_transform(
+           generate_series(1, len(edges) - 1),
+           k -> substr(text, list_extract(edges, k) + 1,
+                       list_extract(edges, k + 1) - list_extract(edges, k))))
+           AS chunk
+  FROM e
+),
+d AS (
+  SELECT source, md5(chunk) AS digest,
+         COUNT(*) AS cnt, MAX(strlen(chunk)) AS len
+  FROM c GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(cnt * len) AS BIGINT) AS chars_total,
+       CAST(SUM(len) AS BIGINT) AS chars_distinct
+FROM d GROUP BY 1
+"""

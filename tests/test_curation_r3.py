@@ -268,3 +268,69 @@ def test_vocab_coverage_bounds_and_keep_flag(spark):
     # with only 6 distinct corpus terms, all fit in top-50 -> doc 99
     # is fully covered too (k bounds the vocab, not the corpus)
     assert out[99]["n_covered"] == 3
+
+
+def test_cdc_chunks_resynchronize_after_edit(spark):
+    """THE content-defined-chunking property: inserting characters
+    near the head of a document disturbs only the chunks it touches —
+    boundaries downstream re-synchronize, so most chunk digests
+    survive the edit.  Fixed-stride chunking at the same granularity
+    loses (almost) everything after the insertion point."""
+    from pyspark.sql import functions as F
+
+    from opc_ua_data_pipeline_spark.operators.dedup import cdc_chunks
+
+    base = "".join(chr(97 + (i * 7 + i * i // 5) % 26) for i in range(600))
+    edited = base[:23] + "INSERTED" + base[23:]
+    docs = spark.createDataFrame(
+        [(1, "s", base), (2, "s", edited)],
+        "doc_id long, source string, text string",
+    )
+    ch = cdc_chunks(docs).select("doc_id", F.md5("chunk").alias("d"))
+    a = {r["d"] for r in ch.filter("doc_id = 1").collect()}
+    b = {r["d"] for r in ch.filter("doc_id = 2").collect()}
+    cdc_shared = len(a & b) / len(a)
+
+    stride = 32
+    fixed = {
+        "base": {base[i : i + stride] for i in range(0, len(base), stride)},
+        "edited": {
+            edited[i : i + stride] for i in range(0, len(edited), stride)
+        },
+    }
+    fixed_shared = len(fixed["base"] & fixed["edited"]) / len(fixed["base"])
+
+    assert cdc_shared > 0.5, cdc_shared
+    assert cdc_shared > fixed_shared + 0.3, (cdc_shared, fixed_shared)
+
+
+def test_cdc_chunks_reassemble_exactly(spark):
+    """Chunk edges partition the document: concatenating chunks in
+    index order must reproduce the text byte-for-byte for every doc."""
+    from pyspark.sql import functions as F
+
+    from opc_ua_data_pipeline_spark.operators.dedup import cdc_chunks
+    from opc_ua_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    re_joined = (
+        cdc_chunks(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk"))
+                    ),
+                    lambda s: s.chunk,
+                ),
+            ).alias("rebuilt")
+        )
+    )
+    bad = (
+        docs.join(re_joined, "doc_id")
+        .filter(F.col("text") != F.col("rebuilt"))
+        .count()
+    )
+    assert bad == 0
