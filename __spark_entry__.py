@@ -36,6 +36,7 @@ from opc_ua_data_pipeline_spark.operators import (
     similarity,
     skew,
     text,
+    tokenizer,
     training,
 )
 from opc_ua_data_pipeline_spark.session import apply_runtime_confs
@@ -52,6 +53,7 @@ _MODULES = [
     clustering,
     similarity,
     text,
+    tokenizer,
     multimodal,
     skew,
     sampling,
@@ -151,6 +153,7 @@ _PRIORITY = [
     "histogram_rollup_percentiles",
     "feature_drift_psi",
     "cdc_dedup_ratio",
+    "bpe_merges",
     # (c) reference-surface re-checks
     "latest_value",
     "alarm_feed",

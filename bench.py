@@ -81,6 +81,7 @@ HEADLINE = [
     "latest_per_metric",     # hottest dashboard family, max_by spelling
     "histogram_rollup_percentiles",  # mergeable percentile rollup
     "cdc_dedup_ratio",       # content-defined chunk dedup stats
+    "bpe_merges",            # iterative on-corpus tokenizer training
 ]
 
 

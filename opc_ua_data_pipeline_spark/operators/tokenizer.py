@@ -1,0 +1,216 @@
+"""On-corpus BPE tokenizer training — the iterative-algorithm pattern
+(see clustering.py) applied to the tokenizer-training half of a
+training-data platform.
+
+Industrial BPE trainers (GPT-2's, SentencePiece's BPE mode) never
+iterate over the corpus: they roll the corpus up to a (word, count)
+table once, then run every merge iteration against that vocabulary.
+The Spark shape is exactly that:
+
+* ONE map-side-combinable shuffle collapses the corpus to word counts
+  (at 100 TB this is the only data-proportional stage);
+* the top-``VOCAB_K`` word table is constant-size; each of the
+  ``N_MERGES`` iterations computes pair counts over it (a vocab-sized
+  groupBy), picks the argmax pair deterministically, and rewrites the
+  symbol sequences via a broadcast 1-row join — per-iteration cost is
+  INDEPENDENT of corpus size;
+* nothing iterates on the driver except the loop counter and the
+  N_MERGES 1-row argmax results (the output merge table itself);
+  ``localCheckpoint`` truncates lineage per iteration, the same
+  pattern as the k-means loop.
+
+Determinism: pair argmax breaks ties on (count DESC, lhs ASC,
+rhs ASC); the merge rewrite is SQL ``replace`` on the space-delimited
+symbol string (left-to-right, non-overlapping — the greedy-left BPE
+rule, and the same semantics in Spark and DuckDB), so even this
+ITERATIVE trainer has an exact unrolled-CTE DuckDB oracle.
+
+Reference parity: the reference pipeline has no tokenizer surface;
+this belongs to the training-data extension mandate (SURVEY.md §2
+extension families) next to text.py's token statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .text import _TOKS, _toks
+
+VOCAB_K = 48
+N_MERGES = 6
+
+#: end-of-word marker symbol (its merges produce suffix tokens like
+#: ``s</w>`` — the classic BPE word-boundary treatment)
+EOW = "</w>"
+
+
+def _word_counts(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """Corpus → top-k (word, count): the one data-proportional stage."""
+    return (
+        docs.select(F.explode(_toks()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(k)
+    )
+
+
+def bpe_merges(
+    docs: DataFrame, k: int = VOCAB_K, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges on the corpus's top-``k`` words;
+    return the merge table (iteration, lhs, rhs, merged, pair_count)
+    — the artifact a tokenizer ships."""
+    spark = docs.sparkSession
+    words = _word_counts(docs, k).select(
+        "word",
+        "cnt",
+        F.concat(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.substring(F.col("word"), i, F.lit(1)),
+                ),
+            ),
+            F.lit(" " + EOW),
+        ).alias("seq"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple] = []
+    for it in range(1, n_merges + 1):
+        pairs = (
+            words.select("cnt", F.split("seq", " ").alias("s"))
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), k -> "
+                        "named_struct('lhs', element_at(s, k), "
+                        "'rhs', element_at(s, k + 1)))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("cnt").alias("total"))
+        )
+        top1 = pairs.orderBy(
+            F.col("total").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+        ).limit(1)
+        row = top1.collect()[0]  # 1 bounded row per iteration (output)
+        merges.append(
+            (it, row["lhs"], row["rhs"], row["lhs"] + row["rhs"], row["total"])
+        )
+        # rewrite via a broadcast 1-row join: no string literals are
+        # spliced into SQL (corpus symbols may contain quotes), and
+        # the rewrite stays fully distributed
+        words = (
+            words.crossJoin(F.broadcast(top1))
+            .select(
+                "word",
+                "cnt",
+                F.trim(
+                    F.expr(
+                        "replace(concat(' ', seq, ' '), "
+                        "concat(' ', lhs, ' ', rhs, ' '), "
+                        "concat(' ', lhs, rhs, ' '))"
+                    )
+                ).alias("seq"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        merges,
+        "iteration int, lhs string, rhs string, merged string, "
+        "pair_count bigint",
+    )
+
+
+def bpe_segment(
+    docs: DataFrame, merge_table: DataFrame
+) -> DataFrame:
+    """Apply a trained merge list to the corpus words: per-doc token
+    sequences under the learned vocabulary (space-joined symbol
+    strings).  The merge table is tiny and ordered — applying it is a
+    broadcast of the collected merges folded into one expression
+    chain, a narrow per-row pass over any corpus size."""
+    rows = sorted(
+        merge_table.collect(), key=lambda r: r["iteration"]
+    )  # bounded: n_merges rows
+    seq = F.concat(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, F.lit(1)),
+            ),
+        ),
+        F.lit(" " + EOW),
+    )
+    out = F.concat(F.lit(" "), seq, F.lit(" "))
+    for r in rows:
+        out = F.replace(
+            out,
+            F.lit(f" {r['lhs']} {r['rhs']} "),
+            F.lit(f" {r['lhs']}{r['rhs']} "),
+        )
+    return docs.select(F.explode(_toks()).alias("word")).distinct().select(
+        "word", F.trim(out).alias("segmented")
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merges(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {"bpe_merges": q_bpe_merges}
+
+
+def _bpe_oracle(k: int = VOCAB_K, n_merges: int = N_MERGES) -> str:
+    """The trainer unrolled into CTEs — one (pairs, argmax, rewrite)
+    triple per iteration, exactly the loop body."""
+    ctes = [
+        f"""wc AS (
+  SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST({_TOKS}) AS t FROM documents)
+  GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT {k})""",
+        f"""w0 AS (
+  SELECT word, cnt,
+         array_to_string(list_transform(generate_series(1, strlen(word)),
+                                        i -> substr(word, i, 1)), ' ')
+           || ' {EOW}' AS seq
+  FROM wc)""",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT l AS lhs, r AS rhs, CAST(SUM(cnt) AS BIGINT) AS total
+  FROM (SELECT cnt, list_extract(s, g.k) AS l, list_extract(s, g.k + 1) AS r
+        FROM (SELECT cnt, string_split(seq, ' ') AS s FROM w{i - 1}),
+             UNNEST(generate_series(1, len(s) - 1)) AS g(k))
+  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+  SELECT lhs, rhs, total FROM p{i}
+  ORDER BY total DESC, lhs ASC, rhs ASC LIMIT 1)"""
+        )
+        ctes.append(
+            f"""w{i} AS (
+  SELECT word, cnt,
+         trim(replace(' ' || seq || ' ',
+                      (SELECT ' ' || lhs || ' ' || rhs || ' ' FROM m{i}),
+                      (SELECT ' ' || lhs || rhs || ' ' FROM m{i}))) AS seq
+  FROM w{i - 1})"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS iteration, lhs, rhs, "
+        f"lhs || rhs AS merged, total AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+ORACLES = {"bpe_merges": _bpe_oracle()}
