@@ -154,6 +154,7 @@ _PRIORITY = [
     "feature_drift_psi",
     "cdc_dedup_ratio",
     "bpe_merges",
+    "bpe_segmentation",
     # (c) reference-surface re-checks
     "latest_value",
     "alarm_feed",

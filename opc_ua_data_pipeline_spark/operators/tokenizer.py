@@ -168,9 +168,9 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {"bpe_merges": q_bpe_merges}
 
 
-def _bpe_oracle(k: int = VOCAB_K, n_merges: int = N_MERGES) -> str:
-    """The trainer unrolled into CTEs — one (pairs, argmax, rewrite)
-    triple per iteration, exactly the loop body."""
+def _bpe_ctes(k: int, n_merges: int) -> list[str]:
+    """Shared CTE chain: word counts, char seqs, then one (pairs,
+    argmax, rewrite) triple per iteration — exactly the loop body."""
     ctes = [
         f"""wc AS (
   SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -205,12 +205,56 @@ def _bpe_oracle(k: int = VOCAB_K, n_merges: int = N_MERGES) -> str:
                       (SELECT ' ' || lhs || rhs || ' ' FROM m{i}))) AS seq
   FROM w{i - 1})"""
         )
+    return ctes
+
+
+def _bpe_oracle(k: int = VOCAB_K, n_merges: int = N_MERGES) -> str:
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INTEGER) AS iteration, lhs, rhs, "
         f"lhs || rhs AS merged, total AS pair_count FROM m{i}"
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + selects
+    return "WITH " + ",\n".join(_bpe_ctes(k, n_merges)) + "\n" + selects
 
 
 ORACLES = {"bpe_merges": _bpe_oracle()}
+
+
+def q_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train on the corpus, then segment EVERY distinct corpus word
+    under the learned merges — the apply half of the tokenizer, as a
+    contract query (training + application in one verified chain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_segment(docs, bpe_merges(docs))
+
+
+QUERIES["bpe_segmentation"] = q_bpe_segmentation
+
+
+def _bpe_segment_oracle(k: int = VOCAB_K, n_merges: int = N_MERGES) -> str:
+    """The trained replace chain applied to all distinct words: reuse
+    the trainer's CTEs through m{n}, then fold the merges over every
+    word's padded symbol string via scalar subqueries."""
+    ctes = ",\n".join(_bpe_ctes(k, n_merges))
+    seq0 = (
+        "' ' || array_to_string(list_transform("
+        "generate_series(1, strlen(word)), i -> substr(word, i, 1)), ' ')"
+        f" || ' {EOW} '"
+    )
+    expr = seq0
+    for i in range(1, n_merges + 1):
+        expr = (
+            f"replace({expr}, "
+            f"(SELECT ' ' || lhs || ' ' || rhs || ' ' FROM m{i}), "
+            f"(SELECT ' ' || lhs || rhs || ' ' FROM m{i}))"
+        )
+    return f"""WITH {ctes},
+wall AS (
+  SELECT DISTINCT t AS word
+  FROM (SELECT UNNEST({_TOKS}) AS t FROM documents)
+)
+SELECT word, trim({expr}) AS segmented FROM wall
+"""
+
+
+ORACLES["bpe_segmentation"] = _bpe_segment_oracle()
