@@ -155,6 +155,7 @@ _PRIORITY = [
     "cdc_dedup_ratio",
     "bpe_merges",
     "bpe_segmentation",
+    "cdc_neardup_pairs",
     # (c) reference-surface re-checks
     "latest_value",
     "alarm_feed",

@@ -865,3 +865,120 @@ SELECT source,
        CAST(SUM(len) AS BIGINT) AS chars_distinct
 FROM d GROUP BY 1
 """
+
+
+#: stop-chunk cap: a chunk shared by more than this many documents is
+#: boilerplate (the CDC analog of a stopword / an LSH hot band) and
+#: generates quadratic pair noise — drop it from candidate generation.
+CDC_MAX_POSTING = 16
+#: minimum shared distinct chunks for a candidate pair
+CDC_MIN_SHARED = 2
+
+
+def cdc_neardup_pairs(docs: DataFrame) -> DataFrame:
+    """Near-duplicate candidates from content-defined chunk overlap:
+    documents sharing >= CDC_MIN_SHARED distinct chunk digests, scored
+    by containment ``n_shared / min(n_chunks)`` — the exact-chunk
+    complement to the MinHash sketch path (robust to edits because the
+    chunks are, see cdc_chunks), and the standard storage-dedup
+    candidate generator.
+
+    Scale shape: one (digest) groupBy builds posting lists; lists
+    longer than CDC_MAX_POSTING are dropped ENTIRELY (boilerplate
+    stop-chunks — the same hot-bucket rule the LSH path uses), so the
+    per-digest pair explosion is bounded by a constant, never
+    quadratic in corpus size; the pair rollup is one more
+    map-side-combinable groupBy.
+    """
+    ch = (
+        cdc_chunks(docs)
+        .select("doc_id", F.md5("chunk").alias("digest"))
+        .distinct()
+    )
+    per_doc = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    posts = (
+        ch.groupBy("digest")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= CDC_MAX_POSTING)
+        )
+    )
+    pairs = (
+        posts.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= CDC_MIN_SHARED)
+    )
+    na = per_doc.select(
+        F.col("doc_id").alias("a"), F.col("n_chunks").alias("_na")
+    )
+    nb = per_doc.select(
+        F.col("doc_id").alias("b"), F.col("n_chunks").alias("_nb")
+    )
+    return (
+        pairs.join(na, "a")
+        .join(nb, "b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("_na", "_nb").cast("double")
+            ).alias("containment"),
+        )
+    )
+
+
+def q_cdc_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc_neardup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["cdc_neardup_pairs"] = q_cdc_neardup_pairs
+
+ORACLES["cdc_neardup_pairs"] = f"""
+WITH e AS (
+  SELECT doc_id, text,
+         list_concat(
+           list_concat([0],
+             list_filter(
+               generate_series({CDC_WINDOW}, greatest(strlen(text), {CDC_WINDOW})),
+               i -> {_CDC_COND})),
+           [strlen(text)]) AS edges
+  FROM documents
+),
+ch AS (
+  SELECT DISTINCT doc_id,
+         md5(UNNEST(list_transform(
+           generate_series(1, len(edges) - 1),
+           k -> substr(text, list_extract(edges, k) + 1,
+                       list_extract(edges, k + 1) - list_extract(edges, k)))))
+           AS digest
+  FROM e
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY 1
+),
+posts AS (
+  SELECT digest, list_sort(list(doc_id)) AS ds
+  FROM ch GROUP BY 1
+  HAVING COUNT(*) BETWEEN 2 AND {CDC_MAX_POSTING}
+),
+pairs AS (
+  SELECT u.a, v.b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM posts, UNNEST(ds) AS u(a), UNNEST(ds) AS v(b)
+  WHERE u.a < v.b
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {CDC_MIN_SHARED}
+)
+SELECT p.a AS doc_a, p.b AS doc_b, p.n_shared,
+       CAST(p.n_shared AS DOUBLE) / LEAST(na.n_chunks, nb.n_chunks)
+         AS containment
+FROM pairs p
+JOIN per_doc na ON p.a = na.doc_id
+JOIN per_doc nb ON p.b = nb.doc_id
+"""

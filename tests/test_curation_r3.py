@@ -334,3 +334,27 @@ def test_cdc_chunks_reassemble_exactly(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_cdc_neardup_finds_edited_twin_not_strangers(spark):
+    """An edited copy shares most CDC chunks with its original
+    (resync property) -> high-containment pair; an unrelated doc
+    pairs with neither."""
+    from opc_ua_data_pipeline_spark.operators.dedup import (
+        cdc_neardup_pairs,
+    )
+
+    base = "".join(chr(97 + (i * 11 + i * i // 7) % 26) for i in range(800))
+    edited = base[:37] + "EDITINSERT" + base[37:]
+    other = "".join(chr(97 + (i * 5 + 3) % 26) for i in range(800))
+    docs = spark.createDataFrame(
+        [(1, "s", base), (2, "s", edited), (3, "s", other)],
+        "doc_id long, source string, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in cdc_neardup_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs

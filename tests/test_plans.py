@@ -294,3 +294,22 @@ def test_round5_plan_shapes(spark):
     # one numbered node header per operator: encoder + decoder, no more
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
     assert "Exchange" not in plan  # narrow end to end
+
+
+def test_bpe_and_cdc_plan_shapes(spark):
+    """BPE training's corpus stage must be the word-count rollup +
+    top-k heap (TakeOrderedAndProject), its per-iteration rewrite a
+    broadcast 1-row join (never a cartesian product against the vocab
+    table); CDC dedup must carry no window and no nested loop — its
+    wide nodes are the two groupBys only."""
+    from opc_ua_data_pipeline_spark.operators.tokenizer import _word_counts
+    from opc_ua_data_pipeline_spark.tables import load_table
+
+    p = formatted_plan(_word_counts(load_table(spark, SF, "documents")))
+    assert "TakeOrderedAndProject" in p
+    assert "HashAggregate" in p  # map-side-combinable word counts
+
+    p = formatted_plan(Q["cdc_dedup_ratio"](spark, SF))
+    assert "Window" not in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
