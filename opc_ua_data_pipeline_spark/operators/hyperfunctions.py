@@ -39,7 +39,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .ingest import TELEMETRY_SQL, telemetry
@@ -523,6 +523,69 @@ def state_durations(tel: DataFrame) -> DataFrame:
     )
 
 
+def _order_key() -> Column:
+    """The shared (time, event_id) VARCHAR ordering key (see
+    m4_downsample for the non-negativity precondition and why it
+    stays a VARCHAR: the DuckDB oracle's arg_min/arg_max rejects
+    struct keys)."""
+    return F.concat(
+        F.lpad(F.unix_micros(F.col("time")).cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+
+
+def candlestick_agg(tel: DataFrame) -> DataFrame:
+    """Per-(metric, hour) OHLC candlestick partials — the analytics-
+    toolkit ``candlestick_agg`` analog for sensor telemetry (same
+    continuous-aggregate family as database/init.sql:37-48).
+
+    Beyond m4_downsample, each partial carries its own open/close
+    ORDER KEYS, which is what makes the candlestick a true monoid:
+    two candles merge by keeping the open at the smaller open_key and
+    the close at the larger close_key (and min/max/sum for the rest),
+    so hour candles roll up to any coarser grain without rescanning
+    raw rows — the serving-layer shape for OHLC at 100 TB.  One
+    map-side-combinable shuffle on (metric, hour).
+    """
+    key = _order_key()
+    return (
+        tel.filter(F.col("value_num").isNotNull())
+        .groupBy(F.col("metric"), F.date_trunc("hour", F.col("time")).alias("bucket"))
+        .agg(
+            F.min_by("value_num", key).alias("open_value"),
+            F.max("value_num").alias("high_value"),
+            F.min("value_num").alias("low_value"),
+            F.max_by("value_num", key).alias("close_value"),
+            F.min(key).alias("open_key"),
+            F.max(key).alias("close_key"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
+def candlestick_merge(tel: DataFrame) -> DataFrame:
+    """Hierarchical OHLC rollup: DAY candles produced by MERGING the
+    hour partials from :func:`candlestick_agg` — never re-reading raw
+    rows — while the DuckDB oracle computes the day candles directly
+    from raw telemetry.  Hash-parity therefore proves the candlestick
+    merge identity end-to-end (the hll_rollup_merge contract shape,
+    exact instead of sketched).  DATE (not midnight timestamp) for
+    the day bucket, per the engines' date_trunc('day') asymmetry.
+    """
+    hours = candlestick_agg(tel)
+    return (
+        hours.groupBy(F.col("metric"), F.to_date(F.col("bucket")).alias("day"))
+        .agg(
+            F.min_by("open_value", F.col("open_key")).alias("open_value"),
+            F.max("high_value").alias("high_value"),
+            F.min("low_value").alias("low_value"),
+            F.max_by("close_value", F.col("close_key")).alias("close_value"),
+            F.sum("n_samples").alias("n_samples"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -560,6 +623,10 @@ def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state_durations(telemetry(spark, sf_dir))
 
 
+def q_candlestick_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return candlestick_merge(telemetry(spark, sf_dir))
+
+
 QUERIES = {
     "state_durations": q_state_durations,
     "time_weighted_avg": q_time_weighted_avg,
@@ -569,6 +636,7 @@ QUERIES = {
     "trend_slope": q_trend_slope,
     "m4_downsample": q_m4,
     "uptime_agg": q_uptime,
+    "candlestick_merge": q_candlestick_merge,
 }
 
 ORACLES = {
@@ -657,6 +725,25 @@ SELECT metric,
                  AS DECIMAL(38,12)) AS DOUBLE) AS intercept,
        n_samples
 FROM agg
+""",
+    # Day candles DIRECTLY from raw rows: parity with the Spark side's
+    # hour-partial merge proves the candlestick monoid identity.
+    "candlestick_merge": f"""
+WITH telemetry AS ({TELEMETRY_SQL})
+SELECT metric,
+       CAST(date_trunc('day', "time") AS DATE) AS day,
+       arg_min(value_num, lpad(CAST(epoch_us("time") AS VARCHAR), 20, '0')
+                          || '-' || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+         AS open_value,
+       MAX(value_num) AS high_value,
+       MIN(value_num) AS low_value,
+       arg_max(value_num, lpad(CAST(epoch_us("time") AS VARCHAR), 20, '0')
+                          || '-' || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+         AS close_value,
+       COUNT(*) AS n_samples
+FROM telemetry
+WHERE value_num IS NOT NULL
+GROUP BY 1, 2
 """,
     "m4_downsample": f"""
 WITH telemetry AS ({TELEMETRY_SQL})

@@ -710,3 +710,141 @@ def gapfill_interpolate_stream(telemetry: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TREND_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType()),
+        T.StructField("slope_per_sec", T.DoubleType()),
+        T.StructField("intercept", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_disordered", T.LongType()),
+    ]
+)
+TREND_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t0_us", T.LongType()),
+        T.StructField("sx", T.StringType()),  # Decimal(38,6) sums as strings
+        T.StructField("sy", T.StringType()),
+        T.StructField("sxy", T.StringType()),
+        T.StructField("sxx", T.StringType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("n_disordered", T.LongType()),
+    ]
+)
+
+_Q12 = decimal.Decimal("1e-12")
+
+
+def _round12(x: float) -> float:
+    """Mirror the batch CAST(DECIMAL(38,12)) ulp-collapse on the
+    published slope/intercept (operators/hyperfunctions.py
+    trend_slope): shortest-repr value, half-up at 12 places, back to
+    double."""
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            _Q12, rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _trend_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """trend_slope streaming twin: incremental least-squares drift.
+
+    The four raw moments are order-independent sums, so the only
+    sequential dependency is the x-origin: batch re-centers on the
+    per-metric MIN sample time, and under the event-time-order
+    contract (disordered rows dropped + counted, as in every
+    processor here) the first APPLIED sample IS that minimum — any
+    row that could lower it would arrive behind the frontier and be
+    dropped.  Each term is quantized to DECIMAL(38,6) before summing
+    (the batch associativity contract), the sums collapse to double,
+    and the closed form + DECIMAL(38,12) rounding replays the batch
+    textual order exactly."""
+    # x*x terms reach ~1e22 — quantized to 6 places that's >28
+    # significant digits, past Python's DEFAULT decimal context (the
+    # small-delta processors above never get near it).  Spark's
+    # DECIMAL(38,6) sum is exact to 38 digits; a 60-digit local
+    # context keeps every add exact within that envelope and is
+    # restored on exit (other processors keep the default).
+    (metric,) = key
+    with decimal.localcontext() as c:
+        c.prec = 60
+        yield from _trend_body(metric, pdfs, state)
+
+
+def _trend_body(
+    metric: str, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        t0_us, sx_s, sy_s, sxy_s, sxx_s, last_us, n, n_dis = state.get
+        sx = decimal.Decimal(sx_s)
+        sy = decimal.Decimal(sy_s)
+        sxy = decimal.Decimal(sxy_s)
+        sxx = decimal.Decimal(sxx_s)
+    else:
+        t0_us, last_us, n, n_dis = None, None, 0, 0
+        sx = sy = sxy = sxx = decimal.Decimal(0)
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["time", "event_id"])
+        for row in pdf.itertuples():
+            v = row.value_num
+            if v is None or pd.isna(v):
+                continue
+            t_us = row.time.value // 1000
+            if last_us is not None and t_us < last_us:
+                # behind the applied frontier: a retro-sample could
+                # also undercut t0 and shift every x — drop + count
+                n_dis += 1
+                continue
+            if t0_us is None:
+                t0_us = t_us
+            x = float(t_us - t0_us)
+            v = float(v)
+            sx += _dec(x)
+            sy += _dec(v)
+            sxy += _dec(x * v)
+            sxx += _dec(x * x)
+            last_us = t_us
+            n += 1
+    state.update(
+        (t0_us, str(sx), str(sy), str(sxy), str(sxx), last_us, n, n_dis)
+    )
+    if n:
+        sx_d, sy_d, sxy_d, sxx_d = float(sx), float(sy), float(sxy), float(sxx)
+        nd = float(n)
+        denom = nd * sxx_d - sx_d * sx_d
+        if denom == 0.0:
+            slope_sec = intercept = None  # batch try_divide -> NULL
+        else:
+            slope_micro = (nd * sxy_d - sx_d * sy_d) / denom
+            slope_sec = _round12(slope_micro * 1e6)
+            intercept = _round12((sy_d - slope_micro * sx_d) / nd)
+        yield pd.DataFrame(
+            [(metric, slope_sec, intercept, n, n_dis)],
+            columns=[
+                "metric",
+                "slope_per_sec",
+                "intercept",
+                "n_samples",
+                "n_disordered",
+            ],
+        )
+
+
+def trend_slope_stream(telemetry: DataFrame) -> DataFrame:
+    return (
+        telemetry.filter("value_num IS NOT NULL")
+        .groupBy("metric")
+        .applyInPandasWithState(
+            _trend_fn,
+            TREND_OUTPUT_SCHEMA,
+            TREND_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -240,3 +240,46 @@ def streaming_histogram_partials(events: DataFrame) -> DataFrame:
             F.col("window.start").alias("h"), "event_type", "bin", "cnt"
         )
     )
+
+
+def streaming_candlestick(
+    telemetry: DataFrame, watermark: str = "1 minute"
+) -> DataFrame:
+    """Streaming twin of ``hyperfunctions.candlestick_agg``: hourly
+    OHLC candles maintained incrementally.  Same mergeable-aggregate
+    argument as :func:`streaming_m4_downsample`; the emitted candle
+    KEEPS its open/close order keys, so a downstream consumer can roll
+    closed hour candles up to coarser grains (``candlestick_merge``)
+    without ever touching raw rows — continuous aggregate on the
+    stream, hierarchical rollup in the lake.
+    """
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("time")).cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+    )
+    return (
+        telemetry.filter(F.col("value_num").isNotNull())
+        .withWatermark("time", watermark)
+        .groupBy(F.window("time", "1 hour"), F.col("metric"))
+        .agg(
+            F.min_by("value_num", key).alias("open_value"),
+            F.max("value_num").alias("high_value"),
+            F.min("value_num").alias("low_value"),
+            F.max_by("value_num", key).alias("close_value"),
+            F.min(key).alias("open_key"),
+            F.max(key).alias("close_key"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            F.col("window.start").alias("bucket"),
+            "metric",
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "open_key",
+            "close_key",
+            "n_samples",
+        )
+    )

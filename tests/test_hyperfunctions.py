@@ -224,3 +224,68 @@ def test_gapfill_interpolate_linear(spark):
     assert out[1]["value"] == pytest.approx(3.0) and out[1]["is_gap"]
     assert out[2]["value"] == pytest.approx(6.0) and out[2]["is_gap"]
     assert out[3]["value"] == 9.0 and not out[3]["is_gap"]
+
+
+def test_candlestick_hour_partials_and_merge(spark):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        candlestick_agg,
+        candlestick_merge,
+    )
+
+    # two hours in one day: OHLC per hour, then the merged day candle
+    # must take open from hour 0 and close from hour 1
+    tel = _tel(
+        spark,
+        [
+            ("m", 0, 5.0),       # h0 open
+            ("m", 60, 9.0),      # h0 high
+            ("m", 120, 1.0),     # h0 low
+            ("m", 180, 4.0),     # h0 close
+            ("m", 3600, 7.0),    # h1 open
+            ("m", 3660, 2.0),    # h1 low + close
+        ],
+    )
+    hours = {r["bucket"].hour: r for r in candlestick_agg(tel).collect()}
+    assert hours[0]["open_value"] == 5.0
+    assert hours[0]["high_value"] == 9.0
+    assert hours[0]["low_value"] == 1.0
+    assert hours[0]["close_value"] == 4.0
+    assert hours[0]["n_samples"] == 4
+    assert hours[1]["open_value"] == 7.0 and hours[1]["close_value"] == 2.0
+
+    day = candlestick_merge(tel).collect()[0]
+    assert day["open_value"] == 5.0    # from hour 0's open
+    assert day["close_value"] == 2.0   # from hour 1's close
+    assert day["high_value"] == 9.0 and day["low_value"] == 1.0
+    assert day["n_samples"] == 6
+
+
+def test_candlestick_merge_equals_direct_day_candles(spark):
+    """The monoid identity on driver data: merging hour partials must
+    equal computing the day candle directly from raw rows."""
+    import pyspark.sql.functions as F
+
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        _order_key,
+        candlestick_merge,
+    )
+    from opc_ua_data_pipeline_spark.operators.ingest import telemetry
+
+    tel = telemetry(spark, "/root/testdata/sf0.001")
+    merged = candlestick_merge(tel)
+    key = _order_key()
+    direct = (
+        tel.filter(F.col("value_num").isNotNull())
+        .groupBy("metric", F.to_date("time").alias("day"))
+        .agg(
+            F.min_by("value_num", key).alias("open_value"),
+            F.max("value_num").alias("high_value"),
+            F.min("value_num").alias("low_value"),
+            F.max_by("value_num", key).alias("close_value"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    cols = merged.columns
+    a = sorted(map(tuple, merged.select(*cols).collect()))
+    b = sorted(map(tuple, direct.select(*cols).collect()))
+    assert a == b and len(a) > 0

@@ -313,3 +313,16 @@ def test_bpe_and_cdc_plan_shapes(spark):
     assert "Window" not in p
     assert "NestedLoop" not in p and "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_candlestick_merge_plan_is_two_hash_aggs(spark):
+    """The hierarchical OHLC rollup must plan as two partial/final
+    aggregate pairs (hour partials, day merge) with no Window, no
+    per-key sort of history, and no Python stage — min_by/max_by on
+    the VARCHAR order key may surface as SortAggregate (sorting only
+    GROUPED partials, still map-side combinable), never as a window
+    over raw rows."""
+    plan = formatted_plan(Q["candlestick_merge"](spark, SF))
+    assert "Window" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -218,3 +218,40 @@ def test_m4_stream_matches_batch(spark, replay_dir):
     # mergeable aggregates.
     for r in got_rows:
         assert batch_by_key[(r[0], r[1])] == r
+
+
+def test_candlestick_stream_matches_batch(spark, replay_dir):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        candlestick_agg,
+    )
+    from opc_ua_data_pipeline_spark.streaming.rollup import (
+        streaming_candlestick,
+    )
+
+    stream = streaming_candlestick(
+        telemetry_transform(file_stream(spark, replay_dir))
+    )
+    got = _run_stream(spark, stream, "candlestick_stream")
+
+    batch = candlestick_agg(
+        telemetry_transform(load_table(spark, SF_DIR, "events"))
+    )
+    cols = [
+        "bucket",
+        "metric",
+        "open_value",
+        "high_value",
+        "low_value",
+        "close_value",
+        "open_key",
+        "close_key",
+        "n_samples",
+    ]
+    got_rows = _rows(got, cols)
+    batch_by_key = {(r[0], r[1]): r for r in _rows(batch, cols)}
+
+    assert len(got_rows) > 0, "watermark should have closed some candles"
+    # Every closed hour candle equals its batch twin bit-for-bit,
+    # including the open/close order keys the merge step consumes.
+    for r in got_rows:
+        assert batch_by_key[(r[0], r[1])] == r

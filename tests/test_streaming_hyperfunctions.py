@@ -336,3 +336,29 @@ def test_gapfill_interp_stream_matches_batch_prefix(spark, replay_dir):
     for (m, b) in batch:
         if (m, b) not in got:
             assert b > last_emitted[m], (m, b, last_emitted[m])
+
+
+def test_trend_stream_matches_batch(spark, replay_dir):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import trend_slope
+    from opc_ua_data_pipeline_spark.streaming.hyperfunctions import (
+        trend_slope_stream,
+    )
+
+    out = _run_stream(
+        spark,
+        trend_slope_stream(telemetry_transform(file_stream(spark, replay_dir))),
+        "trend_stream",
+    )
+    rows = out.collect()
+    assert len(rows) > len({r["metric"] for r in rows})
+    final = _final_per_metric(rows, "n_samples")
+    batch = {r["metric"]: r for r in trend_slope(telemetry(spark, SF_DIR)).collect()}
+    assert set(final) == set(batch)
+    for m, b in batch.items():
+        s = final[m]
+        assert (s["slope_per_sec"], s["intercept"], s["n_samples"]) == (
+            b["slope_per_sec"],
+            b["intercept"],
+            b["n_samples"],
+        ), m
+        assert s["n_disordered"] == 0
