@@ -29,6 +29,7 @@ from opc_ua_data_pipeline_spark.operators import (
     layout,
     marts,
     multimodal,
+    pca,
     relational,
     retrieval,
     rollups,
@@ -52,6 +53,7 @@ _MODULES = [
     graph,
     clustering,
     similarity,
+    pca,
     text,
     tokenizer,
     multimodal,

@@ -326,3 +326,20 @@ def test_candlestick_merge_plan_is_two_hash_aggs(spark):
     assert "Window" not in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pca_plans_stay_narrow(spark):
+    """The covariance pass must be a single aggregate pair over the
+    scan (its only exchange the 1-row partial merge) with zero joins,
+    windows, or Python; the projection pass must be fully narrow —
+    zero exchanges — with the basis inlined as literals."""
+    plan = formatted_plan(Q["embedding_covariance"](spark, SF))
+    assert "Window" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+    plan = formatted_plan(Q["pca_project"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
