@@ -586,6 +586,76 @@ def candlestick_merge(tel: DataFrame) -> DataFrame:
     )
 
 
+def metric_pair_correlation(tel: DataFrame, grain: str = "hour") -> DataFrame:
+    """Pearson correlation of per-minute activity between every metric
+    pair — the 2-D ``stats_agg`` analog: which sensors move together
+    (hydration-dashboard material the reference computes client-side,
+    per panel pair).
+
+    Semantics: correlate the aligned per-(metric, bucket) SUMS over
+    buckets where BOTH metrics have samples (inner alignment).  Hour
+    grain by default — minute buckets on the sparse driver corpus
+    align too rarely to be meaningful; at production densities pass
+    ``grain="minute"``.
+
+    Scale + exactness plan: the raw scan collapses to the minute
+    rollup FIRST (one map-side-combinable shuffle — the correlation
+    never touches raw rows again, so the pairwise stage runs on
+    #buckets x #metrics rows, rollup-sized at any corpus size).  Each
+    bucket sum is integer-scaled to micro-units (DECIMAL(28,6) sum x
+    1e6 -> BIGINT, exact), the pair join replicates the rollup only
+    #metrics times, and every Pearson moment accumulates in EXACT
+    integer arithmetic (DECIMAL(38,0) here = HUGEINT in the oracle —
+    products reach ~5e23, sums ~5e27, both inside 38 digits/int128).
+    No float->decimal cast ever touches the sum path, dodging the
+    repr-vs-exact cast divergence entirely; the closed form then
+    evaluates in pinned double order and ulp-collapses at
+    DECIMAL(18,9).  Correlation is scale-invariant, so micro-unit
+    sums give the same r as the real-valued means... (up to the 1e-6
+    quantization of the inputs, applied identically on both engines).
+    """
+    b = (
+        tel.filter(F.col("value_num").isNotNull())
+        .groupBy(
+            F.col("metric"), F.date_trunc(grain, F.col("time")).alias("bucket")
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(value_num AS DECIMAL(28,6))) * 1000000 AS BIGINT)"
+            ).alias("s6")
+        )
+    )
+    a, c = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(c, "bucket")
+        .where(F.expr("a.metric < b.metric"))
+        .select(
+            F.col("a.metric").alias("metric_a"),
+            F.col("b.metric").alias("metric_b"),
+            F.col("a.s6").alias("x"),
+            F.col("b.s6").alias("y"),
+        )
+    )
+    dec = "DECIMAL(38,0)"
+    agg = pairs.groupBy("metric_a", "metric_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"CAST(SUM(CAST(x AS {dec})) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(SUM(CAST(y AS {dec})) AS DOUBLE)").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(x AS {dec}) * y) AS DOUBLE)").alias("sxy"),
+        F.expr(f"CAST(SUM(CAST(x AS {dec}) * x) AS DOUBLE)").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST(y AS {dec}) * y) AS DOUBLE)").alias("syy"),
+    )
+    return agg.selectExpr(
+        "metric_a",
+        "metric_b",
+        "n AS n_buckets",
+        # try_divide: a constant series has zero variance -> NULL r
+        "CAST(CAST(try_divide(n * sxy - sx * sy,"
+        " sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+        " AS DECIMAL(18,9)) AS DOUBLE) AS corr_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -627,6 +697,10 @@ def q_candlestick_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candlestick_merge(telemetry(spark, sf_dir))
 
 
+def q_metric_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metric_pair_correlation(telemetry(spark, sf_dir))
+
+
 QUERIES = {
     "state_durations": q_state_durations,
     "time_weighted_avg": q_time_weighted_avg,
@@ -637,6 +711,7 @@ QUERIES = {
     "m4_downsample": q_m4,
     "uptime_agg": q_uptime,
     "candlestick_merge": q_candlestick_merge,
+    "metric_pair_correlation": q_metric_pair_correlation,
 }
 
 ORACLES = {
@@ -724,6 +799,37 @@ SELECT metric,
        CAST(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
                  AS DECIMAL(38,12)) AS DOUBLE) AS intercept,
        n_samples
+FROM agg
+""",
+    # Exact-integer Pearson: HUGEINT here mirrors Spark's
+    # DECIMAL(38,0) — both are exact on the micro-unit products/sums,
+    # so only the pinned-order closed form touches floating point.
+    "metric_pair_correlation": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+b AS (
+  SELECT metric, date_trunc('hour', "time") AS bucket,
+         CAST(SUM(CAST(value_num AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS s6
+  FROM telemetry WHERE value_num IS NOT NULL
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.metric AS metric_a, bb.metric AS metric_b, a.s6 AS x, bb.s6 AS y
+  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.metric < bb.metric
+),
+agg AS (
+  SELECT metric_a, metric_b,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT metric_a, metric_b, n AS n_buckets,
+       CAST(CAST((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+            AS DECIMAL(18,9)) AS DOUBLE) AS corr_value
 FROM agg
 """,
     # Day candles DIRECTLY from raw rows: parity with the Spark side's

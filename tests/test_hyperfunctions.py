@@ -289,3 +289,46 @@ def test_candlestick_merge_equals_direct_day_candles(spark):
     a = sorted(map(tuple, merged.select(*cols).collect()))
     b = sorted(map(tuple, direct.select(*cols).collect()))
     assert a == b and len(a) > 0
+
+
+def test_metric_pair_correlation_known_series(spark):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        metric_pair_correlation,
+    )
+
+    # three metrics sampled in the same hours: b = 2a (r=1),
+    # c = -a + 100 (r=-1 with a), d constant (zero variance -> NULL)
+    rows = []
+    for h, x in enumerate([10.0, 20.0, 15.0, 30.0]):
+        rows += [
+            ("a", h * 3600, x),
+            ("b", h * 3600 + 1, 2 * x),
+            ("c", h * 3600 + 2, 100 - x),
+            ("d", h * 3600 + 3, 7.0),
+        ]
+    tel = _tel(spark, rows)
+    out = {
+        (r["metric_a"], r["metric_b"]): r
+        for r in metric_pair_correlation(tel).collect()
+    }
+    assert out[("a", "b")]["corr_value"] == pytest.approx(1.0)
+    assert out[("a", "c")]["corr_value"] == pytest.approx(-1.0)
+    assert out[("b", "c")]["corr_value"] == pytest.approx(-1.0)
+    assert out[("a", "d")]["corr_value"] is None  # zero variance
+    assert out[("a", "b")]["n_buckets"] == 4
+
+
+def test_metric_pair_correlation_inner_alignment(spark):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        metric_pair_correlation,
+    )
+
+    # metric f shares only 2 of a's 4 hours -> n_buckets counts the
+    # intersection only
+    rows = [("a", h * 3600, v) for h, v in enumerate([1.0, 2.0, 3.0, 4.0])]
+    rows += [("f", 0, 5.0), ("f", 3600, 3.0)]
+    out = {
+        (r["metric_a"], r["metric_b"]): r
+        for r in metric_pair_correlation(_tel(spark, rows)).collect()
+    }
+    assert out[("a", "f")]["n_buckets"] == 2

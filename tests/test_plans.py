@@ -343,3 +343,15 @@ def test_pca_plans_stay_narrow(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_metric_correlation_runs_on_rollup(spark):
+    """The pairwise stage must consume the minute/hour ROLLUP, not raw
+    rows: exactly one scan of events feeding an aggregate, a
+    SortMergeJoin/ShuffledHashJoin on the bucket key (both sides the
+    rollup — no broadcast of a data-proportional frame), no window, no
+    Python, and exact integer aggregation (no double sums)."""
+    plan = formatted_plan(Q["metric_pair_correlation"](spark, SF))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
