@@ -586,6 +586,158 @@ def candlestick_merge(tel: DataFrame) -> DataFrame:
     )
 
 
+LTTB_N_OUT = 50
+
+
+def _global_rank(samples: DataFrame) -> DataFrame:
+    """Per-metric global (time, event_id) rank WITHOUT a full-history
+    window: row_number inside (metric, day) partitions + a broadcast
+    per-day offset table (the module's standard two-pass de-skew).
+    Adds columns ``rk`` (1-based global rank) and ``n`` (metric row
+    count)."""
+    s = samples.withColumn("_day", F.to_date("time"))
+    w_local = Window.partitionBy("metric", "_day").orderBy("time", "event_id")
+    w_days = (
+        Window.partitionBy("metric")
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    day_counts = s.groupBy("metric", "_day").agg(F.count(F.lit(1)).alias("_c"))
+    offsets = day_counts.select(
+        "metric",
+        "_day",
+        F.coalesce(F.sum("_c").over(w_days), F.lit(0)).alias("_off"),
+    )
+    totals = s.groupBy("metric").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        s.withColumn("_lrk", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["metric", "_day"])
+        .join(F.broadcast(totals), "metric")
+        .withColumn("rk", F.col("_lrk") + F.col("_off"))
+        .drop("_lrk", "_off", "_day")
+    )
+
+
+def lttb_downsample(tel: DataFrame, n_out: int = LTTB_N_OUT) -> DataFrame:
+    """Largest-Triangle downsampling per metric to ~``n_out`` points —
+    the visualization hyperfunction (toolkit ``lttb``): keep the first
+    and last samples, split the middle into n_out-2 equal-count
+    buckets, and from each bucket keep the point forming the largest
+    triangle with its neighbors.
+
+    PARALLEL-ANCHOR variant: strict LTTB anchors each bucket's
+    triangle on the PREVIOUS BUCKET'S SELECTED point — a chain that
+    serializes the whole series through one task at any scale.  Here
+    the anchor is the previous bucket's AVERAGE (the reference point
+    stays the next bucket's average, as in strict LTTB), which
+    decouples every bucket: selection becomes one shuffle-free argmax
+    per bucket.  The POINT IDENTITIES therefore differ from the
+    sequential algorithm (anchor-sensitive argmaxes flip), but the
+    thing a downsample is FOR — polyline reconstruction fidelity — is
+    comparable or better: tests/test_hyperfunctions.py pins the
+    variant's max interpolation error at <= the strict algorithm's
+    x1.5 on both a smooth and a noisy series (measured: ~0.8x on the
+    smooth one).  End buckets are singletons ({first}, {last}), so
+    the extreme picks strict LTTB guarantees are preserved exactly.
+
+    Scale: the only windows are the (metric, day)-bounded rank pass;
+    bucket stats and the per-bucket max are map-side-combinable
+    groupBys broadcast back (#metrics x n_out rows).  Selection uses
+    MAX(area) + equality join + min-okey tiebreak — area is pure IEEE
+    double arithmetic in pinned order on exact inputs (integer micros
+    sums, DECIMAL value sums), so the oracle's argmax agrees
+    bit-for-bit with no rounding contract.
+    """
+    b_mid = n_out - 2
+    samples = tel.filter(F.col("value_num").isNotNull()).select(
+        "metric", "time", "event_id", "value_num"
+    )
+    ranked = _global_rank(samples).withColumn(
+        "x_us", F.unix_micros(F.col("time"))
+    )
+    # small series pass through whole (strict LTTB semantics)
+    small = ranked.filter(F.col("n") <= n_out).select(
+        "metric",
+        (F.col("rk") - 1).cast("int").alias("bucket_idx"),
+        "time",
+        F.col("value_num").alias("value"),
+    )
+    big = ranked.filter(F.col("n") > n_out)
+    # bucket 0 = {first}, buckets 1..b_mid equal-count middle,
+    # bucket b_mid+1 = {last}
+    idx = (
+        F.when(F.col("rk") == 1, F.lit(0))
+        .when(F.col("rk") == F.col("n"), F.lit(b_mid + 1))
+        .otherwise(
+            F.expr(f"CAST(1 + (((rk - 2) * {b_mid}) div (n - 2)) AS INT)")
+        )
+    )
+    pts = big.withColumn("idx", idx)
+    bavg = pts.groupBy("metric", "idx").agg(
+        F.expr(
+            "CAST(SUM(CAST(x_us AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)"
+        ).alias("ax"),
+        F.expr(
+            "CAST(SUM(CAST(value_num AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)"
+        ).alias("ay"),
+    )
+    mids = (
+        pts.filter((F.col("idx") >= 1) & (F.col("idx") <= b_mid))
+        .join(
+            F.broadcast(
+                bavg.select(
+                    "metric",
+                    (F.col("idx") + 1).alias("idx"),
+                    F.col("ax").alias("xa"),
+                    F.col("ay").alias("ya"),
+                )
+            ),
+            ["metric", "idx"],
+        )
+        .join(
+            F.broadcast(
+                bavg.select(
+                    "metric",
+                    (F.col("idx") - 1).alias("idx"),
+                    F.col("ax").alias("xn"),
+                    F.col("ay").alias("yn"),
+                )
+            ),
+            ["metric", "idx"],
+        )
+        .withColumn(
+            "area",
+            F.expr(
+                "abs((xa - xn) * (value_num - ya)"
+                " - (xa - CAST(x_us AS DOUBLE)) * (yn - ya))"
+            ),
+        )
+        .withColumn("okey", _order_key())
+    )
+    amax = mids.groupBy("metric", "idx").agg(F.max("area").alias("amax"))
+    selected = (
+        mids.join(F.broadcast(amax), ["metric", "idx"])
+        .filter(F.col("area") == F.col("amax"))
+        .groupBy("metric", "idx")
+        .agg(
+            F.min_by("time", F.col("okey")).alias("time"),
+            F.min_by("value_num", F.col("okey")).alias("value"),
+        )
+        .select(
+            "metric", F.col("idx").cast("int").alias("bucket_idx"), "time", "value"
+        )
+    )
+    ends = pts.filter(
+        (F.col("rk") == 1) | (F.col("rk") == F.col("n"))
+    ).select(
+        "metric",
+        F.col("idx").cast("int").alias("bucket_idx"),
+        "time",
+        F.col("value_num").alias("value"),
+    )
+    return small.unionByName(ends).unionByName(selected)
+
+
 def metric_pair_correlation(tel: DataFrame, grain: str = "hour") -> DataFrame:
     """Pearson correlation of per-minute activity between every metric
     pair — the 2-D ``stats_agg`` analog: which sensors move together
@@ -701,6 +853,10 @@ def q_metric_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metric_pair_correlation(telemetry(spark, sf_dir))
 
 
+def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lttb_downsample(telemetry(spark, sf_dir))
+
+
 QUERIES = {
     "state_durations": q_state_durations,
     "time_weighted_avg": q_time_weighted_avg,
@@ -712,6 +868,7 @@ QUERIES = {
     "uptime_agg": q_uptime,
     "candlestick_merge": q_candlestick_merge,
     "metric_pair_correlation": q_metric_pair_correlation,
+    "lttb_downsample": q_lttb,
 }
 
 ORACLES = {
@@ -800,6 +957,69 @@ SELECT metric,
                  AS DECIMAL(38,12)) AS DOUBLE) AS intercept,
        n_samples
 FROM agg
+""",
+    # Full-history windows are fine HERE (oracles don't scale); the
+    # arithmetic mirrors the Spark side token-for-token: exact integer
+    # micros sums (HUGEINT = DECIMAL(38,0)), DECIMAL(28,6) value sums,
+    # pinned-order IEEE area, MAX + equality + min-okey tiebreak.
+    "lttb_downsample": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+s AS (
+  SELECT metric, "time", event_id, value_num,
+         epoch_us("time") AS x_us,
+         ROW_NUMBER() OVER (PARTITION BY metric
+                            ORDER BY "time", event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY metric) AS n
+  FROM telemetry WHERE value_num IS NOT NULL
+),
+small AS (
+  SELECT metric, CAST(rk - 1 AS INT) AS bucket_idx, "time",
+         value_num AS value
+  FROM s WHERE n <= {LTTB_N_OUT}
+),
+pts AS (
+  SELECT *, CASE WHEN rk = 1 THEN 0
+                 WHEN rk = n THEN {LTTB_N_OUT - 1}
+                 ELSE CAST(1 + (((rk - 2) * {LTTB_N_OUT - 2}) // (n - 2))
+                           AS INT) END AS idx
+  FROM s WHERE n > {LTTB_N_OUT}
+),
+bavg AS (
+  SELECT metric, idx,
+         CAST(SUM(CAST(x_us AS HUGEINT)) AS DOUBLE) / COUNT(*) AS ax,
+         CAST(SUM(CAST(value_num AS DECIMAL(28,6))) AS DOUBLE)
+           / COUNT(*) AS ay
+  FROM pts GROUP BY 1, 2
+),
+mids AS (
+  SELECT p.metric, p.idx, p."time", p.value_num,
+         abs((a.ax - c.ax) * (p.value_num - a.ay)
+             - (a.ax - CAST(p.x_us AS DOUBLE)) * (c.ay - a.ay)) AS area,
+         lpad(CAST(p.x_us AS VARCHAR), 20, '0') || '-'
+           || lpad(CAST(p.event_id AS VARCHAR), 20, '0') AS okey
+  FROM pts p
+  JOIN bavg a ON a.metric = p.metric AND a.idx = p.idx - 1
+  JOIN bavg c ON c.metric = p.metric AND c.idx = p.idx + 1
+  WHERE p.idx BETWEEN 1 AND {LTTB_N_OUT - 2}
+),
+amax AS (SELECT metric, idx, MAX(area) AS amax FROM mids GROUP BY 1, 2),
+sel AS (
+  SELECT m.metric, CAST(m.idx AS INT) AS bucket_idx,
+         arg_min(m."time", m.okey) AS "time",
+         arg_min(m.value_num, m.okey) AS value
+  FROM mids m
+  JOIN amax x ON x.metric = m.metric AND x.idx = m.idx
+             AND m.area = x.amax
+  GROUP BY 1, 2
+),
+ends AS (
+  SELECT metric, CAST(idx AS INT) AS bucket_idx, "time",
+         value_num AS value
+  FROM pts WHERE rk = 1 OR rk = n
+)
+SELECT * FROM small
+UNION ALL SELECT * FROM ends
+UNION ALL SELECT * FROM sel
 """,
     # Exact-integer Pearson: HUGEINT here mirrors Spark's
     # DECIMAL(38,0) — both are exact on the micro-unit products/sums,

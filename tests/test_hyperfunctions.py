@@ -332,3 +332,110 @@ def test_metric_pair_correlation_inner_alignment(spark):
         for r in metric_pair_correlation(_tel(spark, rows)).collect()
     }
     assert out[("a", "f")]["n_buckets"] == 2
+
+
+def test_lttb_small_series_passes_through(spark):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        lttb_downsample,
+    )
+
+    tel = _tel(spark, [("m", s * 60, float(s)) for s in range(5)])
+    out = sorted(
+        lttb_downsample(tel).collect(), key=lambda r: r["bucket_idx"]
+    )
+    assert len(out) == 5  # n <= n_out: every point kept
+    assert [r["value"] for r in out] == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_lttb_keeps_ends_and_spike(spark):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        lttb_downsample,
+    )
+
+    # 200 flat samples with one huge spike: the spike's bucket must
+    # select the spike (largest triangle), and both ends must be kept
+    rows = [("m", s * 60, 1.0 if s != 123 else 500.0) for s in range(200)]
+    out = lttb_downsample(_tel(spark, rows), n_out=20).collect()
+    assert len(out) == 20
+    vals = {r["bucket_idx"]: r["value"] for r in out}
+    assert vals[0] == 1.0 and vals[19] == 1.0  # first/last samples
+    assert 500.0 in vals.values()  # the spike survives downsampling
+
+
+def _lttb_reference(points, n_out):
+    """Strict sequential LTTB (anchor = previously SELECTED point) —
+    the textbook algorithm, as a pure-Python oracle for the
+    parallel-anchor variant's fidelity test."""
+    n = len(points)
+    if n <= n_out:
+        return points
+    b_mid = n_out - 2
+    buckets = [[] for _ in range(b_mid)]
+    for k in range(1, n - 1):
+        buckets[(k - 1) * b_mid // (n - 2)].append(points[k])
+    selected = [points[0]]
+    for i, bucket in enumerate(buckets):
+        if i + 1 < b_mid:
+            nxt = buckets[i + 1]
+            ax = sum(p[0] for p in nxt) / len(nxt)
+            ay = sum(p[1] for p in nxt) / len(nxt)
+        else:
+            ax, ay = points[-1][0], points[-1][1]
+        a = selected[-1]
+        best = max(
+            bucket,
+            key=lambda p: abs(
+                (a[0] - ax) * (p[1] - a[1]) - (a[0] - p[0]) * (ay - a[1])
+            ),
+        )
+        selected.append(best)
+    selected.append(points[-1])
+    return selected
+
+
+def _interp_error(selected, points):
+    """Max abs error of the downsampled polyline vs the raw series."""
+    import bisect
+
+    sel = sorted(selected)
+    xs = [p[0] for p in sel]
+    worst = 0.0
+    for x, y in points:
+        i = min(max(bisect.bisect_right(xs, x) - 1, 0), len(sel) - 2)
+        (x0, y0), (x1, y1) = sel[i], sel[i + 1]
+        yy = y0 + (y1 - y0) * ((x - x0) / (x1 - x0)) if x1 != x0 else y0
+        worst = max(worst, abs(yy - y))
+    return worst
+
+
+@pytest.mark.parametrize("kind", ["smooth", "noisy"])
+def test_lttb_parallel_reconstruction_tracks_strict(spark, kind):
+    """The parallel-anchor variant selects DIFFERENT points than the
+    sequential algorithm (anchor-sensitive argmaxes), but must match
+    its reconstruction fidelity — the property a downsample exists
+    for.  Bound: max interpolation error <= strict's x1.5."""
+    import math
+
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        lttb_downsample,
+    )
+
+    def val(s):
+        if kind == "smooth":
+            return math.sin(s / 40.0) * 10 + s * 0.01
+        # deterministic LCG noise
+        return ((s * 1103515245 + 12345) % 2**31) / 2**31 * 100
+
+    rows = [("m", s * 60, val(s)) for s in range(2000)]
+    tel = _tel(spark, rows)
+    got = lttb_downsample(tel, n_out=50).collect()
+    pts = [(float(s * 60) * 1e6, val(s)) for s in range(2000)]
+    mine = [(r["time"].timestamp() * 1e6, r["value"]) for r in got]
+    # strip the fixture's epoch offset consistently
+    t0 = min(p[0] for p in mine) - 0.0
+    mine = [(p[0] - t0, p[1]) for p in mine]
+    strict = _lttb_reference(pts, 50)
+    assert len(mine) == 50
+    e_mine = _interp_error(mine, pts)
+    e_strict = _interp_error(strict, pts)
+    assert e_mine <= e_strict * 1.5, (kind, e_mine, e_strict)

@@ -164,6 +164,7 @@ def test_hyperfunction_windows_are_day_composite(spark):
         "counter_agg",
         "uptime_agg",
         "state_durations",
+        "lttb_downsample",
     ]:
         plan = formatted_plan(Q[name](spark, SF)).lower()
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
@@ -353,5 +354,16 @@ def test_metric_correlation_runs_on_rollup(spark):
     Python, and exact integer aggregation (no double sums)."""
     plan = formatted_plan(Q["metric_pair_correlation"](spark, SF))
     assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_lttb_bucket_stats_broadcast(spark):
+    """LTTB's bucket-average and per-bucket-max frames are #metrics x
+    n_out rows — they must come back as broadcast joins, never a
+    shuffle join against the data-proportional candidate frame; no
+    Python anywhere."""
+    plan = formatted_plan(Q["lttb_downsample"](spark, SF))
+    assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
