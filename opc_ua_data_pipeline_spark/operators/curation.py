@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from ..tables import load_table
 from .text import (
     _TOKS,
+    _bigrams,
     _stop_hits,
     _toks,
     QUALITY_STOPWORDS,
@@ -359,6 +360,108 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(load_table(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (hashed n-gram LM ratio)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 512
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Importance weights for Data Selection via Importance Resampling
+    (the DSIR recipe: hashed-n-gram bag models of a TARGET slice vs
+    the RAW corpus; per-doc weight = log p_target(x) - log p_raw(x);
+    downstream, resample proportional to the weight — the selection
+    step this repo already owns as ``sampling.weighted_sample_topk``).
+
+    Features: unigrams + adjacent bigrams hashed to ``n_buckets``
+    buckets (md5 first 4 hex chars mod B — the one hash both engines
+    spell identically).  Both bag models are add-one smoothed over
+    the full bucket range, so buckets the target never hits
+    contribute a finite penalty instead of -inf.
+
+    Scale shape: two bucket-count aggregates (map-side combinable,
+    output = B rows each), one broadcast of the B-row log-ratio
+    table, one groupBy(doc).  The model tables are CONSTANT-SIZE by
+    construction — unlike a raw-vocab LM there is no Heaps-law growth,
+    which is the point of hashed features at 100 TB.  ``ln`` is libm,
+    so each bucket's log-ratio is rounded to DECIMAL(18,9) before the
+    exact decimal per-doc sum (the unigram-LM contract).  Token-less
+    docs keep weight 0 (empty product = ratio 1), keeping the
+    operator total on degenerate corpora.
+    """
+    grams = df.select(
+        "doc_id", F.explode(F.concat(_toks(), _bigrams())).alias("g")
+    )
+    occ = grams.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("bigint")
+            % n_buckets
+        )
+        .cast("int")
+        .alias("b"),
+    )
+    tgt_docs = df.filter(F.col("lang") == target_lang)
+    tgt_occ = tgt_docs.select(
+        F.explode(F.concat(_toks(), _bigrams())).alias("g")
+    ).select(
+        (
+            F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("bigint")
+            % n_buckets
+        )
+        .cast("int")
+        .alias("b")
+    )
+    spark = df.sparkSession
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("b"))
+    raw_counts = occ.groupBy("b").agg(F.count(F.lit(1)).alias("n_raw"))
+    tgt_counts = tgt_occ.groupBy("b").agg(F.count(F.lit(1)).alias("n_tgt"))
+    totals = occ.agg(F.count(F.lit(1)).alias("r_total")).crossJoin(
+        tgt_occ.agg(F.count(F.lit(1)).alias("t_total"))
+    )
+    ratio = (
+        spine.join(raw_counts, "b", "left")
+        .join(tgt_counts, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "b",
+            f"CAST(ln(CAST(COALESCE(n_tgt, 0) + 1 AS DOUBLE)"
+            f" / CAST(t_total + {n_buckets} AS DOUBLE))"
+            f" - ln(CAST(COALESCE(n_raw, 0) + 1 AS DOUBLE)"
+            f" / CAST(r_total + {n_buckets} AS DOUBLE))"
+            " AS DECIMAL(18,9)) AS delta",
+        )
+    )
+    per_doc = (
+        occ.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.expr("CAST(SUM(delta) AS DOUBLE)").alias("log_importance"),
+        )
+    )
+    return (
+        df.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats",
+            "COALESCE(log_importance, 0.0) AS log_importance",
+        )
+    )
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_importance(load_table(spark, sf_dir, "documents"))
+
+
 def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curriculum_stages(load_table(spark, sf_dir, "documents"))
 
@@ -368,6 +471,7 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "dsir_importance": q_dsir,
     "quality_classifier": q_quality_classifier,
     "source_budget_trim": q_source_budget_trim,
     "vocab_coverage": q_vocab_coverage,
@@ -399,7 +503,64 @@ SELECT doc_id, source,
 FROM documents
 """
 
+def _hex4_sql(md5_expr: str) -> str:
+    """16-bit int of the first 4 hex chars (DuckDB has no conv()) —
+    the cdc spelling, shared bucket hash with the Spark side's
+    conv(substring(md5, 1, 4), 16, 10)."""
+    e = "0"
+    for i in range(4):
+        e = (
+            f"({e} * 16 + (strpos('0123456789abcdef', "
+            f"substr({md5_expr}, {i + 1}, 1)) - 1))"
+        )
+    return e
+
+
+_DSIR_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS} AS ts FROM documents),
+grams AS (
+  SELECT doc_id, lang,
+         UNNEST(ts || list_transform(range(1, len(ts)),
+                                     i -> ts[i] || ' ' || ts[i + 1])) AS g
+  FROM toks
+),
+occ AS (
+  SELECT doc_id, lang,
+         CAST({_hex4_sql('md5(g)')} % {DSIR_BUCKETS} AS INT) AS b
+  FROM grams
+),
+raw_c AS (SELECT b, COUNT(*) AS n_raw FROM occ GROUP BY b),
+tgt_c AS (SELECT b, COUNT(*) AS n_tgt FROM occ
+          WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+tot AS (SELECT (SELECT COUNT(*) FROM occ) AS r_total,
+               (SELECT COUNT(*) FROM occ
+                WHERE lang = '{DSIR_TARGET_LANG}') AS t_total),
+spine AS (SELECT CAST(UNNEST(range(0, {DSIR_BUCKETS})) AS INT) AS b),
+ratio AS (
+  SELECT s.b,
+         CAST(ln(CAST(COALESCE(n_tgt, 0) + 1 AS DOUBLE)
+                 / CAST(t_total + {DSIR_BUCKETS} AS DOUBLE))
+              - ln(CAST(COALESCE(n_raw, 0) + 1 AS DOUBLE)
+                   / CAST(r_total + {DSIR_BUCKETS} AS DOUBLE))
+              AS DECIMAL(18,9)) AS delta
+  FROM spine s
+  LEFT JOIN raw_c USING (b)
+  LEFT JOIN tgt_c USING (b)
+  CROSS JOIN tot
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_feats,
+         CAST(SUM(delta) AS DOUBLE) AS log_importance
+  FROM occ JOIN ratio USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+       COALESCE(p.log_importance, 0.0) AS log_importance
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
 ORACLES = {
+    "dsir_importance": _DSIR_SQL,
     "quality_classifier": _CLF_SQL,
     "source_budget_trim": f"""
 WITH scored AS (

@@ -148,3 +148,23 @@ def test_psi_nonnegative_and_detects_shift(spark):
     assert out["stable"]["psi"] < 0.01
     assert out["drifted"]["psi"] > 0.25  # the standard "drifted" bar
     assert out["drifted"]["psi"] > 10 * out["stable"]["psi"]
+
+
+def test_dsir_importance_separates_target(spark):
+    """The whole point of DSIR: documents distributed like the target
+    slice must score higher than off-target ones.  On the driver
+    corpus (target = lang 'en') the mean log-importance of en docs
+    must exceed every other language's mean."""
+    from opc_ua_data_pipeline_spark.operators.curation import dsir_importance
+    from opc_ua_data_pipeline_spark.tables import load_table
+
+    rows = dsir_importance(
+        load_table(spark, "/root/testdata/sf0.01", "documents")
+    ).collect()
+    by_lang: dict[str, list[float]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["log_importance"])
+    means = {k: sum(v) / len(v) for k, v in by_lang.items()}
+    for lang, mean in means.items():
+        if lang != "en":
+            assert means["en"] > mean, (lang, means)

@@ -54,6 +54,7 @@ CASES = [
     ("vocab_coverage", lambda docs: C.vocab_coverage(docs)),
     ("dup_span_scrub", lambda docs: TR.dup_span_scrub(docs)),
     ("repetition_stats", lambda docs: TR.repetition_stats(docs)),
+    ("dsir_importance", lambda docs: C.dsir_importance(docs)),
 ]
 
 

@@ -367,3 +367,13 @@ def test_lttb_bucket_stats_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    """DSIR's log-ratio model is a CONSTANT n_buckets-row table — it
+    must broadcast to the per-doc join (the whole point of hashed
+    features over a Heaps-law vocab); no window, no Python."""
+    plan = formatted_plan(Q["dsir_importance"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
