@@ -82,6 +82,13 @@ HEADLINE = [
     "histogram_rollup_percentiles",  # mergeable percentile rollup
     "cdc_dedup_ratio",       # content-defined chunk dedup stats
     "bpe_merges",            # iterative on-corpus tokenizer training
+    # round-5b additions:
+    "candlestick_merge",     # OHLC monoid: hour partials -> day
+    "metric_pair_correlation",  # exact-integer Pearson on the rollup
+    "lttb_downsample",       # parallel largest-triangle downsample
+    "embedding_covariance",  # one-pass 2145-buffer aggregate
+    "pca_project",           # driver-trained basis + narrow projection
+    "dsir_importance",       # hashed n-gram importance weights
 ]
 
 

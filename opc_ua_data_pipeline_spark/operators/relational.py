@@ -430,6 +430,71 @@ def value_rank_profile(events: DataFrame) -> DataFrame:
 
 FUNNEL_WINDOW_MIN = 30
 
+#: Ordered steps + window for the multi-step timed funnel.
+WINDOW_FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
+WINDOW_FUNNEL_HOURS = 72
+
+
+def window_funnel_depth(
+    events: DataFrame,
+    steps: list[str] | None = None,
+    window_hours: int = WINDOW_FUNNEL_HOURS,
+) -> DataFrame:
+    """ClickHouse-``windowFunnel``-style multi-step timed funnel: for
+    each user who performed step 1, how deep into the ordered step
+    chain they got, where every subsequent step must land strictly
+    after its predecessor and within ``window_hours`` of step 1.
+
+    Semantics (documented where engines differ): the GREEDY-EARLIEST
+    chain — t1 = first step-1 event, t_k = first step-k event after
+    t_{k-1} inside t1's window.  Deterministic and the standard
+    product-analytics reading; ClickHouse's scan may find a deeper
+    chain seeded at a LATER step-1 event, a divergence we accept and
+    state (greedy from the first occurrence).
+
+    Scale shape: one conditional min-aggregate per step, chained by
+    equi-joins on user_id only — every stage partial-aggregates
+    map-side before its shuffle, no window function ever touches the
+    event stream, and all shuffles share the user_id key so AQE can
+    reuse the exchange.  Depth of the chain is len(steps)-1 joins —
+    constant, not data-dependent.
+    """
+    steps = steps or WINDOW_FUNNEL_STEPS
+    cur = (
+        events.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+        .withColumn(
+            "deadline", F.col("t1") + F.expr(f"INTERVAL {window_hours} HOURS")
+        )
+    )
+    prev = "t1"
+    for k, step in enumerate(steps[1:], start=2):
+        ev = events.filter(F.col("event_type") == step).select(
+            "user_id", F.col("ts").alias("_ts")
+        )
+        keys = [c for c in cur.columns]
+        cur = (
+            cur.join(ev, "user_id", "left")
+            .groupBy(*keys)
+            .agg(
+                F.min(
+                    F.when(
+                        (F.col("_ts") > F.col(prev))
+                        & (F.col("_ts") <= F.col("deadline")),
+                        F.col("_ts"),
+                    )
+                ).alias(f"t{k}")
+            )
+        )
+        prev = f"t{k}"
+    depth = F.lit(1)
+    for k in range(2, len(steps) + 1):
+        depth = depth + F.col(f"t{k}").isNotNull().cast("int")
+    return cur.drop("deadline").withColumn(
+        "funnel_depth", depth.cast("int")
+    )
+
 
 def conversion_funnel(
     events: DataFrame, window_minutes: int = FUNNEL_WINDOW_MIN
@@ -786,6 +851,9 @@ QUERIES = {
     "conversion_funnel": lambda spark, sf: conversion_funnel(
         load_table(spark, sf, "events")
     ),
+    "window_funnel_depth": lambda spark, sf: window_funnel_depth(
+        load_table(spark, sf, "events")
+    ),
     "cohort_retention": lambda spark, sf: cohort_retention(
         load_table(spark, sf, "events")
     ),
@@ -1022,6 +1090,42 @@ JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY p_brand, n_name
+""",
+    "window_funnel_depth": f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1,
+         MIN(ts) + INTERVAL {WINDOW_FUNNEL_HOURS} HOUR AS deadline
+  FROM events WHERE event_type = '{WINDOW_FUNNEL_STEPS[0]}'
+  GROUP BY user_id
+),
+s2 AS (
+  SELECT s1.user_id, s1.t1, s1.deadline,
+         MIN(CASE WHEN e.ts > s1.t1 AND e.ts <= s1.deadline
+                  THEN e.ts END) AS t2
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = '{WINDOW_FUNNEL_STEPS[1]}'
+  GROUP BY 1, 2, 3
+),
+s3 AS (
+  SELECT s2.user_id, s2.t1, s2.deadline, s2.t2,
+         MIN(CASE WHEN e.ts > s2.t2 AND e.ts <= s2.deadline
+                  THEN e.ts END) AS t3
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = '{WINDOW_FUNNEL_STEPS[2]}'
+  GROUP BY 1, 2, 3, 4
+),
+s4 AS (
+  SELECT s3.user_id, s3.t1, s3.deadline, s3.t2, s3.t3,
+         MIN(CASE WHEN e.ts > s3.t3 AND e.ts <= s3.deadline
+                  THEN e.ts END) AS t4
+  FROM s3 LEFT JOIN events e
+    ON e.user_id = s3.user_id AND e.event_type = '{WINDOW_FUNNEL_STEPS[3]}'
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT user_id, t1, t2, t3, t4,
+       CAST(1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT)
+              + CAST(t4 IS NOT NULL AS INT) AS INT) AS funnel_depth
+FROM s4
 """,
     "conversion_funnel": f"""
 WITH fc AS (

@@ -167,3 +167,55 @@ def test_wire_roundtrip_via_sim_source_shapes(spark):
     )
     want = sorted((str(t), m, n, s) for (t, m, n, s, _) in rows)
     assert got == want
+
+
+def test_window_funnel_depth_chain_rules(spark):
+    """Greedy-earliest chain semantics on a hand fixture: ordered
+    steps count, out-of-order steps don't, and the window deadline is
+    anchored at step 1."""
+    import datetime
+
+    from opc_ua_data_pipeline_spark.operators.relational import (
+        window_funnel_depth,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, u, t_hours, typ):
+        return (
+            eid,
+            base + datetime.timedelta(hours=t_hours),
+            u,
+            typ,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        # user 1: full chain inside 72 h -> depth 4
+        ev(1, 1, 0, "view"), ev(2, 1, 1, "click"),
+        ev(3, 1, 2, "signup"), ev(4, 1, 3, "purchase"),
+        # user 2: click BEFORE view -> chain stops at view (depth 1)
+        ev(5, 2, 5, "click"), ev(6, 2, 10, "view"),
+        # user 3: click after 72 h deadline -> depth 1
+        ev(7, 3, 0, "view"), ev(8, 3, 100, "click"),
+        # user 4: view->click ok, signup past deadline -> depth 2
+        ev(9, 4, 0, "view"), ev(10, 4, 50, "click"),
+        ev(11, 4, 80, "signup"),
+        # user 5: no view at all -> absent from output
+        ev(12, 5, 0, "purchase"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["user_id"]: r for r in window_funnel_depth(events).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["funnel_depth"] == 4
+    assert out[2]["funnel_depth"] == 1
+    assert out[3]["funnel_depth"] == 1
+    assert out[4]["funnel_depth"] == 2
+    # deadline anchored at t1: user 4's signup at +80h rejected even
+    # though it is within 72h of the CLICK
+    assert out[4]["t3"] is None

@@ -377,3 +377,13 @@ def test_dsir_ratio_table_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_window_funnel_has_no_window_function(spark):
+    """The multi-step funnel must stay a chain of conditional min
+    aggregates + user_id equi-joins: no window over the event stream,
+    no nested loop, partial aggregation before every shuffle."""
+    plan = formatted_plan(Q["window_funnel_depth"](spark, SF))
+    assert "Window" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "partial_min" in plan
