@@ -103,9 +103,11 @@ _PYTEST_ONLY = {
 # (trend_slope de-skew, latest_per_metric max_by rewrite, the
 # struct-ordered boundary carries in counter_agg/state_durations,
 # the ivfpq recall denominator fix) plus brand-new round-5 queries,
-# then (c) reference-surface re-checks.  With (a) green, every one of
-# the 125 contract queries has a driver row on the current parquet
-# encoding across r3 ∪ r4 ∪ r5.
+# then (c) reference-surface re-checks.  With (a) green, every
+# round-4-era contract query has a driver row on the current parquet
+# encoding across r3 ∪ r4 ∪ r5 (the registry is 139 contract queries
+# after the round-5 additions; the 3 newest past slot 50 carry
+# dual-SF local artifacts and front-load round 6).
 _PRIORITY = [
     # (a) never driver-checked on the regenerated parquet:
     # relational / warehouse analytics
@@ -158,6 +160,17 @@ _PRIORITY = [
     "bpe_merges",
     "bpe_segmentation",
     "cdc_neardup_pairs",
+    # (b') brand-new in round 5's second half — the 4 most
+    # precision-novel fill the window's remaining slots; the other 3
+    # (candlestick_merge, dsir_importance, window_funnel_depth) queue
+    # for round 6 with dual-SF local artifacts in the meantime
+    "pca_project",
+    "embedding_covariance",
+    "lttb_downsample",
+    "metric_pair_correlation",
+    "candlestick_merge",
+    "dsir_importance",
+    "window_funnel_depth",
     # (c) reference-surface re-checks
     "latest_value",
     "alarm_feed",
