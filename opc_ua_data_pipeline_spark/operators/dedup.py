@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, spread_compute
 
 N_SEEDS = 16  # minhash signature length
 BAND_SIZE = 4  # seeds per LSH band -> 4 bands
@@ -766,16 +766,23 @@ def cdc_chunks(docs: DataFrame) -> DataFrame:
     dedup shuffle itself.
     """
     edges = _cdc_edges_sql()
+    # The edge list costs one md5 PER CHARACTER — it must evaluate
+    # exactly once per row.  Textually inlining {edges} at each of its
+    # four use sites re-evaluates it inside the per-chunk lambda
+    # (codegen's subexpression elimination cannot hoist out of a
+    # lambda body), which measured 160 s instead of ~2 s at sf0.1.
+    # Binding it as a lambda variable via a 1-element array forces
+    # single evaluation: transform(array(edges), ed -> ...)[0].
     chunk_structs = (
-        f"transform(sequence(1, size({edges}) - 1), k -> "
-        f"named_struct('chunk_idx', k, 'chunk', "
-        f"substring(text, element_at({edges}, k) + 1, "
-        f"element_at({edges}, k + 1) - element_at({edges}, k))))"
+        f"element_at(transform(array({edges}), ed -> "
+        "transform(sequence(1, size(ed) - 1), k -> "
+        "named_struct('chunk_idx', k, 'chunk', "
+        "substring(text, element_at(ed, k) + 1, "
+        "element_at(ed, k + 1) - element_at(ed, k))))), 1)"
     )
     return (
-        docs.selectExpr(
-            "doc_id", "source", f"inline({chunk_structs})"
-        )
+        spread_compute(docs)
+        .selectExpr("doc_id", "source", f"inline({chunk_structs})")
         .withColumn("chunk_len", F.length("chunk"))
     )
 

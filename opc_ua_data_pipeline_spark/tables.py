@@ -74,3 +74,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     pre-registered views) so Spark SQL strings can be used 1:1."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread_compute(df: DataFrame) -> DataFrame:
+    """Gated repartition for operators whose per-row compute dwarfs
+    their input bytes (per-character digests, O(d^2) moment
+    expansions): when the scan arrives as fewer splits than cores —
+    a 5k-row table is ONE 128 MB split, hence one core — spread it;
+    when the input already has enough splits (any production-sized
+    table), this is the identity and the plan stays shuffle-free.
+    The shuffled bytes are the raw rows, a fraction of the compute
+    they unlock."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df

@@ -330,13 +330,19 @@ def test_candlestick_merge_plan_is_two_hash_aggs(spark):
 
 
 def test_pca_plans_stay_narrow(spark):
-    """The covariance pass must be a single aggregate pair over the
-    scan (its only exchange the 1-row partial merge) with zero joins,
-    windows, or Python; the projection pass must be fully narrow —
-    zero exchanges — with the basis inlined as literals."""
+    """The covariance pass is the long-form explode + map-side-combine
+    shape: its data-proportional stage must partial-aggregate before
+    the single pos shuffle, every join after it must be a broadcast of
+    the constant-size moment/pair frames, and nothing touches Python;
+    the projection pass must be fully narrow — zero exchanges — with
+    the basis inlined as literals."""
     plan = formatted_plan(Q["embedding_covariance"](spark, SF))
     assert "Window" not in plan
-    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Generate" in plan  # the posexplode expansion
+    assert "partial_count" in plan or "HashAggregate" in plan
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
+    assert joins and all("Broadcast" in j for j in joins), joins
+    assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
 
