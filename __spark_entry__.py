@@ -35,6 +35,7 @@ from opc_ua_data_pipeline_spark.operators import (
     rollups,
     sampling,
     similarity,
+    sketch,
     skew,
     text,
     tokenizer,
@@ -53,6 +54,7 @@ _MODULES = [
     graph,
     clustering,
     similarity,
+    sketch,
     pca,
     text,
     tokenizer,
