@@ -109,6 +109,160 @@ def winsorized_values(
     )
 
 
+# CUSUM (Page 1954) tabular change-point detection: the sequential
+# upgrade of the z-score flagger — a z-score sees one outlier at a
+# time, CUSUM accumulates SMALL persistent drifts until they become
+# undeniable.  The textbook recursion
+#
+#   s_t = max(0, s_{t-1} + (x_t - target - slack))
+#
+# looks inherently sequential, but it has a closed prefix form
+#
+#   s_t = P_t - min(0, min_{j<=t} P_j),   P_t = Σ_{i<=t} d_i
+#
+# (the clamp-at-zero restart is "measure drift from the best point so
+# far"), which is two window aggregates — a running sum and a running
+# min — so Catalyst executes it as ONE sort per key with no Python in
+# the loop.  All arithmetic is exact BIGINT micro-units (the
+# DECIMAL(28,6) x 1e6 scaling proven in metric_pair_correlation), so
+# the alarm set is engine-deterministic, not a float race.
+#
+# De-skew (the hyperfunctions (key, day) two-pass): the running
+# sum/min windows run inside (event_type, day) partitions; a tiny
+# per-(key, day) boundary table carries each day's total drift and
+# adjusted running-min prefix, so the global prefix statistics are
+# reconstructed bit-identically (tests/test_cusum.py pins the
+# single-window equivalence) while no task ever sorts more than one
+# key's single day.
+
+#: slack (allowance) = target/SLACK_DIV — drift smaller than this per
+#: sample is ignored; threshold h = target * H_MULT.
+CUSUM_SLACK_DIV = 10
+CUSUM_H_MULT = 20
+
+_X_MICRO = "CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT)"
+
+
+def cusum_scores(
+    events: DataFrame,
+    slack_div: int = CUSUM_SLACK_DIV,
+) -> DataFrame:
+    """Per-row two-sided CUSUM statistics (exact BIGINT micro-units).
+
+    ``target`` is the key's own mean in micro-units (truncating
+    integer division — values are non-negative by domain, where trunc
+    and floor agree); ``slack = target DIV slack_div``.  High side
+    accumulates ``x - target - slack``, low side ``target - slack - x``.
+    """
+    x = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            F.col("event_type").alias("key"),
+            "ts",
+            "event_id",
+            F.expr(_X_MICRO).alias("x"),
+            F.to_date("ts").alias("_day"),
+        )
+    )
+    # truncating integer DIV (Spark DIV ≡ DuckDB // on non-negatives)
+    target = x.groupBy("key").agg(
+        F.expr("SUM(x) DIV COUNT(*)").alias("target")
+    )
+    scored = x.join(F.broadcast(target), "key").withColumn(
+        "slack", F.expr(f"target DIV {slack_div}")
+    )
+    d_hi = F.col("x") - F.col("target") - F.col("slack")
+    d_lo = F.col("target") - F.col("slack") - F.col("x")
+    scored = scored.withColumn("d_hi", d_hi).withColumn("d_lo", d_lo)
+
+    w_run = (
+        Window.partitionBy("key", "_day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = (
+        scored.withColumn("p_hi", F.sum("d_hi").over(w_run))
+        .withColumn("p_lo", F.sum("d_lo").over(w_run))
+        .withColumn("m_hi", F.min(F.col("p_hi")).over(w_run))
+        .withColumn("m_lo", F.min(F.col("p_lo")).over(w_run))
+    )
+    # tiny boundary table: per (key, day) total drift and local min
+    bounds = local.groupBy("key", "_day").agg(
+        F.sum("d_hi").alias("dsum_hi"),
+        F.sum("d_lo").alias("dsum_lo"),
+        F.min("p_hi").alias("lmin_hi"),
+        F.min("p_lo").alias("lmin_lo"),
+    )
+    w_days_prev = (
+        Window.partitionBy("key")
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bounds = (
+        bounds.withColumn(
+            "off_hi", F.coalesce(F.sum("dsum_hi").over(w_days_prev), F.lit(0))
+        )
+        .withColumn(
+            "off_lo", F.coalesce(F.sum("dsum_lo").over(w_days_prev), F.lit(0))
+        )
+        .withColumn(
+            "prevmin_hi",
+            F.min(F.col("off_hi") + F.col("lmin_hi")).over(w_days_prev),
+        )
+        .withColumn(
+            "prevmin_lo",
+            F.min(F.col("off_lo") + F.col("lmin_lo")).over(w_days_prev),
+        )
+        .select(
+            "key", "_day", "off_hi", "off_lo", "prevmin_hi", "prevmin_lo"
+        )
+    )
+    g = local.join(F.broadcast(bounds), ["key", "_day"])
+    gp_hi = F.col("off_hi") + F.col("p_hi")
+    gp_lo = F.col("off_lo") + F.col("p_lo")
+    gm_hi = F.least(
+        F.coalesce(F.col("prevmin_hi"), F.col("off_hi") + F.col("m_hi")),
+        F.col("off_hi") + F.col("m_hi"),
+    )
+    gm_lo = F.least(
+        F.coalesce(F.col("prevmin_lo"), F.col("off_lo") + F.col("m_lo")),
+        F.col("off_lo") + F.col("m_lo"),
+    )
+    return g.select(
+        "key",
+        "ts",
+        "event_id",
+        "x",
+        "target",
+        "slack",
+        (gp_hi - F.least(F.lit(0), gm_hi)).alias("cusum_high"),
+        (gp_lo - F.least(F.lit(0), gm_lo)).alias("cusum_low"),
+    )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    slack_div: int = CUSUM_SLACK_DIV,
+    h_mult: int = CUSUM_H_MULT,
+) -> DataFrame:
+    """Per-key CUSUM summary: alarm counts on both sides against
+    ``h = target * h_mult``, peak statistics, first alarm times —
+    one row per key, every column exact."""
+    s = cusum_scores(events, slack_div)
+    h = F.col("target") * F.lit(h_mult)
+    hi = F.col("cusum_high") > h
+    lo = F.col("cusum_low") > h
+    return s.groupBy("key", "target", "slack").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(hi.cast("bigint")).alias("n_high_alarms"),
+        F.sum(lo.cast("bigint")).alias("n_low_alarms"),
+        F.max("cusum_high").alias("max_cusum_high"),
+        F.max("cusum_low").alias("max_cusum_low"),
+        F.min(F.when(hi, F.col("ts"))).alias("first_high_ts"),
+        F.min(F.when(lo, F.col("ts"))).alias("first_low_ts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries + oracles
 # ---------------------------------------------------------------------------
@@ -122,12 +276,17 @@ def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_anomalies(load_table(spark, sf_dir, "events"))
 
 
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cusum_changepoints(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "rolling_zscore": q_rolling_zscore,
     "zscore_anomalies": q_zscore_anomalies,
     "winsorized_values": lambda spark, sf: winsorized_values(
         load_table(spark, sf, "events")
     ),
+    "cusum_changepoints": q_cusum,
 }
 
 _FRAME = (
@@ -168,5 +327,55 @@ SELECT event_id, e.event_type, value,
        LEAST(GREATEST(value, p_lo), p_hi) AS winsorized,
        (value < p_lo OR value > p_hi) AS clipped
 FROM events e JOIN b ON e.event_type = b.event_type
+""",
+    "cusum_changepoints": f"""
+WITH x AS (
+  SELECT event_type AS key, ts, event_id,
+         {_X_MICRO} AS x
+  FROM events WHERE value IS NOT NULL
+),
+tgt AS (
+  SELECT key, CAST(SUM(x) // COUNT(*) AS BIGINT) AS target
+  FROM x GROUP BY key
+),
+s AS (
+  SELECT x.key, x.ts, x.event_id, x.x, t.target,
+         t.target // {CUSUM_SLACK_DIV} AS slack,
+         x.x - t.target - (t.target // {CUSUM_SLACK_DIV}) AS d_hi,
+         t.target - (t.target // {CUSUM_SLACK_DIV}) - x.x AS d_lo
+  FROM x JOIN tgt t ON x.key = t.key
+),
+p AS (
+  SELECT *, SUM(d_hi) OVER w AS p_hi, SUM(d_lo) OVER w AS p_lo
+  FROM s
+  WINDOW w AS (PARTITION BY key ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+m AS (
+  SELECT *, MIN(p_hi) OVER w AS m_hi, MIN(p_lo) OVER w AS m_lo
+  FROM p
+  WINDOW w AS (PARTITION BY key ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+c AS (
+  SELECT key, ts, target, slack,
+         p_hi - LEAST(0, m_hi) AS cusum_high,
+         p_lo - LEAST(0, m_lo) AS cusum_low
+  FROM m
+)
+SELECT key, target, slack,
+       COUNT(*) AS n_samples,
+       CAST(SUM(CASE WHEN cusum_high > target * {CUSUM_H_MULT}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_alarms,
+       CAST(SUM(CASE WHEN cusum_low > target * {CUSUM_H_MULT}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_alarms,
+       CAST(MAX(cusum_high) AS BIGINT) AS max_cusum_high,
+       CAST(MAX(cusum_low) AS BIGINT) AS max_cusum_low,
+       MIN(CASE WHEN cusum_high > target * {CUSUM_H_MULT} THEN ts END)
+         AS first_high_ts,
+       MIN(CASE WHEN cusum_low > target * {CUSUM_H_MULT} THEN ts END)
+         AS first_low_ts
+FROM c
+GROUP BY key, target, slack
 """,
 }

@@ -105,3 +105,114 @@ def zscore_stream(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM — the online twin of operators/anomaly.cusum_scores
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("x", T.LongType()),
+        T.StructField("cusum_high", T.LongType()),
+        T.StructField("cusum_low", T.LongType()),
+        T.StructField("n_disordered", T.LongType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("p_hi", T.LongType()),
+        T.StructField("m_hi", T.LongType()),
+        T.StructField("p_lo", T.LongType()),
+        T.StructField("m_lo", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
+        T.StructField("n_disordered", T.LongType()),
+    ]
+)
+
+
+def cusum_stream(
+    events: DataFrame, target_micro: int, slack_micro: int
+) -> DataFrame:
+    """Online two-sided CUSUM per event_type against a FIXED target
+    (the deployed setting: the process mean is known from history or
+    spec; the batch operator's data-derived target needs the full
+    series by definition).  State is O(1) per key — two prefix sums
+    and two running minima, the closed prefix-min form maintained
+    incrementally — so the statistic survives unbounded streams.
+
+    Disorder contract (module convention): rows behind the key's last
+    applied (event-time, event_id) are dropped and counted in
+    ``n_disordered`` — a late row cannot be retro-inserted into a
+    prefix statistic with O(1) state.
+
+    Fed in event-time order, output ≡ batch
+    ``cusum_scores`` with the same target/slack, bit-for-bit
+    (tests/test_streaming_cusum.py).
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            p_hi, m_hi, p_lo, m_lo, last_us, last_eid, n_dis = state.get
+        else:
+            p_hi = p_lo = 0
+            # running minima start "empty": the closed form uses
+            # least(0, min) so +inf sentinels collapse to 0 correctly
+            m_hi = m_lo = None
+            last_us = last_eid = None
+            n_dis = 0
+        out = []
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            df = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for r in df.itertuples():
+                if pd.isna(r.value):
+                    continue
+                t_us = int(r.ts.value // 1000)
+                if last_us is not None and (t_us, r.event_id) < (
+                    last_us,
+                    last_eid,
+                ):
+                    n_dis += 1
+                    continue
+                x = _micro6(r.value)
+                p_hi += x - target_micro - slack_micro
+                p_lo += target_micro - slack_micro - x
+                m_hi = p_hi if m_hi is None else min(m_hi, p_hi)
+                m_lo = p_lo if m_lo is None else min(m_lo, p_lo)
+                out.append(
+                    (
+                        r.event_id,
+                        r.ts,
+                        k,
+                        x,
+                        p_hi - min(0, m_hi),
+                        p_lo - min(0, m_lo),
+                        n_dis,
+                    )
+                )
+                last_us, last_eid = t_us, r.event_id
+        state.update((p_hi, m_hi, p_lo, m_lo, last_us, last_eid, n_dis))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "event_id", "ts", "key", "x",
+                "cusum_high", "cusum_low", "n_disordered",
+            ],
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        CUSUM_OUTPUT_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
