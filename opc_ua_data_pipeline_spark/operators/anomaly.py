@@ -263,6 +263,86 @@ def cusum_changepoints(
     )
 
 
+# Hampel filter (rolling-median despiking): the robust companion to
+# the rolling z-score — mean/stddev frames are dragged by the very
+# spike they should flag; median/MAD frames are not.  Classic sensor
+# de-noising (Hampel 1974; the `hampel` family in industrial
+# timeseries toolkits): flag x when |x - med| > k * 1.4826 * MAD over
+# a centered ±HAMPEL_HALF-row frame, repair by the median.
+#
+# Exactness: all order statistics run in integer micro-units with the
+# DOUBLED-value trick — a median of integers is a half-integer, so
+# med2 = 2*median and mad4 = 4*MAD are exact BIGINTs, and the flag
+# test |x - med| > 3 * 1.4826 * MAD (i.e. D/2 > 44478/40000 * mad4/4
+# with D = |2x - med2|) becomes the integer comparison
+# 20000 * D > 44478 * mad4 — no float enters the decision.
+# The repaired value (med2 / 2.0) and mad (mad4 / 4.0) are power-of-
+# two divides: exact doubles on both engines.
+#
+# Scale shape: same single window pass / O(frame) state as
+# rolling_zscore (the module's documented contract for centered-frame
+# ops: the sort is the one shuffle, the frame is 2*HALF+1 rows).
+
+HAMPEL_HALF = 3  # frame = 3 before + current + 3 after
+HAMPEL_K_NUM = 44478  # 3 * 1.4826 scaled by 10^4
+HAMPEL_X_NUM = 20000  # (4/2) * 10^4: cancels dev doubling vs mad4 quartering
+
+
+def _med2(sorted_arr):
+    """2x the median of a sorted int array, as an exact BIGINT."""
+    n = F.size(sorted_arr)
+    odd = n % 2 == 1
+    mid = F.element_at(sorted_arr, ((n + 1) / 2).cast("int"))
+    lo = F.element_at(sorted_arr, (n / 2).cast("int"))
+    hi = F.element_at(sorted_arr, (n / 2 + 1).cast("int"))
+    return F.when(odd, 2 * mid).otherwise(lo + hi)
+
+
+def hampel_despike(events: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Per-key centered rolling-median spike repair (see module
+    comment for the exact-integer formulation)."""
+    x = F.expr(_X_MICRO)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("ts", "event_id")
+        .rowsBetween(-HAMPEL_HALF, HAMPEL_HALF)
+    )
+    framed = events.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "ts",
+        F.col(key_col).alias("key"),
+        "value",
+        x.alias("x"),
+        F.array_sort(F.collect_list(x).over(w)).alias("_arr"),
+    )
+    framed = framed.withColumn("_med2", _med2(F.col("_arr")))
+    devs = F.array_sort(
+        F.transform(
+            F.col("_arr"), lambda e: F.abs(2 * e - F.col("_med2"))
+        )
+    )
+    framed = framed.withColumn("_mad4", _med2(devs))
+    is_spike = (
+        F.lit(HAMPEL_X_NUM) * F.abs(2 * F.col("x") - F.col("_med2"))
+        > F.lit(HAMPEL_K_NUM) * F.col("_mad4")
+    )
+    # value-unit outputs: int → double (correctly rounded), power-of-
+    # two divide (exact), then ONE division by 1e6 — identical op
+    # order in the oracle, so every float is bit-identical
+    med_val = F.col("_med2").cast("double") / F.lit(2.0) / F.lit(1e6)
+    mad_val = F.col("_mad4").cast("double") / F.lit(4.0) / F.lit(1e6)
+    return framed.select(
+        "event_id",
+        "ts",
+        "key",
+        "value",
+        med_val.alias("roll_median"),
+        mad_val.alias("roll_mad"),
+        is_spike.alias("is_spike"),
+        F.when(is_spike, med_val).otherwise(F.col("value")).alias("repaired"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries + oracles
 # ---------------------------------------------------------------------------
@@ -287,6 +367,9 @@ QUERIES = {
         load_table(spark, sf, "events")
     ),
     "cusum_changepoints": q_cusum,
+    "hampel_despike": lambda spark, sf: hampel_despike(
+        load_table(spark, sf, "events")
+    ),
 }
 
 _FRAME = (
@@ -377,5 +460,40 @@ SELECT key, target, slack,
          AS first_low_ts
 FROM c
 GROUP BY key, target, slack
+""",
+    "hampel_despike": f"""
+WITH framed AS (
+  SELECT event_id, ts, event_type AS key, value,
+         {_X_MICRO} AS x,
+         list_sort(list({_X_MICRO})
+           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN {HAMPEL_HALF} PRECEDING
+                          AND {HAMPEL_HALF} FOLLOWING)) AS arr
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT *,
+         CASE WHEN len(arr) % 2 = 1 THEN 2 * arr[(len(arr) + 1) // 2]
+              ELSE arr[len(arr) // 2] + arr[len(arr) // 2 + 1] END AS med2
+  FROM framed
+),
+mad AS (
+  SELECT *, list_sort(list_transform(arr, e -> abs(2 * e - med2))) AS devs
+  FROM med
+),
+scored AS (
+  SELECT *,
+         CASE WHEN len(devs) % 2 = 1 THEN 2 * devs[(len(devs) + 1) // 2]
+              ELSE devs[len(devs) // 2] + devs[len(devs) // 2 + 1] END AS mad4
+  FROM mad
+)
+SELECT event_id, ts, key, value,
+       CAST(med2 AS DOUBLE) / 2.0 / 1000000.0 AS roll_median,
+       CAST(mad4 AS DOUBLE) / 4.0 / 1000000.0 AS roll_mad,
+       {HAMPEL_X_NUM} * abs(2 * x - med2) > {HAMPEL_K_NUM} * mad4 AS is_spike,
+       CASE WHEN {HAMPEL_X_NUM} * abs(2 * x - med2) > {HAMPEL_K_NUM} * mad4
+            THEN CAST(med2 AS DOUBLE) / 2.0 / 1000000.0
+            ELSE value END AS repaired
+FROM scored
 """,
 }

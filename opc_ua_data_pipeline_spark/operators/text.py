@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.ranking import bounded_rank
 from ..tables import load_table
 
 #: Tiny per-language stopword lists for the n-gram language heuristic.
@@ -439,6 +440,83 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(load_table(spark, sf_dir, "documents"))
 
 
+#: PMI collocation mining thresholds: a bigram must occur at least
+#: MIN_COUNT times corpus-wide (rare pairs have unreliable, inflated
+#: PMI), and the contract reports the TOP_K strongest collocations.
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def pmi_collocations(
+    df: DataFrame, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K
+) -> DataFrame:
+    """Corpus collocations by pointwise mutual information — the
+    classic phrase-mining signal (Church & Hanks 1990; word2vec's
+    phrase pass uses the same count ratio): word pairs that co-occur
+    far more than their unigram frequencies predict
+    (``PMI = ln( p(w1 w2) / (p(w1) p(w2)) )``) are names, idioms and
+    technical terms a tokenizer or phrase vocabulary should keep
+    whole.
+
+    Determinism: counts are exact; the score is built from exact
+    integers cast to double in one PINNED expression —
+    ``ln((n_bg·N·N) / (B·n1·n2))`` evaluated left-associatively on
+    both engines — then DECIMAL(18,9)-rounded (the module's ln
+    ulp-collapse contract) before ranking, with the bigram string as
+    the tie-break.
+
+    Scale shape: one corpus-proportional shuffle to bigram counts
+    (map-side combinable), two vocab-sized joins to attach unigram
+    counts, 1-row totals broadcast; the top-k is
+    TakeOrderedAndProject + the Window-free bounded rank.
+    """
+    toked = df.select(_toks().alias("ts"))
+    uni = (
+        toked.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    totals = uni.agg(F.sum("n_w").cast("bigint").alias("n_tokens"))
+    bg = (
+        toked.select(F.explode(_bigram_arr(F.col("ts"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_bg"))
+    )
+    btot = bg.agg(F.sum("n_bg").cast("bigint").alias("n_bigrams"))
+    j = (
+        bg.filter(F.col("n_bg") >= min_count)
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+        .join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(btot))
+    )
+    d = lambda c: F.col(c).cast("double")
+    pmi = (
+        F.log(
+            (d("n_bg") * d("n_tokens") * d("n_tokens"))
+            / (d("n_bigrams") * d("n_w1") * d("n_w2"))
+        )
+        .cast("decimal(18,9)")
+        .cast("double")
+    )
+    scored = j.select(
+        "bg",
+        "w1",
+        "w2",
+        F.col("n_bg").alias("n_bigram"),
+        "n_w1",
+        "n_w2",
+        pmi.alias("pmi"),
+    )
+    topk = scored.orderBy(F.col("pmi").desc(), F.col("bg").asc()).limit(k)
+    ranked = bounded_rank(topk, [("pmi", "desc"), ("bg", "asc")], "rank")
+    return ranked.select(
+        "w1", "w2", "n_bigram", "n_w1", "n_w2", "pmi", "rank"
+    )
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_quality_scores": q_quality,
@@ -455,6 +533,9 @@ QUERIES = {
         load_table(spark, sf, "documents")
     ),
     "pii_scrub": lambda spark, sf: pii_scrub(
+        load_table(spark, sf, "documents")
+    ),
+    "pmi_collocations": lambda spark, sf: pmi_collocations(
         load_table(spark, sf, "documents")
     ),
 }
@@ -620,3 +701,47 @@ FROM tf CROSS JOIN total
 }
 
 ORACLES["pii_scrub"] = _pii_scrub_sql()
+
+ORACLES["pmi_collocations"] = f"""
+WITH t AS (SELECT {_TOKS} AS ts FROM documents),
+uni AS (
+  SELECT w, COUNT(*) AS n_w
+  FROM (SELECT UNNEST(ts) AS w FROM t) GROUP BY w
+),
+tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tokens FROM uni),
+big AS (
+  SELECT bg, COUNT(*) AS n_bg
+  FROM (
+    SELECT UNNEST(list_transform(range(1, len(ts)),
+                                 i -> ts[i] || ' ' || ts[i + 1])) AS bg
+    FROM t
+  )
+  GROUP BY bg
+),
+btot AS (SELECT CAST(SUM(n_bg) AS BIGINT) AS n_bigrams FROM big),
+j AS (
+  SELECT bg, n_bg,
+         string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2,
+         u1.n_w AS n_w1, u2.n_w AS n_w2,
+         n_tokens, n_bigrams
+  FROM big
+  JOIN uni u1 ON string_split(bg, ' ')[1] = u1.w
+  JOIN uni u2 ON string_split(bg, ' ')[2] = u2.w
+  CROSS JOIN tot CROSS JOIN btot
+  WHERE n_bg >= {PMI_MIN_COUNT}
+),
+scored AS (
+  SELECT bg, w1, w2, n_bg AS n_bigram, n_w1, n_w2,
+         CAST(CAST(ln((CAST(n_bg AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+                       * CAST(n_tokens AS DOUBLE))
+                      / (CAST(n_bigrams AS DOUBLE) * CAST(n_w1 AS DOUBLE)
+                         * CAST(n_w2 AS DOUBLE)))
+                   AS DECIMAL(18,9)) AS DOUBLE) AS pmi
+  FROM j
+)
+SELECT w1, w2, n_bigram, n_w1, n_w2, pmi,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, bg) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {PMI_TOP_K}
+"""
