@@ -26,6 +26,7 @@ from opc_ua_data_pipeline_spark.operators import (
     graph,
     hyperfunctions,
     ingest,
+    journeys,
     layout,
     marts,
     multimodal,
@@ -50,6 +51,7 @@ _MODULES = [
     alarms,
     anomaly,
     relational,
+    journeys,
     dedup,
     graph,
     clustering,

@@ -1,0 +1,231 @@
+"""User-journey analytics over the event stream: frequent path mining
+and multi-touch revenue attribution.
+
+The reference's events are single-stream telemetry, but the same
+`events` shape (user, time, type, value) is what product/marketing
+warehouses run journey analytics on; these close the family around
+the existing funnel/cohort/transition-matrix operators:
+
+* ``event_path_trigrams`` — the most common 3-step behavioral paths
+  (the n-gram view of ``relational.event_transition_matrix``'s
+  1-step Markov counts): two ``lead`` windows per user, one
+  count shuffle over at most #types³ distinct paths.
+* ``multi_touch_attribution`` — U-shaped (position-based) credit for
+  each purchase across the user's touches in a trailing window:
+  40% first touch, 40% last, 20% split across the middle — the
+  standard marketing-attribution upgrade of the single-touch
+  ``relational.q_asof_last_purchase``.
+
+Scale shapes: every window partitions by user_id (high-cardinality,
+uniform — the documented scale-safe key class); the purchase-touch
+association is an equi-join on user_id with a range predicate, per
+the incident_range_join precedent (per-user frames are bounded by a
+user's own activity, never the corpus).  Attribution credits are
+IEEE-deterministic (identical literal doubles, one division, one
+multiply, DECIMAL(18,9) round before the order-free decimal sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.ranking import bounded_rank
+from ..tables import load_table
+
+PATH_TOP_K = 20
+
+#: U-shape attribution constants (position-based): endpoints get 40%
+#: each, the interior shares 20%.  0.4/0.2 are not binary-exact but
+#: parse to the SAME double literal on both engines; everything
+#: downstream is one division + one multiply on identical operands.
+ATTR_END_W = 0.4
+ATTR_MID_W = 0.2
+ATTR_WINDOW_DAYS = 7
+
+
+def event_path_trigrams(events: DataFrame, k: int = PATH_TOP_K) -> DataFrame:
+    """Top-k 3-step event-type paths across all users.
+
+    Per-user ordered stream → two leads → 'a>b>c' path strings →
+    count + distinct-user count per path.  The distinct path space is
+    at most #event_types³, so the count shuffle is tiny regardless of
+    corpus size.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("_t2"),
+        F.lead("event_type", 2).over(w).alias("_t3"),
+    ).filter(F.col("_t2").isNotNull() & F.col("_t3").isNotNull())
+    paths = stepped.select(
+        F.concat_ws(">", "event_type", "_t2", "_t3").alias("path"), "user_id"
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    topk = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("path").asc()
+    ).limit(k)
+    return bounded_rank(
+        topk, [("n_occurrences", "desc"), ("path", "asc")], "rank"
+    )
+
+
+def multi_touch_attribution(
+    events: DataFrame, window_days: int = ATTR_WINDOW_DAYS
+) -> DataFrame:
+    """Per-touch-type U-shaped attribution of purchase value.
+
+    For each purchase, the user's click/view touches in the trailing
+    ``window_days`` (strictly before the purchase) are ranked by
+    time; credit is 1.0 for a single touch, 0.5/0.5 for two, else
+    0.4 / 0.4 / 0.2·(n-2)⁻¹ for first / last / each middle touch.
+    Output: one row per touch type with touch counts, total credit,
+    and credited revenue (decimal-rounded credits summed order-free).
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_eid"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    touches = events.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("t_eid"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    span_us = window_days * 86_400_000_000
+    joined = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("t_ts"))
+            <= span_us
+        )
+    )
+    # per-purchase frame: bounded by one user's touches in the window
+    w = Window.partitionBy("p_eid").orderBy("t_ts", "t_eid")
+    sized = joined.select(
+        "p_eid",
+        "p_value",
+        "touch_type",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("p_eid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    n = F.col("n")
+    pos = F.col("pos")
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when(pos == 1, F.lit(ATTR_END_W))
+        .when(pos == n, F.lit(ATTR_END_W))
+        .otherwise(F.lit(ATTR_MID_W) / (n - 2).cast("double"))
+    )
+    scored = sized.select(
+        "touch_type",
+        credit.cast("decimal(18,9)").alias("credit"),
+        (credit * F.col("p_value")).cast("decimal(18,9)").alias("credited"),
+    )
+    return scored.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("credit").cast("decimal(28,9)").cast("double").alias(
+            "total_credit"
+        ),
+        F.sum("credited").cast("decimal(28,9)").cast("double").alias(
+            "attributed_revenue"
+        ),
+    )
+
+
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_path_trigrams(load_table(spark, sf_dir, "events"))
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multi_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+QUERIES = {
+    "event_path_trigrams": q_path_trigrams,
+    "multi_touch_attribution": q_attribution,
+}
+
+ORACLES = {
+    "event_path_trigrams": f"""
+WITH stepped AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+  SELECT event_type || '>' || t2 || '>' || t3 AS path,
+         COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM stepped WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+  GROUP BY 1
+)
+SELECT path, n_occurrences, n_users,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path)
+            AS INTEGER) AS rank
+FROM counts
+QUALIFY rank <= {PATH_TOP_K}
+""",
+    "multi_touch_attribution": f"""
+WITH purchases AS (
+  SELECT user_id, event_id AS p_eid, ts AS p_ts, value AS p_value
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, event_id AS t_eid, ts AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+),
+joined AS (
+  SELECT p.p_eid, p.p_value, t.touch_type, t.t_ts, t.t_eid
+  FROM purchases p JOIN touches t ON p.user_id = t.user_id
+  WHERE t.t_ts < p.p_ts
+    AND epoch_us(p.p_ts) - epoch_us(t.t_ts) <= {ATTR_WINDOW_DAYS * 86_400_000_000}
+),
+sized AS (
+  SELECT p_eid, p_value, touch_type,
+         ROW_NUMBER() OVER (PARTITION BY p_eid ORDER BY t_ts, t_eid) AS pos,
+         COUNT(*) OVER (PARTITION BY p_eid) AS n
+  FROM joined
+),
+scored AS (
+  SELECT touch_type,
+         CAST(CASE WHEN n = 1 THEN 1.0
+                   WHEN n = 2 THEN 0.5
+                   WHEN pos = 1 THEN {ATTR_END_W!r}
+                   WHEN pos = n THEN {ATTR_END_W!r}
+                   ELSE {ATTR_MID_W!r} / CAST(n - 2 AS DOUBLE) END
+              AS DECIMAL(18,9)) AS credit,
+         CAST(CASE WHEN n = 1 THEN 1.0
+                   WHEN n = 2 THEN 0.5
+                   WHEN pos = 1 THEN {ATTR_END_W!r}
+                   WHEN pos = n THEN {ATTR_END_W!r}
+                   ELSE {ATTR_MID_W!r} / CAST(n - 2 AS DOUBLE) END * p_value
+              AS DECIMAL(18,9)) AS credited
+  FROM sized
+)
+SELECT touch_type,
+       COUNT(*) AS n_touches,
+       CAST(CAST(SUM(credit) AS DECIMAL(28,9)) AS DOUBLE) AS total_credit,
+       CAST(CAST(SUM(credited) AS DECIMAL(28,9)) AS DOUBLE)
+         AS attributed_revenue
+FROM scored
+GROUP BY touch_type
+""",
+}

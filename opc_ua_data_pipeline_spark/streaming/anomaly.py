@@ -216,3 +216,139 @@ def cusum_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Hampel — delayed-emission twin of operators/anomaly.hampel_despike
+# ---------------------------------------------------------------------------
+
+HAMPEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("roll_median", T.DoubleType()),
+        T.StructField("roll_mad", T.DoubleType()),
+        T.StructField("is_spike", T.BooleanType()),
+        T.StructField("repaired", T.DoubleType()),
+        T.StructField("n_disordered", T.LongType()),
+    ]
+)
+
+# buffer rows: parallel arrays (eid, t_us, x_micro, value)
+HAMPEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("eids", T.ArrayType(T.LongType())),
+        T.StructField("t_us", T.ArrayType(T.LongType())),
+        T.StructField("x6", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+        T.StructField("n_pending", T.LongType()),
+        T.StructField("n_disordered", T.LongType()),
+    ]
+)
+
+
+def _hampel_row(xs: list, i: int, half: int):
+    """Evaluate the centered frame around index i of integer-micro
+    series xs — the batch operator's exact doubled-unit arithmetic."""
+    lo = max(0, i - half)
+    arr = sorted(xs[lo : i + half + 1])
+    n = len(arr)
+    med2 = 2 * arr[(n + 1) // 2 - 1] if n % 2 == 1 else arr[n // 2 - 1] + arr[n // 2]
+    devs = sorted(abs(2 * e - med2) for e in arr)
+    m = len(devs)
+    mad4 = (
+        2 * devs[(m + 1) // 2 - 1] if m % 2 == 1 else devs[m // 2 - 1] + devs[m // 2]
+    )
+    is_spike = 20000 * abs(2 * xs[i] - med2) > 44478 * mad4
+    med_val = med2 / 2.0 / 1e6
+    mad_val = mad4 / 4.0 / 1e6
+    return med_val, mad_val, is_spike
+
+
+def hampel_stream(events: DataFrame, half: int = 3) -> DataFrame:
+    """Online centered-frame despiking: a row needs ``half`` FUTURE
+    rows before its frame closes, so emission is DELAYED by exactly
+    ``half`` samples per key — the streaming price of a centered
+    window (contrast the trailing-frame z-score, which emits
+    immediately).  State keeps the pending tail plus ``half`` rows of
+    emitted context: O(2·half+1) per key, independent of stream
+    length.  The last ``half`` rows of a stream stay pending forever —
+    batch ≡ stream on all CLOSED frames (tests/test_streaming_cusum.py
+    companion file pins the exact correspondence).
+
+    Disorder contract (module convention): late rows are dropped and
+    counted, never retro-inserted.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.exists:
+            eids, t_us, x6, vals, n_pending, n_dis = [
+                list(v) if isinstance(v, (list, tuple)) else v
+                for v in state.get
+            ]
+        else:
+            eids, t_us, x6, vals = [], [], [], []
+            n_pending, n_dis = 0, 0
+        out = []
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            df = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for r in df.itertuples():
+                if pd.isna(r.value):
+                    continue
+                t = int(r.ts.value // 1000)
+                if eids and (t, r.event_id) < (t_us[-1], eids[-1]):
+                    n_dis += 1
+                    continue
+                eids.append(r.event_id)
+                t_us.append(t)
+                x6.append(_micro6(r.value))
+                vals.append(float(r.value))
+                n_pending += 1
+                # emit every pending row that now has `half` successors
+                while n_pending > half:
+                    i = len(eids) - n_pending  # oldest pending index
+                    med_val, mad_val, spike = _hampel_row(x6, i, half)
+                    out.append(
+                        (
+                            eids[i],
+                            pd.Timestamp(t_us[i] * 1000),
+                            k,
+                            vals[i],
+                            med_val,
+                            mad_val,
+                            spike,
+                            med_val if spike else vals[i],
+                            n_dis,
+                        )
+                    )
+                    n_pending -= 1
+                    # trim: emitted context older than `half` before the
+                    # oldest pending row is never needed again
+                    keep_from = max(0, len(eids) - n_pending - half)
+                    if keep_from:
+                        eids = eids[keep_from:]
+                        t_us = t_us[keep_from:]
+                        x6 = x6[keep_from:]
+                        vals = vals[keep_from:]
+        state.update((eids, t_us, x6, vals, n_pending, n_dis))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "event_id", "ts", "key", "value", "roll_median",
+                "roll_mad", "is_spike", "repaired", "n_disordered",
+            ],
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        HAMPEL_OUTPUT_SCHEMA,
+        HAMPEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

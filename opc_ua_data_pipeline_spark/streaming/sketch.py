@@ -1,0 +1,93 @@
+"""Streaming KMV sketch — the online twin of operators/sketch.py.
+
+A distinct-count sketch is the canonical streaming-friendly state:
+O(k) per key forever, insert-only, order-independent.  Each arriving
+value hashes with the SAME md5-prefix 60-bit hash as the batch
+operator (Python ``int(md5[:15], 16)`` ≡ Spark
+``conv(substr(md5, 1, 15), 16, 10)`` — both read the same 15 hex
+chars), and the state keeps the k smallest distinct hashes as a
+sorted list.  After every micro-batch the processor emits the updated
+per-key estimate row, so a dashboard reads the latest row per key —
+the update-mode serving shape of the batch ``kmv_distinct``.
+
+Because insertion is a set-union + cut (associative, commutative),
+there is NO disorder contract here: arrival order cannot change the
+sketch — the property pinned by the batch merge-identity test, now
+doing streaming duty.  Fed any permutation of the same rows, the
+final emitted row per key equals batch ``kmv_distinct`` exactly
+(minus the exact_distinct column, whose unbounded state is exactly
+what the sketch exists to avoid).
+"""
+
+from __future__ import annotations
+
+import bisect
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.sketch import KMV_K, _TWO60
+
+KMV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_sketch", T.IntegerType()),
+        T.StructField("kth_hash", T.LongType()),
+        T.StructField("distinct_est", T.DoubleType()),
+    ]
+)
+
+KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("sketch", T.ArrayType(T.LongType()))]
+)
+
+
+def _h60_py(v, salt: str) -> int:
+    """Python twin of sketch._h60 (same md5 prefix, same 60 bits)."""
+    return int(
+        hashlib.md5(f"{v}:{salt}".encode()).hexdigest()[:15], 16
+    )
+
+
+def kmv_distinct_stream(events: DataFrame, salt: str = "kmv") -> DataFrame:
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        sk = list(state.get[0]) if state.exists else []
+        for chunk in pdfs:
+            for v in chunk["user_id"]:
+                h = _h60_py(int(v), salt)
+                i = bisect.bisect_left(sk, h)
+                if i < len(sk) and sk[i] == h:
+                    continue
+                if len(sk) < KMV_K:
+                    sk.insert(i, h)
+                elif h < sk[-1] and i < KMV_K:
+                    sk.insert(i, h)
+                    sk.pop()
+        state.update((sk,))
+        n = len(sk)
+        if n == 0:
+            yield pd.DataFrame(
+                [], columns=["event_type", "n_sketch", "kth_hash", "distinct_est"]
+            )
+            return
+        kth = sk[-1]
+        est = float(n) if n < KMV_K else (KMV_K - 1) / (float(kth) / _TWO60)
+        yield pd.DataFrame(
+            [(k, n, kth, est)],
+            columns=["event_type", "n_sketch", "kth_hash", "distinct_est"],
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        KMV_OUTPUT_SCHEMA,
+        KMV_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
