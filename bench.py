@@ -78,7 +78,6 @@ HEADLINE = [
     "hll_rollup_merge",      # mergeable sketch rollup (minute->hour)
     # round-5 additions:
     "png_features",          # compressed container: zlib encode+decode
-    "latest_per_metric",     # hottest dashboard family, max_by spelling
     "histogram_rollup_percentiles",  # mergeable percentile rollup
     "cdc_dedup_ratio",       # content-defined chunk dedup stats
     "bpe_merges",            # iterative on-corpus tokenizer training
@@ -89,6 +88,14 @@ HEADLINE = [
     "embedding_covariance",  # one-pass 2145-buffer aggregate
     "pca_project",           # driver-trained basis + narrow projection
     "dsir_importance",       # hashed n-gram importance weights
+    # round-5c additions:
+    "cusum_changepoints",    # prefix-min CUSUM, (key, day) two-pass
+    "hampel_despike",        # rolling-median repair, integer medians
+    "kmv_distinct_users",    # mergeable KMV sketch build
+    "kmv_source_overlap",    # sketch-only pairwise set intersection
+    "pmi_collocations",      # corpus bigram PMI mining
+    "event_path_trigrams",   # per-user lead windows, tiny count space
+    "multi_touch_attribution",  # purchase-touch range join + credits
 ]
 
 

@@ -214,6 +214,85 @@ def feature_drift_psi(
     )
 
 
+#: Benford expected first-digit shares log10(1 + 1/d), d = 1..9, as
+#: pinned double literals (repr round-trips: both engines parse the
+#: identical value).
+BENFORD_P = [0.30102999566398120, 0.17609125905568124, 0.12493873660829993,
+             0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+             0.05799194697768673, 0.05115252244738129, 0.04575749056067514]
+BENFORD_FLAG_DEV = 0.05
+
+
+def benford_digit_check(events: DataFrame) -> DataFrame:
+    """Benford's-law first-digit conformance per event_type — the
+    classic DQ/fraud screen for 'organically grown' numeric columns
+    (Nigrini's audit test): natural multi-scale magnitudes follow
+    P(d) = log10(1+1/d); fabricated or clipped data does not.
+
+    The first significant digit is read WITHOUT float logs: the value
+    is micro-scaled to an exact BIGINT (the metric_pair_correlation
+    DECIMAL(28,6)·1e6 spelling — multiplying by 10^6 cannot change
+    the leading digit of a positive number) and the digit is the
+    first character of the integer's decimal string — integer-to-
+    string is engine-identical, where double-to-string is not.
+
+    Output per event_type: value count, max |observed - expected|
+    share over the 9 digits (each share ONE double divide, each
+    deviation one subtract against a pinned literal), and the
+    conformance flag.  Scale: one (type, digit) groupBy — 9 rows per
+    key — plus a broadcast totals join.
+    """
+    digit = F.substring(
+        F.expr("CAST(CAST(CAST(value AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS STRING)"),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        events.filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .groupBy("event_type", digit.alias("d"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # 9-digit spine per type: a digit that never occurs still deviates
+    # by its full expected share (the PSI grid precedent)
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.array(*[F.lit(i) for i in range(1, 10)])).alias("d"),
+        )
+    )
+    filled = grid.join(counts, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    totals = filled.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_values")
+    )
+    p_arr = F.array(*[F.lit(p) for p in BENFORD_P])
+    dev = F.abs(
+        F.col("cnt").cast("double") / F.col("n_values").cast("double")
+        - F.element_at(p_arr, F.col("d"))
+    )
+    return (
+        filled.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_values").alias("n_values"),
+            F.max(dev).alias("max_abs_dev"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            "max_abs_dev",
+            (F.col("max_abs_dev") <= BENFORD_FLAG_DEV).alias("benford_ok"),
+        )
+    )
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return benford_digit_check(load_table(spark, sf_dir, "events"))
+
+
 def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_drift_psi(load_table(spark, sf_dir, "events"))
 
@@ -226,7 +305,13 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"dq_report": q_dq_report, "feature_drift_psi": q_feature_drift}
+QUERIES = {
+    "dq_report": q_dq_report,
+    "feature_drift_psi": q_feature_drift,
+    "benford_digit_check": q_benford,
+}
+
+_BENFORD_LIST = "[" + ", ".join(repr(p) for p in BENFORD_P) + "]"
 
 ORACLES = {
     # same textual arithmetic shape as the operator: shares as double
@@ -336,3 +421,38 @@ SELECT table_name, check_name,
 FROM raw
 """,
 }
+
+ORACLES["benford_digit_check"] = f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(substr(CAST(CAST(CAST(value AS DECIMAL(28,6)) * 1000000
+                          AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d,
+         COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL AND value > 0
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT t.event_type, g.d
+  FROM (SELECT DISTINCT event_type FROM counts) t,
+       (SELECT UNNEST(generate_series(1, 9)) AS d) g
+),
+filled AS (
+  SELECT grid.event_type, grid.d, COALESCE(cnt, 0) AS cnt
+  FROM grid LEFT JOIN counts USING (event_type, d)
+),
+tot AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_values
+  FROM filled GROUP BY event_type
+),
+devs AS (
+  SELECT f.event_type, tot.n_values,
+         abs(CAST(f.cnt AS DOUBLE) / CAST(tot.n_values AS DOUBLE)
+             - ({_BENFORD_LIST})[f.d]) AS dev
+  FROM filled f JOIN tot USING (event_type)
+)
+SELECT event_type, MAX(n_values) AS n_values,
+       MAX(dev) AS max_abs_dev,
+       MAX(dev) <= {BENFORD_FLAG_DEV} AS benford_ok
+FROM devs
+GROUP BY event_type
+"""

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.ranking import bounded_rank
 from ..tables import load_table
 from .rollups import _avg_sql, exact_avg
 
@@ -775,6 +776,122 @@ def small_quantity_revenue(
     )
 
 
+#: Q19-shape disjunctive brackets: (brand, size_lo, size_hi, qty_lo,
+#: qty_hi).  Brands drawn from the generator's Brand#1..25 domain.
+REVENUE_BRACKETS = [
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#3", 1, 15, 20, 30),
+]
+
+
+def bracket_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs bracket predicate
+    spanning both join sides — the classic disjunctive-pushdown
+    stress.
+
+    Catalyst does not infer per-table implications from a cross-table
+    disjunction, so the UNION BOUNDS of each side's brackets are
+    derived manually and applied as scan filters (part: brand IN +
+    size envelope; lineitem: quantity envelope) — semantically implied
+    by the disjunction, and what turns a join-then-filter over the
+    full fact table into a pruned scan at 100 TB.  The exact
+    disjunction then runs on the joined (already-bracket-enveloped)
+    remainder.  Revenue sums via exact decimal partials.
+    """
+    brands = [b for b, *_ in REVENUE_BRACKETS]
+    size_hi = max(hi for _, _, hi, _, _ in REVENUE_BRACKETS)
+    qty_lo = min(lo for *_, lo, _ in REVENUE_BRACKETS)
+    qty_hi = max(hi for *_, hi in REVENUE_BRACKETS)
+    pp = part.filter(
+        F.col("p_brand").isin(brands)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= size_hi)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = lineitem.filter(
+        (F.col("l_quantity") >= qty_lo) & (F.col("l_quantity") <= qty_hi)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    cond = None
+    for b, slo, shi, qlo, qhi in REVENUE_BRACKETS:
+        c = (
+            (F.col("p_brand") == b)
+            & (F.col("p_size") >= slo)
+            & (F.col("p_size") <= shi)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+        )
+        cond = c if cond is None else (cond | c)
+    return (
+        li.join(pp, li.l_partkey == pp.p_partkey)
+        .filter(cond)
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def lone_fault_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact
+    table, decorrelated into one semi-join and one anti-join — here
+    "suppliers who were the SOLE returner on multi-supplier orders"
+    (the generator's lineitem has no commit/receipt dates, so
+    ``l_returnflag = 'R'`` plays the late-delivery role; structure,
+    not constants, is what Q21 tests).
+
+    l1 (returned lines) semi-joins other-supplier lines on the order
+    (the order is multi-supplier) and anti-joins other-supplier
+    RETURNED lines (nobody else returned) — both on the l_orderkey
+    equi-key with a suppkey inequality rider, so neither decorrelated
+    branch is a nested loop.  Top-k by fault count via heap + the
+    Window-free bounded rank.
+    """
+    l = lineitem.select("l_orderkey", "l_suppkey", "l_returnflag")
+    faults = l.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    others = l.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    other_faults = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("f_key"),
+            F.col("l_suppkey").alias("f_supp"),
+        )
+    )
+    lone = (
+        faults.join(
+            others,
+            (F.col("l_orderkey") == F.col("o_key"))
+            & (F.col("l_suppkey") != F.col("o_supp")),
+            "leftsemi",
+        )
+        .join(
+            other_faults,
+            (F.col("l_orderkey") == F.col("f_key"))
+            & (F.col("l_suppkey") != F.col("f_supp")),
+            "leftanti",
+        )
+    )
+    counts = lone.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    named = counts.join(
+        supplier, counts.l_suppkey == supplier.s_suppkey
+    ).join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_name", "n_name", "numwait")
+    topk = named.orderBy(
+        F.col("numwait").desc(), F.col("s_name").asc()
+    ).limit(k)
+    return bounded_rank(topk, [("numwait", "desc"), ("s_name", "asc")], "rank")
+
+
 def event_transition_matrix(events: DataFrame) -> DataFrame:
     """Per-user Markov transition matrix over the event stream:
     P(next event type | current) — the behavioral-sequence summary
@@ -826,6 +943,14 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "small_quantity_revenue": q_small_quantity_revenue,
+    "bracket_revenue": lambda spark, sf: bracket_revenue(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "part")
+    ),
+    "lone_fault_suppliers": lambda spark, sf: lone_fault_suppliers(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "supplier"),
+        load_table(spark, sf, "nation"),
+    ),
     "event_transition_matrix": q_event_transitions,
     "revenue_by_nation": q_revenue_by_nation,
     "top_customers": q_top_customers,
@@ -1175,3 +1300,43 @@ SELECT event_type, bucket,
 FROM b GROUP BY event_type, bucket
 """,
 }
+
+_BRACKET_DISJ = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+    f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in REVENUE_BRACKETS
+)
+
+ORACLES["bracket_revenue"] = f"""
+SELECT {_DSUM_SQL.format(e="l_extendedprice * (1 - l_discount)")} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {_BRACKET_DISJ}
+"""
+
+ORACLES["lone_fault_suppliers"] = """
+WITH faults AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+),
+lone AS (
+  SELECT f.l_orderkey, f.l_suppkey
+  FROM faults f
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = f.l_orderkey
+                  AND l2.l_suppkey <> f.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = f.l_orderkey
+                      AND l3.l_suppkey <> f.l_suppkey
+                      AND l3.l_returnflag = 'R')
+),
+counts AS (
+  SELECT l_suppkey, COUNT(*) AS numwait FROM lone GROUP BY l_suppkey
+)
+SELECT s_name, n_name, numwait,
+       CAST(ROW_NUMBER() OVER (ORDER BY numwait DESC, s_name) AS INTEGER)
+         AS rank
+FROM counts
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+QUALIFY rank <= 10
+"""

@@ -393,3 +393,77 @@ def test_window_funnel_has_no_window_function(spark):
     assert "Window" not in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "partial_min" in plan
+
+
+def test_round5c_plan_shapes(spark):
+    """Round-5c operators keep their scale contracts.
+
+    KMV: pure mergeable aggregates — no Window, no Python stage — and
+    the overlap's rank windows run only over the (s1, s2) sketch pairs
+    (bounded 2k-row frames), with the pairs frame broadcast.  CUSUM
+    keeps the (key, day) two-pass: every sequential window (ordered by
+    event_id) partitions on the day composite.  Hampel's one window is
+    the BOUNDED centered frame, never unbounded history.  PMI's top-k
+    is a heap; attribution joins purchases to touches by equi-key
+    (never a nested loop) and its windows partition by p_eid."""
+    plan = formatted_plan(Q["kmv_distinct_users"](spark, SF))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = formatted_plan(Q["kmv_source_overlap"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        assert "s1" in spec and "s2" in spec, spec
+
+    plan = formatted_plan(Q["cusum_changepoints"](spark, SF)).lower()
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "event_id" in spec:
+            assert "_day" in spec, spec
+
+    plan = formatted_plan(Q["hampel_despike"](spark, SF))
+    frames = re.findall(r"specifiedwindowframe\(RowFrame, ([^)]*)\)", plan)
+    assert frames, plan[:1500]
+    for f in frames:
+        assert "unboundedpreceding" not in f.lower(), f
+
+    plan = formatted_plan(Q["pmi_collocations"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+    plan = formatted_plan(Q["multi_touch_attribution"](spark, SF))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    plan = formatted_plan(Q["event_path_trigrams"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1), m.group(1)
+
+
+def test_bracket_revenue_pushes_derived_envelopes(spark):
+    """Q19 shape: the manually-derived per-side envelope filters must
+    reach the parquet scans (Catalyst cannot infer them from the
+    cross-table disjunction), and the join must stay an equi hash
+    join, not a nested loop over the disjunction."""
+    plan = assert_plan(
+        Q["bracket_revenue"](spark, SF),
+        contains=["HashAggregate"],
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity", plan), plan[:2000]
+    assert re.search(r"PushedFilters: \[[^\]]*p_brand", plan), plan[:2000]
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_lone_fault_suppliers_is_semi_plus_anti(spark):
+    """Q21 shape: both decorrelated EXISTS branches must plan as
+    equi-keyed semi/anti joins (the suppkey inequality riding the
+    orderkey equi-key), never as nested loops."""
+    plan = formatted_plan(Q["lone_fault_suppliers"](spark, SF))
+    # the EXISTS/NOT EXISTS branches: equi hash joins, semi + anti
+    assert re.search(r"(Hash|SortMerge)Join.*LeftSemi", plan), plan[:1500]
+    assert re.search(r"(Hash|SortMerge)Join.*LeftAnti", plan), plan[:1500]
+    # the only nested loop allowed is bounded_rank's k-row self-join
+    # (numbered node headers count physical operators once)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
