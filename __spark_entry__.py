@@ -188,6 +188,21 @@ _PRIORITY = [
     "bmp_features",
     "wav_features",
     "deviation_alarms",
+    # (d) brand-new in round 5's third stretch — behind the (a)/(b)
+    # blocks (which the round-4 verdict pinned for this round's
+    # window) but ahead of everything already driver-verified, so
+    # round 6's rotation picks them up first.  All ten carry dual-SF
+    # local artifacts in the meantime.
+    "cusum_changepoints",
+    "hampel_despike",
+    "kmv_distinct_users",
+    "kmv_source_overlap",
+    "pmi_collocations",
+    "event_path_trigrams",
+    "multi_touch_attribution",
+    "bracket_revenue",
+    "lone_fault_suppliers",
+    "benford_digit_check",
 ]
 
 

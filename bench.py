@@ -253,18 +253,32 @@ def main() -> None:
         }
     )
     if len(line) > 1800:  # keep headroom inside the 2000-char window
-        line = json.dumps(
-            {
+        # 65+ headliners no longer fit at full precision: keep the
+        # per-query dict (the driver's only per-query record) but
+        # round to 2 dp and drop separators; if it STILL overflows,
+        # keep only the slowest queries — the ones a reader of
+        # BENCH_r{N}.json actually needs — and count the rest.
+        q2 = {k: round(v, 2) for k, v in timings.items()}
+        while True:
+            payload = {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": {},
+                "queries": q2,
+                "n_queries": len(HEADLINE),
                 "warm_total": detail["warm_total"],
                 "parallel_warm_total": detail["parallel_warm_total"],
                 "scale_ramp_flagged": ramp_flagged,
                 "sf": sf_val,
             }
-        )
+            if len(q2) < len(timings):
+                payload["queries_omitted"] = len(timings) - len(q2)
+            line = json.dumps(payload, separators=(",", ":"))
+            if len(line) <= 1800 or len(q2) <= 10:
+                break
+            q2 = dict(
+                sorted(q2.items(), key=lambda kv: -kv[1])[: len(q2) - 5]
+            )
     print(line)
 
 

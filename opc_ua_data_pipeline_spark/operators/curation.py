@@ -395,11 +395,19 @@ def dsir_importance(
     docs keep weight 0 (empty product = ratio 1), keeping the
     operator total on degenerate corpora.
     """
-    grams = df.select(
-        "doc_id", F.explode(F.concat(_toks(), _bigrams())).alias("g")
-    )
-    occ = grams.select(
+    # ONE tokenize+hash pass: everything downstream (both bag models,
+    # the totals, the per-doc weighted sum) derives from the compact
+    # (doc, lang, bucket, cnt) frame — <= min(#feats, B) rows per doc.
+    # The three consumers share the identical aggregate subtree, so
+    # Spark's exchange reuse materializes the shuffle once (measured
+    # 2.7 -> ~1 s warm at sf0.1: the corpus-wide md5 was the cost).
+    occ = df.select(
         "doc_id",
+        "lang",
+        F.explode(F.concat(_toks(), _bigrams())).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
         (
             F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("bigint")
             % n_buckets
@@ -407,23 +415,21 @@ def dsir_importance(
         .cast("int")
         .alias("b"),
     )
-    tgt_docs = df.filter(F.col("lang") == target_lang)
-    tgt_occ = tgt_docs.select(
-        F.explode(F.concat(_toks(), _bigrams())).alias("g")
-    ).select(
-        (
-            F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("bigint")
-            % n_buckets
-        )
-        .cast("int")
-        .alias("b")
+    doc_b = occ.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     spark = df.sparkSession
     spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("b"))
-    raw_counts = occ.groupBy("b").agg(F.count(F.lit(1)).alias("n_raw"))
-    tgt_counts = tgt_occ.groupBy("b").agg(F.count(F.lit(1)).alias("n_tgt"))
-    totals = occ.agg(F.count(F.lit(1)).alias("r_total")).crossJoin(
-        tgt_occ.agg(F.count(F.lit(1)).alias("t_total"))
+    raw_counts = doc_b.groupBy("b").agg(F.sum("cnt").alias("n_raw"))
+    tgt_counts = (
+        doc_b.filter(F.col("lang") == target_lang)
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("n_tgt"))
+    )
+    totals = doc_b.agg(F.sum("cnt").alias("r_total")).crossJoin(
+        doc_b.filter(F.col("lang") == target_lang).agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("t_total")
+        )
     )
     ratio = (
         spine.join(raw_counts, "b", "left")
@@ -438,12 +444,20 @@ def dsir_importance(
             " AS DECIMAL(18,9)) AS delta",
         )
     )
+    # sum(cnt * delta) == sum of cnt copies of delta — but only if the
+    # product stays exact: BIGINT(= DECIMAL(20,0)) x DECIMAL(18,9)
+    # needs precision 39 > 38, and Spark silently rounds the overflow
+    # (caught by the oracle at the 1e-8 digit).  A per-(doc, bucket)
+    # count fits DECIMAL(10,0), keeping the product at (29,9): exact,
+    # bit-identical to the oracle's per-occurrence sum.
     per_doc = (
-        occ.join(F.broadcast(ratio), "b")
+        doc_b.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.expr("CAST(SUM(delta) AS DOUBLE)").alias("log_importance"),
+            F.sum("cnt").alias("n_feats"),
+            F.expr(
+                "CAST(SUM(CAST(cnt AS DECIMAL(10,0)) * delta) AS DOUBLE)"
+            ).alias("log_importance"),
         )
     )
     return (

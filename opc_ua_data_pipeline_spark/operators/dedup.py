@@ -989,3 +989,128 @@ FROM pairs p
 JOIN per_doc na ON p.a = na.doc_id
 JOIN per_doc nb ON p.b = nb.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (round 5c)
+# ---------------------------------------------------------------------------
+
+#: window size (pairs within W positions of the sorted order) and the
+#: sort-key prefix length — the classic SNM parameters.
+SN_WINDOW = 3
+SN_KEY_LEN = 24
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame, w: int = SN_WINDOW, key_len: int = SN_KEY_LEN
+) -> DataFrame:
+    """Sorted-neighborhood method (Hernandez & Stolfo 1995): the third
+    candidate-generation family next to LSH (minhash bands) and CDC
+    (chunk collisions) — sort the corpus by a cheap key (here the
+    lowercased ``key_len``-char text prefix) and emit every pair
+    within ``w`` positions, then verify with exact token Jaccard.
+    Candidate count is EXACTLY n·w by construction (no skew, no
+    bucket blow-up — the property LSH cannot promise on adversarial
+    key distributions).
+
+    Scale shape: the global sort rank is the distributed two-pass
+    rank (range-partition + local row_number + a #partitions-row
+    offset table — the value_rank_profile pattern; no single-task
+    sort); neighbors join on the EQUI key ``rank + d = rank``
+    (offsets exploded, d = 1..w), so the pair join is a hash join on
+    integers; the Jaccard verify joins the n·w pairs back to the
+    token arrays — per-row array intersect/union, one double divide.
+    """
+    keyed = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, key_len).alias("sk"),
+    ).repartitionByRange(64, "sk", "doc_id")
+    with_pid = keyed.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy("sk", "doc_id")
+    local = with_pid.withColumn("_rn", F.row_number().over(w_local))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # offsets table: #partitions rows — the bare ordered window is
+    # over the bounded offset spine, not data (documented contract)
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
+    )
+    ranked = local.join(F.broadcast(offsets), "_pid").select(
+        "doc_id", "sk", (F.col("_off") + F.col("_rn")).alias("rank")
+    )
+    probe = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sk").alias("sk_a"),
+        "rank",
+        F.explode(F.array(*[F.lit(i) for i in range(1, w + 1)])).alias("d"),
+    ).select(
+        "doc_a", "sk_a", "d", (F.col("rank") + F.col("d")).alias("nrank")
+    )
+    pairs = probe.join(
+        ranked.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sk").alias("sk_b"),
+            F.col("rank").alias("nrank"),
+        ),
+        "nrank",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+        ).alias("ts"),
+    )
+    out = (
+        pairs.join(
+            toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("tb")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("ta"), F.col("tb")))
+    union = F.size(F.col("ta")) + F.size(F.col("tb")) - inter
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("d").alias("dist"),
+        (F.col("sk_a") == F.col("sk_b")).alias("same_key"),
+        F.try_divide(inter.cast("double"), union.cast("double")).alias(
+            "jaccard"
+        ),
+    )
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sorted_neighborhood_pairs(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["sorted_neighborhood_pairs"] = q_sorted_neighborhood
+
+ORACLES["sorted_neighborhood_pairs"] = f"""
+WITH keyed AS (
+  SELECT doc_id, substr(lower(text), 1, {SN_KEY_LEN}) AS sk,
+         list_distinct(list_filter(string_split(lower(text), ' '),
+                                   t -> t <> '')) AS ts
+  FROM documents
+),
+r AS (
+  SELECT doc_id, sk, ts,
+         ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS rank
+  FROM keyed
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, d.d AS dist,
+         (a.sk = b.sk) AS same_key, a.ts AS ta, b.ts AS tb
+  FROM r a
+  CROSS JOIN (SELECT UNNEST(generate_series(1, {SN_WINDOW})) AS d) d
+  JOIN r b ON b.rank = a.rank + d.d
+)
+SELECT doc_a, doc_b, dist, same_key,
+       CAST(len(list_intersect(ta, tb)) AS DOUBLE)
+         / CAST(len(ta) + len(tb) - len(list_intersect(ta, tb)) AS DOUBLE)
+         AS jaccard
+FROM pairs
+"""
