@@ -343,6 +343,84 @@ def hampel_despike(events: DataFrame, key_col: str = "event_type") -> DataFrame:
     )
 
 
+# Seasonal-profile anomaly detection: the calendar-aware upgrade of
+# the rolling z-score.  A trailing frame adapts to drift but is blind
+# to PERIODIC structure — a reading that is normal at 14:00 may be a
+# fault at 03:00, and a trailing window spanning both hours averages
+# the two regimes together.  The classic fix (seasonal naive / hour-
+# of-day profiling, the degenerate-but-robust corner of STL) scores
+# each sample against the historical distribution of its OWN calendar
+# slot: profile = (metric, hour-of-day) -> mean/variance over all
+# history, flag |x - mean| > k * sigma.
+#
+# Scale shape (the two-pass broadcast pattern, cf. winsorized_values):
+# pass 1 is ONE map-side-combinable shuffle collapsing the fact table
+# to #metrics x 24 profile rows; pass 2 broadcast-joins the profile
+# back, so the 100 TB fact table is never shuffled and no per-key sort
+# exists anywhere (unlike the rolling z-score's window pass).  Exact-
+# ness: the profile moments are the module's decimal-sum spellings
+# (associative, partition-order-free), so mean/variance — and hence
+# the flagged set — are bit-identical across engines.
+
+SEASONAL_MIN_SAMPLES = 30
+SEASONAL_Z = 2.5
+
+
+def seasonal_profile(telemetry_df: DataFrame) -> DataFrame:
+    """(metric, hour-of-day) -> n, exact mean, exact variance."""
+    x = telemetry_df.filter(F.col("value_num").isNotNull()).select(
+        "metric",
+        F.hour("time").alias("hod"),
+        F.col("value_num").alias("x"),
+    )
+    dec = F.col("x").cast("decimal(28,6)")
+    dec2 = (F.col("x") * F.col("x")).cast("decimal(28,6)")
+    prof = x.groupBy("metric", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec2).cast("double").alias("s2"),
+    )
+    n = F.col("n")
+    s1 = F.col("s1")
+    mean = s1 / n
+    var = (F.col("s2") - s1 * s1 / n) / (n - 1)
+    return prof.select(
+        "metric", "hod", "n", mean.alias("hod_mean"), var.alias("hod_var")
+    )
+
+
+def seasonal_anomalies(
+    telemetry_df: DataFrame,
+    z_threshold: float = SEASONAL_Z,
+    min_samples: int = SEASONAL_MIN_SAMPLES,
+) -> DataFrame:
+    """Rows deviating > ``z_threshold`` sigma from their (metric,
+    hour-of-day) seasonal slot (slots with < ``min_samples`` history
+    abstain)."""
+    prof = seasonal_profile(telemetry_df)
+    fact = telemetry_df.filter(F.col("value_num").isNotNull())
+    scored = fact.join(
+        F.broadcast(prof),
+        (fact["metric"] == prof["metric"])
+        & (F.hour(fact["time"]) == prof["hod"]),
+    )
+    z = (F.col("value_num") - F.col("hod_mean")) / F.sqrt(F.col("hod_var"))
+    return (
+        scored.filter(
+            (F.col("n") >= min_samples) & (F.abs(z) > z_threshold)
+        )
+        .select(
+            "event_id",
+            fact["metric"].alias("metric"),
+            "time",
+            "value_num",
+            "hod",
+            "hod_mean",
+            z.alias("zscore"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries + oracles
 # ---------------------------------------------------------------------------
@@ -350,6 +428,12 @@ def hampel_despike(events: DataFrame, key_col: str = "event_type") -> DataFrame:
 
 def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore(load_table(spark, sf_dir, "events"))
+
+
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ingest import telemetry
+
+    return seasonal_anomalies(telemetry(spark, sf_dir))
 
 
 def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,6 +454,7 @@ QUERIES = {
     "hampel_despike": lambda spark, sf: hampel_despike(
         load_table(spark, sf, "events")
     ),
+    "seasonal_anomalies": q_seasonal_anomalies,
 }
 
 _FRAME = (
@@ -497,3 +582,32 @@ SELECT event_id, ts, key, value,
 FROM scored
 """,
 }
+
+
+def _seasonal_oracle() -> str:
+    from .ingest import TELEMETRY_SQL
+
+    return f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+prof AS (
+  SELECT metric, hour("time") AS hod,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value_num AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value_num * value_num AS DECIMAL(28,6))) AS DOUBLE)
+           AS s2
+  FROM telemetry WHERE value_num IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_id, t.metric, t."time", t.value_num, p.hod,
+       s1 / n AS hod_mean,
+       (value_num - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zscore
+FROM telemetry t
+JOIN prof p ON t.metric = p.metric AND hour(t."time") = p.hod
+WHERE t.value_num IS NOT NULL
+  AND p.n >= {SEASONAL_MIN_SAMPLES}
+  AND abs((value_num - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)))
+      > {SEASONAL_Z}
+"""
+
+
+ORACLES["seasonal_anomalies"] = _seasonal_oracle()

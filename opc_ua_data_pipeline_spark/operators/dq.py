@@ -289,6 +289,75 @@ def benford_digit_check(events: DataFrame) -> DataFrame:
     )
 
 
+# Order-independent table fingerprints: the replication/compaction
+# verifier.  After a cross-region copy, a lake compaction
+# (maintenance.compact_partitions), or an engine migration, "did the
+# rows survive byte-for-byte?" must be answerable WITHOUT sorting
+# 100 TB — so the per-partition digest is built from commutative
+# aggregates over a per-row hash: COUNT, an exact mod-2^60 SUM
+# (accumulated in DECIMAL(38,0), reduced once at the end) and a
+# BIT_XOR of a 60-bit hash prefix, plus MIN/MAX of the full
+# hex digest.  Any dropped, duplicated, or mutated row flips the
+# (sum, xor) pair with overwhelming probability; equal fingerprints
+# on both sides of a copy certify it partition-by-partition.
+#
+# Scale shape: ONE map-side-combinable shuffle to #partitions rows
+# (the same shape as a rollup); no sort, no join, no Python.  The
+# canonical form feeds every column through engine-deterministic
+# casts (BIGINT/VARCHAR as-is, TIMESTAMP via unix micros, DOUBLE via
+# the proven DECIMAL(28,6) spelling) with an \\x00 NULL sentinel and
+# an \\x1f field separator, so Spark and DuckDB hash identical bytes.
+
+_FP_NUL = "\x00"
+_FP_SEP = "\x1f"
+
+
+def _fp_canon_spark() -> F.Column:
+    def s(c: F.Column) -> F.Column:
+        return F.coalesce(c.cast("string"), F.lit(_FP_NUL))
+
+    return F.concat_ws(
+        _FP_SEP,
+        s(F.col("event_id")),
+        s(F.unix_micros("ts")),
+        s(F.col("user_id")),
+        s(F.col("event_type")),
+        s(F.col("value").cast("decimal(28,6)")),
+        s(F.col("props")),
+    )
+
+
+def table_fingerprint(events: DataFrame) -> DataFrame:
+    """Per-day replication fingerprint of the events table."""
+    h = F.md5(_fp_canon_spark())
+    h60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    return (
+        events.select(F.to_date("ts").alias("day"), h.alias("h"), h60.alias("h60"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                "CAST(SUM(CAST(h60 AS DECIMAL(38,0))) % "
+                f"{2**60} AS BIGINT)"
+            ).alias("hash_sum"),
+            F.expr("bit_xor(h60)").alias("hash_xor"),
+            F.min("h").alias("hash_min"),
+            F.max("h").alias("hash_max"),
+        )
+    )
+
+
+def _hex_int_sql(md5_expr: str, n: int) -> str:
+    """BIGINT of the first ``n`` hex chars (DuckDB has no conv())."""
+    e = "CAST(0 AS BIGINT)"
+    for i in range(n):
+        e = (
+            f"({e} * 16 + (strpos('0123456789abcdef', "
+            f"substr({md5_expr}, {i + 1}, 1)) - 1))"
+        )
+    return e
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_digit_check(load_table(spark, sf_dir, "events"))
 
@@ -309,7 +378,20 @@ QUERIES = {
     "dq_report": q_dq_report,
     "feature_drift_psi": q_feature_drift,
     "benford_digit_check": q_benford,
+    "table_fingerprint": lambda spark, sf: table_fingerprint(
+        load_table(spark, sf, "events")
+    ),
 }
+
+_FP_CANON_SQL = (
+    "concat_ws(chr(31), "
+    "COALESCE(CAST(event_id AS VARCHAR), chr(0)), "
+    "COALESCE(CAST(epoch_us(ts) AS VARCHAR), chr(0)), "
+    "COALESCE(CAST(user_id AS VARCHAR), chr(0)), "
+    "COALESCE(event_type, chr(0)), "
+    "COALESCE(CAST(CAST(value AS DECIMAL(28,6)) AS VARCHAR), chr(0)), "
+    "COALESCE(props, chr(0)))"
+)
 
 _BENFORD_LIST = "[" + ", ".join(repr(p) for p in BENFORD_P) + "]"
 
@@ -455,4 +537,22 @@ SELECT event_type, MAX(n_values) AS n_values,
        MAX(dev) <= {BENFORD_FLAG_DEV} AS benford_ok
 FROM devs
 GROUP BY event_type
+"""
+
+
+ORACLES["table_fingerprint"] = f"""
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day,
+         md5({_FP_CANON_SQL}) AS h
+  FROM events
+)
+SELECT day,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST({_hex_int_sql('h', 15)} AS DECIMAL(38,0)))
+            % {2**60} AS BIGINT) AS hash_sum,
+       bit_xor({_hex_int_sql('h', 15)}) AS hash_xor,
+       MIN(h) AS hash_min,
+       MAX(h) AS hash_max
+FROM h
+GROUP BY day
 """
