@@ -22,6 +22,7 @@ from opc_ua_data_pipeline_spark.operators import (
     curation,
     dashboard,
     dedup,
+    dominance,
     dq,
     graph,
     hyperfunctions,
@@ -46,6 +47,7 @@ from opc_ua_data_pipeline_spark.session import apply_runtime_confs
 
 _MODULES = [
     ingest,
+    dominance,
     rollups,
     dashboard,
     alarms,
@@ -203,6 +205,11 @@ _PRIORITY = [
     "bracket_revenue",
     "lone_fault_suppliers",
     "benford_digit_check",
+    # (e) round-5 fourth stretch — newest last within the new block
+    "seasonal_anomalies",
+    "table_fingerprint",
+    "pareto_front",
+    "editdist_near_dup_pairs",
 ]
 
 

@@ -448,6 +448,48 @@ def verified_near_dup_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+EDIT_SIM_THRESHOLD = 0.8
+
+
+def editdist_near_dup_pairs(
+    df: DataFrame, threshold: float = EDIT_SIM_THRESHOLD
+) -> DataFrame:
+    """Character-level near-dup verification: MinHash+LSH candidates
+    -> exact Levenshtein -> normalized similarity threshold.
+
+    Jaccard verification (verified_near_dup_pairs) is blind to
+    word-INTERNAL edits — 'recieve'/'receive' are different tokens, so
+    token-set overlap under-scores OCR noise, typo farms, and
+    template-with-substitutions spam.  Edit distance is the stricter
+    character-level gate (1 - lev/max_len >= threshold), and the
+    O(len^2)-per-pair DP is affordable for exactly the reason the
+    module documents everywhere: it runs ONLY over the LSH candidate
+    set, never the corpus cross product.  levenshtein() evaluates
+    JVM-side (whole-stage codegen, no Python); the two doc_id equi-
+    joins that attach pair texts are plain hash joins the candidate
+    side keeps small.
+    """
+    cands = minhash_candidate_pairs(df)
+    a = df.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    b = df.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    d = F.levenshtein("_ta", "_tb")
+    big = F.greatest(F.length("_ta"), F.length("_tb"))
+    scored = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            d.alias("edit_dist"),
+            (
+                F.lit(1.0)
+                - d.cast("double") / big.cast("double")
+            ).alias("edit_sim"),
+        )
+    )
+    return scored.filter(F.col("edit_sim") >= threshold)
+
+
 PASSAGE_TOKENS = 16  # fixed-size token chunks stand in for paragraphs
 
 
@@ -553,6 +595,9 @@ QUERIES = {
         )
     )(load_table(spark, sf, "documents")),
     "passage_dedup": lambda spark, sf: passage_dedup(
+        load_table(spark, sf, "documents")
+    ),
+    "editdist_near_dup_pairs": lambda spark, sf: editdist_near_dup_pairs(
         load_table(spark, sf, "documents")
     ),
 }
@@ -1113,4 +1158,27 @@ SELECT doc_a, doc_b, dist, same_key,
          / CAST(len(ta) + len(tb) - len(list_intersect(ta, tb)) AS DOUBLE)
          AS jaccard
 FROM pairs
+"""
+
+
+_EDIT_SIM_SQL = (
+    "1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE)"
+    " / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)"
+)
+
+ORACLES["editdist_near_dup_pairs"] = f"""
+WITH bands AS ({_BANDS_SQL}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       levenshtein(a.text, b.text) AS edit_dist,
+       {_EDIT_SIM_SQL} AS edit_sim
+FROM cands
+JOIN documents a ON doc_a = a.doc_id
+JOIN documents b ON doc_b = b.doc_id
+WHERE {_EDIT_SIM_SQL} >= {EDIT_SIM_THRESHOLD}
 """

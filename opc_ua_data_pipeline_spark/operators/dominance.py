@@ -1,0 +1,111 @@
+"""Skyline (Pareto-front) operator: maximal points under dominance.
+
+The classic multi-criteria DB operator (Börzsönyi et al., ICDE 2001
+"The Skyline Operator"): keep the rows no other row dominates, where
+q dominates p iff q is >= p on every dimension and > on at least one.
+Here the two dimensions are (recency, value) per event_type — "the
+readings never superseded by a later, equally-high reading", the
+record-book query a monitoring dashboard runs over its whole history
+(the 2-D special case is also the classic "max-vector" problem).
+
+Spark-first shape (NOT the textbook block-nested-loop): in 2-D the
+skyline has a closed window form — p survives iff
+
+    value > MAX(value  |  t' > t)        (no later point at/above it)
+    AND value = MAX(value | t' = t)      (no same-time point above it)
+
+i.e. one suffix-max per key.  Equal (t, value) duplicates survive
+together (neither strictly dominates).  The suffix max runs
+DE-SKEWED with the module family's (key, day) two-pass: a RANGE
+window over strictly-later micros inside each (key, day) partition,
+plus a tiny per-(key, day) boundary table whose later-days suffix max
+is broadcast back — bit-identical to the single-window global form
+(max is associative; splitting {t' > t} into {same day, later t} ∪
+{later days} is exact), while no task ever sorts more than one key's
+single day.  The oracle states the SINGLE-window global form, so
+parity re-proves the de-skew algebra on every run.
+
+At 100 TB: two shuffles total (the (key, day) window sort and the
+#key×#day-row boundary aggregate), broadcast join back, no
+quadratic pair probe anywhere.  Reference parity: extension surface —
+the reference's dashboards keep only latest/top-k (machine_dashboard
+rawSql panels); the skyline is what "personal bests" needs instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+
+
+def pareto_front(events: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Per-key 2-D skyline over (time, value), both maximized."""
+    x = events.filter(F.col("value").isNotNull()).select(
+        F.col(key_col).alias("key"),
+        "ts",
+        "event_id",
+        "value",
+        F.to_date("ts").alias("_day"),
+        F.unix_micros("ts").alias("_t"),
+    )
+    # pass 1a: suffix max over strictly-later micros WITHIN (key, day)
+    w_later = (
+        Window.partitionBy("key", "_day")
+        .orderBy("_t")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    # same-instant max needs no ordering at all
+    w_same = Window.partitionBy("key", "_t")
+    local = x.withColumn("m_local", F.max("value").over(w_later)).withColumn(
+        "m_same", F.max("value").over(w_same)
+    )
+    # pass 1b: per-(key, day) max, suffix-maxed over LATER days only
+    w_days = (
+        Window.partitionBy("key")
+        .orderBy("_day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    bounds = (
+        x.groupBy("key", "_day")
+        .agg(F.max("value").alias("day_max"))
+        .withColumn("m_days", F.max("day_max").over(w_days))
+        .select("key", "_day", "m_days")
+    )
+    g = local.join(F.broadcast(bounds), ["key", "_day"])
+    # greatest() skips NULLs (null iff both sides null = nothing later)
+    m_later = F.greatest(F.col("m_local"), F.col("m_days"))
+    return g.filter(
+        (m_later.isNull() | (F.col("value") > m_later))
+        & (F.col("value") == F.col("m_same"))
+    ).select("key", "ts", "event_id", "value")
+
+
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pareto_front(load_table(spark, sf_dir, "events"))
+
+
+QUERIES = {"pareto_front": q_pareto_front}
+
+# Single-window GLOBAL statement of the same algebra (no day split):
+# parity against it re-proves the de-skew decomposition every run.
+ORACLES = {
+    "pareto_front": """
+WITH x AS (
+  SELECT event_type AS key, ts, event_id, value, epoch_us(ts) AS t
+  FROM events WHERE value IS NOT NULL
+),
+s AS (
+  SELECT *,
+         MAX(value) OVER (PARTITION BY key ORDER BY t
+                          RANGE BETWEEN 1 FOLLOWING
+                                    AND UNBOUNDED FOLLOWING) AS m_later,
+         MAX(value) OVER (PARTITION BY key, t) AS m_same
+  FROM x
+)
+SELECT key, ts, event_id, value
+FROM s
+WHERE (m_later IS NULL OR value > m_later) AND value = m_same
+""",
+}
