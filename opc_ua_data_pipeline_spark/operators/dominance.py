@@ -50,14 +50,21 @@ def pareto_front(events: DataFrame, key_col: str = "event_type") -> DataFrame:
         F.to_date("ts").alias("_day"),
         F.unix_micros("ts").alias("_t"),
     )
-    # pass 1a: suffix max over strictly-later micros WITHIN (key, day)
+    # pass 1a: suffix max over strictly-later micros WITHIN (key, day).
+    # The same-instant max uses a RANGE(0,0) peers frame over the SAME
+    # partition + order (equal _t implies equal day), so Catalyst fuses
+    # both into ONE Window pass — one exchange + sort of the fact side,
+    # not two (locked in tests/test_plans.py).
     w_later = (
         Window.partitionBy("key", "_day")
         .orderBy("_t")
         .rangeBetween(1, Window.unboundedFollowing)
     )
-    # same-instant max needs no ordering at all
-    w_same = Window.partitionBy("key", "_t")
+    w_same = (
+        Window.partitionBy("key", "_day")
+        .orderBy("_t")
+        .rangeBetween(Window.currentRow, Window.currentRow)
+    )
     local = x.withColumn("m_local", F.max("value").over(w_later)).withColumn(
         "m_same", F.max("value").over(w_same)
     )

@@ -328,22 +328,43 @@ def _fp_canon_spark() -> F.Column:
 
 
 def table_fingerprint(events: DataFrame) -> DataFrame:
-    """Per-day replication fingerprint of the events table."""
+    """Per-day replication fingerprint of the events table.
+
+    Every aggregate buffer is a fixed-width BIGINT so the whole
+    operator runs as a map-side-combinable HashAggregate (a
+    DECIMAL(38) sum or a string MIN would demote it to SortAggregate
+    — an O(n log n) per-partition sort of the fact table).  The mod-
+    2^60 hash sum therefore accumulates as THREE 20-bit chunk sums
+    (each bounded by n_rows * 2^20, overflow-safe past 10^12 rows/
+    partition) recombined modulo 2^60 once per output row.
+    """
     h = F.md5(_fp_canon_spark())
     h60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-    return (
-        events.select(F.to_date("ts").alias("day"), h.alias("h"), h60.alias("h60"))
+    out = (
+        events.select(F.to_date("ts").alias("day"), h60.alias("h60"))
         .groupBy("day")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.expr(
-                "CAST(SUM(CAST(h60 AS DECIMAL(38,0))) % "
-                f"{2**60} AS BIGINT)"
-            ).alias("hash_sum"),
+            F.expr("SUM(h60 % 1048576)").alias("_s0"),
+            F.expr("SUM((h60 DIV 1048576) % 1048576)").alias("_s1"),
+            F.expr("SUM(h60 DIV 1099511627776)").alias("_s2"),
             F.expr("bit_xor(h60)").alias("hash_xor"),
-            F.min("h").alias("hash_min"),
-            F.max("h").alias("hash_max"),
+            F.min("h60").alias("hash_min"),
+            F.max("h60").alias("hash_max"),
         )
+    )
+    total = (
+        F.col("_s0") % F.lit(2**60)
+        + (F.col("_s1") % F.lit(2**40)) * F.lit(2**20)
+        + (F.col("_s2") % F.lit(2**20)) * F.lit(2**40)
+    ) % F.lit(2**60)
+    return out.select(
+        "day",
+        "n_rows",
+        total.alias("hash_sum"),
+        "hash_xor",
+        "hash_min",
+        "hash_max",
     )
 
 
@@ -543,16 +564,24 @@ GROUP BY event_type
 ORACLES["table_fingerprint"] = f"""
 WITH h AS (
   SELECT CAST(ts AS DATE) AS day,
-         md5({_FP_CANON_SQL}) AS h
+         {_hex_int_sql(f'md5({_FP_CANON_SQL})', 15)} AS h60
   FROM events
+),
+agg AS (
+  SELECT day,
+         COUNT(*) AS n_rows,
+         SUM(h60 % {2**20}) AS s0,
+         SUM((h60 // {2**20}) % {2**20}) AS s1,
+         SUM(h60 // {2**40}) AS s2,
+         bit_xor(h60) AS hash_xor,
+         MIN(h60) AS hash_min,
+         MAX(h60) AS hash_max
+  FROM h
+  GROUP BY day
 )
-SELECT day,
-       COUNT(*) AS n_rows,
-       CAST(SUM(CAST({_hex_int_sql('h', 15)} AS DECIMAL(38,0)))
-            % {2**60} AS BIGINT) AS hash_sum,
-       bit_xor({_hex_int_sql('h', 15)}) AS hash_xor,
-       MIN(h) AS hash_min,
-       MAX(h) AS hash_max
-FROM h
-GROUP BY day
+SELECT day, n_rows,
+       CAST(((s0 % {2**60}) + (s1 % {2**40}) * {2**20}
+             + (s2 % {2**20}) * {2**40}) % {2**60} AS BIGINT) AS hash_sum,
+       hash_xor, hash_min, hash_max
+FROM agg
 """

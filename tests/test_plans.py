@@ -467,3 +467,36 @@ def test_lone_fault_suppliers_is_semi_plus_anti(spark):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pareto_front_single_fused_window_pass(spark):
+    """The skyline's two window maxes (suffix, same-instant peers)
+    share one partition+order spec, so the fact side must pay exactly
+    ONE exchange + sort, and the boundary table must come back as a
+    broadcast join."""
+    plan = formatted_plan(Q["pareto_front"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # one Window node on the fact branch, one on the tiny day-bounds
+    # branch — no third pass
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_table_fingerprint_stays_hash_aggregable(spark):
+    """Every fingerprint buffer is fixed-width BIGINT on purpose; a
+    DECIMAL(38) sum or string MIN would demote the whole scan to
+    SortAggregate (per-partition O(n log n) sort at 100 TB)."""
+    plan = formatted_plan(Q["table_fingerprint"](spark, SF))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_seasonal_anomalies_broadcasts_profile(spark):
+    """The (metric, hour-of-day) profile is #metrics x 24 rows: it
+    must broadcast back over the fact scan — never shuffle the fact
+    table — and the profile aggregate must combine map-side."""
+    plan = formatted_plan(Q["seasonal_anomalies"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
