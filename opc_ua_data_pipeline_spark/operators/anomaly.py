@@ -393,11 +393,19 @@ def seasonal_anomalies(
     telemetry_df: DataFrame,
     z_threshold: float = SEASONAL_Z,
     min_samples: int = SEASONAL_MIN_SAMPLES,
+    profile: DataFrame | None = None,
 ) -> DataFrame:
     """Rows deviating > ``z_threshold`` sigma from their (metric,
     hour-of-day) seasonal slot (slots with < ``min_samples`` history
-    abstain)."""
-    prof = seasonal_profile(telemetry_df)
+    abstain).
+
+    ``profile`` defaults to self-training on the scored frame (the
+    batch/backfill shape); pass a frozen :func:`seasonal_profile` to
+    score a LIVE STREAM against trained seasonality — the scoring path
+    is a stateless narrow projection plus a stream-static broadcast
+    join, so the same code serves both (streaming/anomaly.py twin).
+    """
+    prof = seasonal_profile(telemetry_df) if profile is None else profile
     fact = telemetry_df.filter(F.col("value_num").isNotNull())
     scored = fact.join(
         F.broadcast(prof),

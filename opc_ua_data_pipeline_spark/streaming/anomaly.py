@@ -352,3 +352,35 @@ def hampel_stream(events: DataFrame, half: int = 3) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming seasonal scoring — the online twin of
+# operators/anomaly.seasonal_anomalies
+# ---------------------------------------------------------------------------
+
+
+def seasonal_stream(
+    events_stream: DataFrame,
+    profile: DataFrame,
+    **knobs,
+) -> DataFrame:
+    """Score a live event stream against a FROZEN (metric, hour-of-
+    day) seasonal profile (operators/anomaly.seasonal_profile output,
+    trained on history by a batch job).
+
+    Unlike the keyed-state twins above, seasonal scoring needs NO
+    state at all: the profile is a #metrics x 24-row static frame, so
+    this is a narrow telemetry projection plus a stream-static
+    BROADCAST join — every micro-batch scores independently, restart
+    is trivially exactly-once, and the operator scales with the
+    stream, not the history.  Batch ≡ stream bit-for-bit when the
+    profile is trained on the same history
+    (tests/test_streaming_anomaly.py).
+    """
+    from ..operators.anomaly import seasonal_anomalies
+    from ..operators.ingest import telemetry_transform
+
+    return seasonal_anomalies(
+        telemetry_transform(events_stream), profile=profile, **knobs
+    )

@@ -121,3 +121,46 @@ def test_zscore_stream_survives_restart(spark, tmp_path):
         for r in rolling_zscore(load_table(spark, SF_DIR, "events")).collect()
     )
     assert got == want
+
+
+def test_seasonal_stream_matches_batch(spark, tmp_path):
+    from opc_ua_data_pipeline_spark.operators.anomaly import (
+        seasonal_anomalies,
+        seasonal_profile,
+    )
+    from opc_ua_data_pipeline_spark.operators.ingest import telemetry
+    from opc_ua_data_pipeline_spark.streaming.anomaly import seasonal_stream
+
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts", "event_id")
+    rows = ev.collect()
+    d = tmp_path / "replay_seasonal"
+    d.mkdir()
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d / f"c{i}")
+        )
+    for i, f in enumerate(sorted(glob.glob(str(d / "c*" / "part-*.parquet")))):
+        os.rename(f, str(d / f"{i:02d}.parquet"))
+    _order_files(d)
+
+    tel = telemetry(spark, SF_DIR)
+    profile = seasonal_profile(tel)
+    out = _run_stream(
+        spark,
+        seasonal_stream(
+            file_stream(spark, str(d)), profile,
+            z_threshold=1.5, min_samples=3,
+        ),
+        "seasonal_stream",
+    )
+    cols = ["event_id", "metric", "time", "value_num", "hod", "hod_mean",
+            "zscore"]
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in seasonal_anomalies(
+            tel, z_threshold=1.5, min_samples=3
+        ).collect()
+    )
+    assert got == want and got
