@@ -210,6 +210,8 @@ _PRIORITY = [
     "table_fingerprint",
     "pareto_front",
     "editdist_near_dup_pairs",
+    "lead_lag_correlation",
+    "sliding_wau_sketch",
 ]
 
 

@@ -808,6 +808,81 @@ def metric_pair_correlation(tel: DataFrame, grain: str = "hour") -> DataFrame:
     )
 
 
+LEADLAG_MAX = 3
+_GRAIN_US = {"minute": 60_000_000, "hour": 3_600_000_000}
+
+
+def lead_lag_correlation(
+    tel: DataFrame, grain: str = "hour", max_lag: int = LEADLAG_MAX
+) -> DataFrame:
+    """Lagged Pearson profile between every metric pair: ``corr(x_t,
+    y_{t+lag})`` for lag in [-max_lag, +max_lag] buckets — the lead-lag
+    miner on top of :func:`metric_pair_correlation` (which is this
+    operator's lag=0 slice).  A peak at positive lag means metric_a
+    LEADS metric_b by that many buckets: the "which sensor moves
+    first" question behind cascade/root-cause triage, which a plain
+    correlation matrix cannot answer.
+
+    Same scale + exactness contract as the unlagged operator: raw
+    scan -> rollup-sized bucket table once; the lag spine (2*max_lag+1
+    rows) broadcast-replicates the SMALL rollup, never the raw scan;
+    the shifted equi-join runs on integer bucket micros; every moment
+    accumulates in exact integer arithmetic per (pair, lag); ulp-
+    collapse at DECIMAL(18,9).
+    """
+    step_us = _GRAIN_US[grain]
+    b = (
+        tel.filter(F.col("value_num").isNotNull())
+        .groupBy(
+            F.col("metric"), F.date_trunc(grain, F.col("time")).alias("bucket")
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(value_num AS DECIMAL(28,6))) * 1000000 AS BIGINT)"
+            ).alias("s6")
+        )
+        .select("metric", F.unix_micros("bucket").alias("bucket_us"), "s6")
+    )
+    spine = tel.sparkSession.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    shifted = b.alias("a").crossJoin(F.broadcast(spine))
+    pairs = (
+        shifted.join(
+            b.alias("b"),
+            F.expr(
+                f"a.bucket_us + CAST(lag AS BIGINT) * {step_us} = b.bucket_us"
+                " AND a.metric < b.metric"
+            ),
+        )
+        .select(
+            F.col("a.metric").alias("metric_a"),
+            F.col("b.metric").alias("metric_b"),
+            "lag",
+            F.col("a.s6").alias("x"),
+            F.col("b.s6").alias("y"),
+        )
+    )
+    dec = "DECIMAL(38,0)"
+    agg = pairs.groupBy("metric_a", "metric_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"CAST(SUM(CAST(x AS {dec})) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(SUM(CAST(y AS {dec})) AS DOUBLE)").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(x AS {dec}) * y) AS DOUBLE)").alias("sxy"),
+        F.expr(f"CAST(SUM(CAST(x AS {dec}) * x) AS DOUBLE)").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST(y AS {dec}) * y) AS DOUBLE)").alias("syy"),
+    )
+    return agg.selectExpr(
+        "metric_a",
+        "metric_b",
+        "lag",
+        "n AS n_buckets",
+        "CAST(CAST(try_divide(n * sxy - sx * sy,"
+        " sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+        " AS DECIMAL(18,9)) AS DOUBLE) AS corr_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -868,6 +943,9 @@ QUERIES = {
     "uptime_agg": q_uptime,
     "candlestick_merge": q_candlestick_merge,
     "metric_pair_correlation": q_metric_pair_correlation,
+    "lead_lag_correlation": lambda spark, sf: lead_lag_correlation(
+        telemetry(spark, sf)
+    ),
     "lttb_downsample": q_lttb,
 }
 
@@ -1024,6 +1102,40 @@ UNION ALL SELECT * FROM sel
     # Exact-integer Pearson: HUGEINT here mirrors Spark's
     # DECIMAL(38,0) — both are exact on the micro-unit products/sums,
     # so only the pinned-order closed form touches floating point.
+    "lead_lag_correlation": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+b AS (
+  SELECT metric, epoch_us(date_trunc('hour', "time")) AS bucket_us,
+         CAST(SUM(CAST(value_num AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS s6
+  FROM telemetry WHERE value_num IS NOT NULL
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.metric AS metric_a, bb.metric AS metric_b, l.lag,
+         a.s6 AS x, bb.s6 AS y
+  FROM b a
+  CROSS JOIN (SELECT UNNEST(generate_series(-{LEADLAG_MAX}, {LEADLAG_MAX}))
+              AS lag) l
+  JOIN b bb ON a.bucket_us + CAST(l.lag AS BIGINT) * 3600000000
+               = bb.bucket_us
+           AND a.metric < bb.metric
+),
+agg AS (
+  SELECT metric_a, metric_b, lag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+  FROM pairs GROUP BY 1, 2, 3
+)
+SELECT metric_a, metric_b, CAST(lag AS INTEGER) AS lag, n AS n_buckets,
+       CAST(CAST((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+            AS DECIMAL(18,9)) AS DOUBLE) AS corr_value
+FROM agg
+""",
     "metric_pair_correlation": f"""
 WITH telemetry AS ({TELEMETRY_SQL}),
 b AS (

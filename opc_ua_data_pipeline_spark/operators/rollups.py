@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..tables import load_table
 from .ingest import TELEMETRY_SQL, telemetry
 
 #: Decimal type wide enough for ~1e9 rows of 1e6-magnitude measures
@@ -239,6 +240,66 @@ def hll_rollup_merge(events: DataFrame) -> DataFrame:
     )
 
 
+WAU_WINDOW_DAYS = 7
+
+
+def sliding_wau_sketch(
+    events: DataFrame, window_days: int = WAU_WINDOW_DAYS
+) -> DataFrame:
+    """Sliding weekly-active-users from mergeable daily HLL sketches:
+    one sketch per day, each trailing-7-day answer a UNION of 7 daily
+    sketches — the windowed companion of :func:`hll_rollup_merge`, and
+    the only shape where a sliding DISTINCT window is affordable at
+    100 TB.  An exact sliding countDistinct must re-scan every fact
+    row ``window_days`` times (distinct partials don't add); the
+    sketch path scans the fact table ONCE into #days sketches, and the
+    window slide replicates only the #days-row sketch table — any
+    window length, any slide, no rescan.
+
+    Contract shape per hll_rollup_merge: the exact trailing distinct
+    (computed here only as the verification harness, replicating the
+    fact rows window_days times) is hash-matched; the sketch estimate
+    is bounded (``wau_ok``) because sketch internals are
+    engine-specific.  Trailing windows at the span's left edge are
+    partial (fewer than window_days days) on both paths alike.
+    """
+    day = F.to_date("ts")
+    daily = events.groupBy(day.alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    offsets = events.sparkSession.range(0, window_days).select(
+        F.col("id").cast("int").alias("off")
+    )
+    # end_day spine: only days that actually occur (semi join) so the
+    # output grain matches the exact side's
+    spine = daily.select("day")
+    merged = (
+        daily.crossJoin(F.broadcast(offsets))
+        .withColumn("end_day", F.date_add("day", F.col("off")))
+        .join(F.broadcast(spine.withColumnRenamed("day", "end_day")), "end_day", "left_semi")
+        .groupBy("end_day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_est")
+        )
+    )
+    exact = (
+        events.select(day.alias("day"), "user_id")
+        .crossJoin(F.broadcast(offsets))
+        .withColumn("end_day", F.date_add("day", F.col("off")))
+        .join(F.broadcast(spine.withColumnRenamed("day", "end_day")), "end_day", "left_semi")
+        .groupBy("end_day")
+        .agg(F.countDistinct("user_id").alias("exact_wau"))
+    )
+    return exact.join(merged, "end_day").select(
+        "end_day",
+        "exact_wau",
+        (
+            F.abs(F.col("wau_est") - F.col("exact_wau"))
+            <= F.lit(HLL_MERGE_RTOL) * F.col("exact_wau")
+        ).alias("wau_ok"),
+    )
+
+
 #: Fixed-bin histogram grid for the mergeable percentile rollup.
 #: Data-independent breaks are what make the partials mergeable AND
 #: streaming-compatible (no global min/max pre-pass); the grid covers
@@ -374,6 +435,9 @@ QUERIES = {
     "rollup_sliding": q_rollup_sliding,
     "last_running_time": q_last_running,
     "hll_rollup_merge": q_hll_rollup_merge,
+    "sliding_wau_sketch": lambda spark, sf: sliding_wau_sketch(
+        load_table(spark, sf, "events")
+    ),
     "histogram_rollup_percentiles": q_histogram_rollup,
 }
 
@@ -390,6 +454,16 @@ FROM telemetry WHERE metric = 'signup'
 """,
     # exact hourly distinct hash-matched; merged sketch estimate
     # bounded (merge_ok must be TRUE for every bucket)
+    "sliding_wau_sketch": f"""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT d.day AS end_day,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_wau,
+       TRUE AS wau_ok
+FROM days d
+JOIN events e
+  ON CAST(e.ts AS DATE) BETWEEN d.day - {WAU_WINDOW_DAYS - 1} AND d.day
+GROUP BY 1
+""",
     "hll_rollup_merge": """
 SELECT event_type,
        date_trunc('hour', ts) AS bucket,
