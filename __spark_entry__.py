@@ -111,9 +111,9 @@ _PYTEST_ONLY = {
 # the ivfpq recall denominator fix) plus brand-new round-5 queries,
 # then (c) reference-surface re-checks.  With (a) green, every
 # round-4-era contract query has a driver row on the current parquet
-# encoding across r3 ∪ r4 ∪ r5 (the registry is 139 contract queries
-# after the round-5 additions; the 3 newest past slot 50 carry
-# dual-SF local artifacts and front-load round 6).
+# encoding across r3 ∪ r4 ∪ r5 (the registry is 158 contract queries
+# after the round-5 additions; everything past slot 50 carries
+# dual-SF local artifacts and the (d)/(e) blocks front-load round 6).
 _PRIORITY = [
     # (a) never driver-checked on the regenerated parquet:
     # relational / warehouse analytics
@@ -212,6 +212,8 @@ _PRIORITY = [
     "editdist_near_dup_pairs",
     "lead_lag_correlation",
     "sliding_wau_sketch",
+    "operator_error_ztest",
+    "behavioral_entropy",
 ]
 
 

@@ -96,6 +96,13 @@ HEADLINE = [
     "pmi_collocations",      # corpus bigram PMI mining
     "event_path_trigrams",   # per-user lead windows, tiny count space
     "multi_touch_attribution",  # purchase-touch range join + credits
+    # round-5d additions:
+    "seasonal_anomalies",    # broadcast hour-of-day profile scoring
+    "table_fingerprint",     # pure-BIGINT HashAggregate checksums
+    "pareto_front",          # skyline: one fused window pass
+    "editdist_near_dup_pairs",  # levenshtein verify over LSH candidates
+    "lead_lag_correlation",  # lag-spine Pearson on the rollup
+    "sliding_wau_sketch",    # daily HLL sketches, 7-day sliding union
 ]
 
 

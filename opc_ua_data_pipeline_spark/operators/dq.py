@@ -387,6 +387,60 @@ def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_drift_psi(load_table(spark, sf_dir, "events"))
 
 
+# Two-proportion z-test per operator: "does operator op-K's equipment
+# error significantly more than everyone else's?" — the statistical
+# upgrade of eyeballing per-operator error-rate bars (the reference
+# dashboard's alarm panels slice by the operator tag; this screen says
+# which differences are NOISE).  One-vs-rest design: for operator k
+# with (n_k errors e_k) against the rest (N - n_k, E - e_k),
+#
+#   z = (p_k - p_rest) / sqrt(p_pool (1 - p_pool) (1/n_k + 1/n_rest))
+#
+# with the pooled rate E/N.  All counts come from ONE map-side-
+# combinable aggregate over the telemetry scan (#operators rows);
+# the rest-side counts are derived by broadcasting the 1-row total —
+# no second scan, no window.  z is pure IEEE arithmetic on exact
+# integer counts in pinned order, ulp-collapsed at DECIMAL(18,9).
+
+ZTEST_CRIT = 1.96  # two-sided 5%
+
+
+def operator_error_ztest(telemetry_df: DataFrame) -> DataFrame:
+    per_op = (
+        telemetry_df.filter(F.col("operator").isNotNull())
+        .groupBy("operator")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("metric") == "error").cast("long")).alias("e"),
+        )
+    )
+    totals = per_op.agg(
+        F.sum("n").alias("n_tot"), F.sum("e").alias("e_tot")
+    )
+    z_expr = (
+        "(e / n - (e_tot - e) / (n_tot - n))"
+        " / sqrt((e_tot / n_tot) * (1.0 - e_tot / n_tot)"
+        " * (1.0 / n + 1.0 / (n_tot - n)))"
+    )
+    return (
+        per_op.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "operator",
+            "n AS n_events",
+            "e AS n_errors",
+            f"CAST(CAST({z_expr} AS DECIMAL(18,9)) AS DOUBLE) AS z_vs_rest",
+            f"abs(CAST(CAST({z_expr} AS DECIMAL(18,9)) AS DOUBLE))"
+            f" > {ZTEST_CRIT} AS significant",
+        )
+    )
+
+
+def q_operator_error_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ingest import telemetry
+
+    return operator_error_ztest(telemetry(spark, sf_dir))
+
+
 def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_report(
         load_table(spark, sf_dir, "lineitem"),
@@ -402,6 +456,7 @@ QUERIES = {
     "table_fingerprint": lambda spark, sf: table_fingerprint(
         load_table(spark, sf, "events")
     ),
+    "operator_error_ztest": q_operator_error_ztest,
 }
 
 _FP_CANON_SQL = (
@@ -585,3 +640,34 @@ SELECT day, n_rows,
        hash_xor, hash_min, hash_max
 FROM agg
 """
+
+
+def _ztest_oracle() -> str:
+    from .ingest import TELEMETRY_SQL
+
+    z = (
+        "(e / n - (e_tot - e) / (n_tot - n))"
+        " / sqrt((e_tot / n_tot) * (1.0 - e_tot / n_tot)"
+        " * (1.0 / n + 1.0 / (n_tot - n)))"
+    )
+    return f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+per_op AS (
+  SELECT operator,
+         COUNT(*) AS n,
+         SUM(CASE WHEN metric = 'error' THEN 1 ELSE 0 END) AS e
+  FROM telemetry WHERE operator IS NOT NULL
+  GROUP BY operator
+),
+tot AS (SELECT SUM(n) AS n_tot, SUM(e) AS e_tot FROM per_op)
+SELECT operator,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(e AS BIGINT) AS n_errors,
+       CAST(CAST({z} AS DECIMAL(18,9)) AS DOUBLE) AS z_vs_rest,
+       abs(CAST(CAST({z} AS DECIMAL(18,9)) AS DOUBLE)) > {ZTEST_CRIT}
+         AS significant
+FROM per_op CROSS JOIN tot
+"""
+
+
+ORACLES["operator_error_ztest"] = _ztest_oracle()

@@ -148,6 +148,55 @@ def multi_touch_attribution(
     )
 
 
+#: the fixture generator's closed event-type domain; n_other is
+#: emitted (and must stay 0) so any domain drift breaks parity loudly
+#: instead of silently skewing the entropy.
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def behavioral_entropy(events: DataFrame) -> DataFrame:
+    """Shannon entropy (nats) of each user's event-type distribution —
+    the behavioral-diversity score bot/fraud screens rank on: scripted
+    accounts hammer one action (entropy → 0) while organic users mix
+    types (entropy → ln #types).
+
+    ONE map-side-combinable shuffle: the closed type domain means the
+    per-user histogram is #types conditional counts inside a single
+    aggregate — no (user, type) pre-aggregation, no join back for the
+    per-user total, no pivot.  Each p·ln(p) term rounds to
+    DECIMAL(18,9) at its libm call (PSI precedent) and the ≤ #types+1
+    decimal terms sum exactly, so the score is bit-identical
+    cross-engine.
+    """
+    other = " , ".join(f"'{t}'" for t in EVENT_TYPES)
+    hist = events.groupBy("user_id").agg(
+        F.expr("COUNT(*)").alias("n_events"),
+        *[
+            F.expr(
+                f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+            ).alias(f"c{i}")
+            for i, t in enumerate(EVENT_TYPES)
+        ],
+        F.expr(
+            f"SUM(CASE WHEN event_type IN ({other}) THEN 0 ELSE 1 END)"
+        ).alias("n_other"),
+    )
+    term = (
+        "CASE WHEN {c} > 0 THEN CAST(({c} / n_events)"
+        " * ln({c} / n_events) AS DECIMAL(18,9)) ELSE 0 END"
+    )
+    terms = " + ".join(
+        term.format(c=c)
+        for c in [f"c{i}" for i in range(len(EVENT_TYPES))] + ["n_other"]
+    )
+    return hist.selectExpr(
+        "user_id",
+        "n_events",
+        "n_other",
+        f"CAST(-({terms}) AS DOUBLE) AS entropy_nats",
+    )
+
+
 def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_path_trigrams(load_table(spark, sf_dir, "events"))
 
@@ -159,7 +208,25 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "event_path_trigrams": q_path_trigrams,
     "multi_touch_attribution": q_attribution,
+    "behavioral_entropy": lambda spark, sf: behavioral_entropy(
+        load_table(spark, sf, "events")
+    ),
 }
+
+_ENT_TERM = (
+    "CASE WHEN {c} > 0 THEN CAST(({c} / n_events)"
+    " * ln({c} / n_events) AS DECIMAL(18,9)) ELSE 0 END"
+)
+_ENT_TERMS = " + ".join(
+    _ENT_TERM.format(c=c)
+    for c in [f"c{i}" for i in range(len(EVENT_TYPES))] + ["n_other"]
+)
+_ENT_COUNTS = ",\n         ".join(
+    f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS c{i}"
+    for i, t in enumerate(EVENT_TYPES)
+)
+_ENT_OTHER = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+
 
 ORACLES = {
     "event_path_trigrams": f"""
@@ -229,3 +296,21 @@ FROM scored
 GROUP BY touch_type
 """,
 }
+
+
+ORACLES["behavioral_entropy"] = f"""
+WITH hist AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         {_ENT_COUNTS},
+         SUM(CASE WHEN event_type IN ({_ENT_OTHER}) THEN 0 ELSE 1 END)
+           AS n_other
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id,
+       n_events,
+       CAST(n_other AS BIGINT) AS n_other,
+       CAST(-({_ENT_TERMS}) AS DOUBLE) AS entropy_nats
+FROM hist
+"""
