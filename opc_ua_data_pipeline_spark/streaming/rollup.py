@@ -283,3 +283,52 @@ def streaming_candlestick(
             "n_samples",
         )
     )
+
+
+def streaming_table_fingerprint(events: DataFrame) -> DataFrame:
+    """Watermarked per-day replication fingerprints on the ingest
+    stream — the streaming half of operators/dq.table_fingerprint, and
+    the reason that operator's buffers are all fixed-width BIGINTs:
+    COUNT, the three 20-bit chunk sums, BIT_XOR and MIN/MAX are ALL
+    incrementally maintainable, so each closed day emits the same
+    checksum the batch verifier would compute — the sink side of a
+    replication pipeline can fingerprint ITSELF as it ingests, with
+    #open-days rows of state, and compare against the source's batch
+    fingerprints with no second scan.
+
+    Batch ≡ stream bit-for-bit on closed days
+    (tests/test_streaming_fingerprint.py); the mod-2^60 recombination
+    happens per emitted row, after the mergeable chunk sums.
+    """
+    from ..operators.dq import _fp_canon_spark
+
+    h60 = F.conv(
+        F.substring(F.md5(_fp_canon_spark()), 1, 15), 16, 10
+    ).cast("long")
+    agged = (
+        events.withColumn("h60", h60)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(f"SUM(h60 % {2**20})").alias("_s0"),
+            F.expr(f"SUM((h60 DIV {2**20}) % {2**20})").alias("_s1"),
+            F.expr(f"SUM(h60 DIV {2**40})").alias("_s2"),
+            F.expr("bit_xor(h60)").alias("hash_xor"),
+            F.min("h60").alias("hash_min"),
+            F.max("h60").alias("hash_max"),
+        )
+    )
+    total = (
+        F.col("_s0") % F.lit(2**60)
+        + (F.col("_s1") % F.lit(2**40)) * F.lit(2**20)
+        + (F.col("_s2") % F.lit(2**20)) * F.lit(2**40)
+    ) % F.lit(2**60)
+    return agged.select(
+        F.col("window.start").cast("date").alias("day"),
+        "n_rows",
+        total.alias("hash_sum"),
+        "hash_xor",
+        "hash_min",
+        "hash_max",
+    )
