@@ -214,6 +214,7 @@ _PRIORITY = [
     "sliding_wau_sketch",
     "operator_error_ztest",
     "behavioral_entropy",
+    "image_phash_pairs",
 ]
 
 

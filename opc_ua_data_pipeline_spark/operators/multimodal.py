@@ -698,3 +698,149 @@ SELECT doc_id,
        CAST(p[48] AS INTEGER) AS bottom_right
 FROM px
 """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing: near-dup IMAGE dedup over the real codec
+# ---------------------------------------------------------------------------
+
+#: Hamming radius for "visually identical" on the 16-bit average hash.
+AHASH_HAMMING_MAX = 2
+AHASH_SCHEMA = "doc_id long, ahash long"
+
+
+def bmp_ahash(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) each REAL BMP: decode the 4x4 pixel grid
+    (same header parse + bottom-up flip as decode_bmp_features),
+    grayscale each pixel as the exact channel sum, and set bit i of a
+    16-bit fingerprint iff pixel i (top-down raster order) is
+    strictly brighter than the image mean — the integer comparison
+    ``16 * gray_i > sum(gray)``, so no float enters the hash.  This is
+    the classic perceptual-hash pipeline (pHash-family) scaled down to
+    the fixture's 4x4 containers; the Arrow/mapInPandas plumbing and
+    the raster-order arithmetic are exactly what a production 64-bit
+    aHash over 8x8 thumbnails runs.
+    """
+    import struct
+
+    import numpy as np
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] != b"BM":
+                    raise ValueError("not a BMP payload")
+                (data_off,) = struct.unpack_from("<I", b, 10)
+                _hdr, w, h = struct.unpack_from("<Iii", b, 14)
+                stride = (w * 3 + 3) // 4 * 4
+                stored = [
+                    np.frombuffer(b, np.uint8, stride, data_off + r * stride)[
+                        : w * 3
+                    ]
+                    for r in range(h)
+                ]
+                img = np.stack(stored[::-1])  # bottom-up -> top-down
+                gray = img.reshape(h, w, 3).sum(axis=2).reshape(-1)
+                gray = gray.astype(np.int64)
+                total = int(gray.sum())
+                ahash = 0
+                for i, g in enumerate(gray):
+                    if 16 * int(g) > total:
+                        ahash |= 1 << i
+                rows.append((doc_id, ahash))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
+
+    return media.mapInPandas(parse, AHASH_SCHEMA)
+
+
+def image_phash_pairs(
+    df: DataFrame, max_hamming: int = AHASH_HAMMING_MAX
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual hash: aHash every BMP,
+    then find pairs within ``max_hamming`` bits — the image analog of
+    simhash_near_dup_pairs, closing the dedup family over the
+    multimodal column.
+
+    Scale shape is the banded-Hamming LSH the simhash operator proved:
+    the 16-bit hash splits into 4 disjoint 4-bit bands; <= 3 flipped
+    bits leave at least one band intact (pigeonhole), so an equality
+    join on (band index, band value) finds every candidate at radius
+    <= ``max_hamming`` (= 2) with NO quadratic pass, and bit_count-XOR
+    verifies exactly.  The oracle states the quadratic ground truth,
+    so parity proves the banding loses nothing.
+    """
+    ah = bmp_ahash(as_bmp(df))
+    bands = ah.select(
+        "doc_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.col("ahash").bitwiseAND(F.lit(15 << (4 * b))))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("ah_a"),
+            F.col("b.ahash").alias("ah_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_nbands"))
+    )
+    ham = F.expr("bit_count(ah_a ^ ah_b)")
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_phash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["image_phash_pairs"] = q_image_phash_pairs
+
+#: gray_i for raster index i: stored row (3 - i//4), column i%4 —
+#: the same bottom-up flip the decoder performs, in list arithmetic.
+_GRAY_SQL = (
+    "list_transform(generate_series(0, 15), i -> "
+    "p[(3 - i // 4) * 12 + (i % 4) * 3 + 1]"
+    " + p[(3 - i // 4) * 12 + (i % 4) * 3 + 2]"
+    " + p[(3 - i // 4) * 12 + (i % 4) * 3 + 3])"
+)
+
+ORACLES["image_phash_pairs"] = f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 48),
+                        i -> ascii(substr({_PAD_SQL}, CAST(i AS INTEGER), 1)))
+           AS p
+  FROM documents
+),
+g AS (SELECT doc_id, {_GRAY_SQL} AS gs FROM px),
+h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 15),
+              i -> CASE WHEN 16 * gs[i + 1] > list_sum(gs)
+                        THEN 1 << i ELSE 0 END)) AS BIGINT) AS ahash
+  FROM g
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= {AHASH_HAMMING_MAX}
+"""
