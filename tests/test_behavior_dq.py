@@ -77,3 +77,35 @@ def test_ztest_flags_engineered_outlier(spark):
     assert out["op-2"]["z_vs_rest"] < 0
     # counts are exact
     assert out["op-1"]["n_errors"] == 150
+
+
+def test_lead_lag_detects_engineered_shift(spark):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        lead_lag_correlation,
+    )
+
+    # metric 'b' is metric 'a' delayed by exactly 2 hours: the lag
+    # profile must peak (r = 1) at lag = +2 ('a' leads 'b').
+    base = datetime.datetime(2024, 1, 1)
+    vals = [5.0, 9.0, 2.0, 7.0, 4.0, 8.0, 1.0, 6.0, 3.0, 10.0,
+            5.5, 8.5, 2.5, 7.5, 4.5, 9.5, 1.5, 6.5, 3.5, 0.5]
+    rows = []
+    eid = 0
+    for i, v in enumerate(vals):
+        rows.append((eid, base + datetime.timedelta(hours=i), 1, "a", v, "{}"))
+        eid += 1
+        rows.append(
+            (eid, base + datetime.timedelta(hours=i + 2), 1, "b", v, "{}")
+        )
+        eid += 1
+    tel = spark.createDataFrame(
+        [(r[1], r[3], r[4], None, None, r[0]) for r in rows],
+        "time timestamp, metric string, value_num double, "
+        "value_str string, operator string, event_id long",
+    )
+    out = {
+        r["lag"]: r["corr_value"]
+        for r in lead_lag_correlation(tel).collect()
+    }
+    assert abs(out[2] - 1.0) < 1e-9
+    assert all(abs(v) < 0.9 for lag, v in out.items() if lag != 2)
