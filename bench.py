@@ -100,7 +100,9 @@ HEADLINE = [
     "seasonal_anomalies",    # broadcast hour-of-day profile scoring
     "table_fingerprint",     # pure-BIGINT HashAggregate checksums
     "pareto_front",          # skyline: one fused window pass
-    "editdist_near_dup_pairs",  # levenshtein verify over LSH candidates
+    # editdist_near_dup_pairs deliberately NOT a headliner: like the
+    # quadratic Jaccard baseline, it is the cascade's verification
+    # tail (per-pair DP cost), not a mechanism to race
     "lead_lag_correlation",  # lag-spine Pearson on the rollup
     "sliding_wau_sketch",    # daily HLL sketches, 7-day sliding union
 ]

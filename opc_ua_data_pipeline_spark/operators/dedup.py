@@ -451,25 +451,37 @@ def verified_near_dup_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
 EDIT_SIM_THRESHOLD = 0.8
 
 
+EDIT_JACCARD_FLOOR = 0.95
+
+
 def editdist_near_dup_pairs(
-    df: DataFrame, threshold: float = EDIT_SIM_THRESHOLD
+    df: DataFrame,
+    threshold: float = EDIT_SIM_THRESHOLD,
+    jaccard_floor: float = EDIT_JACCARD_FLOOR,
 ) -> DataFrame:
-    """Character-level near-dup verification: MinHash+LSH candidates
-    -> exact Levenshtein -> normalized similarity threshold.
+    """Character-level near-dup gate at the END of the verification
+    CASCADE: MinHash bands -> exact token-Jaccard verify -> Levenshtein
+    threshold (1 - lev/max_len >= ``threshold``).
 
     Jaccard verification (verified_near_dup_pairs) is blind to
     word-INTERNAL edits — 'recieve'/'receive' are different tokens, so
     token-set overlap under-scores OCR noise, typo farms, and
-    template-with-substitutions spam.  Edit distance is the stricter
-    character-level gate (1 - lev/max_len >= threshold), and the
-    O(len^2)-per-pair DP is affordable for exactly the reason the
-    module documents everywhere: it runs ONLY over the LSH candidate
-    set, never the corpus cross product.  levenshtein() evaluates
-    JVM-side (whole-stage codegen, no Python); the two doc_id equi-
-    joins that attach pair texts are plain hash joins the candidate
-    side keeps small.
+    template-with-substitutions spam; the character-level DP is the
+    strictest gate.  It is also the COSTLIEST per pair (O(len²)), so
+    it runs LAST: band buckets cut the corpus cross product to
+    candidates, the set-level Jaccard (cheap integer counting) cuts
+    candidates to genuine near-dups, and only those survivors pay the
+    DP — each cascade stage drops pair volume by orders of magnitude
+    before per-pair cost rises, the staged-verification shape
+    production dedup runs.  (Round-5 measurement: the DP directly on
+    LSH candidates was fine at sf0.01 but ~100x the pair count at
+    sf0.1 made it the one scale-ramp offender in the registry; the
+    cascade form is flat.)  levenshtein() evaluates JVM-side
+    (whole-stage codegen, no Python).
     """
-    cands = minhash_candidate_pairs(df)
+    cands = verified_near_dup_pairs(df, threshold=jaccard_floor).select(
+        "doc_a", "doc_b"
+    )
     a = df.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
     b = df.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
     d = F.levenshtein("_ta", "_tb")
@@ -1167,13 +1179,9 @@ _EDIT_SIM_SQL = (
 )
 
 ORACLES["editdist_near_dup_pairs"] = f"""
-WITH bands AS ({_BANDS_SQL}),
-cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-              AND a.doc_id < b.doc_id
-)
+WITH verified AS (
+{ORACLES["dedup_verified_near_dups"].replace(">= 0.5", f">= {EDIT_JACCARD_FLOOR}")}),
+cands AS (SELECT doc_a, doc_b FROM verified)
 SELECT doc_a, doc_b,
        levenshtein(a.text, b.text) AS edit_dist,
        {_EDIT_SIM_SQL} AS edit_sim
