@@ -129,3 +129,59 @@ def test_editdist_pairs_are_true_near_dups(spark):
         # spot-invariant: edit distance is bounded by length difference
         assert r["edit_dist"] >= abs(len(a) - len(b))
         assert r["edit_dist"] <= big
+
+
+# --- property: skyline ≡ brute force on adversarial tie-heavy frames ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _skyline_rows(draw):
+    # few distinct timestamps and values ON PURPOSE: ties in both
+    # dimensions and multi-day spans are where dominance edge cases
+    # (same-instant peers, equal duplicates, cross-day carry) live
+    n = draw(st.integers(3, 24))
+    rows = []
+    for eid in range(n):
+        day = draw(st.integers(0, 2))
+        hour = draw(st.integers(0, 3))
+        val = float(draw(st.integers(1, 4)))
+        rows.append(
+            (
+                eid,
+                datetime.datetime(2024, 1, 1 + day, hour),
+                1,
+                draw(st.sampled_from(["k1", "k2"])),
+                val,
+                "{}",
+            )
+        )
+    return rows
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(rows=_skyline_rows())
+def test_pareto_front_property(spark, rows):
+    got = {
+        (r["key"], r["event_id"])
+        for r in pareto_front(_events(spark, rows)).collect()
+    }
+    expect = set()
+    for eid, ts, _, k, v, _p in rows:
+        dominated = any(
+            k2 == k
+            and ts2 >= ts
+            and v2 >= v
+            and (ts2 > ts or v2 > v)
+            for eid2, ts2, _, k2, v2, _q in rows
+            if eid2 != eid
+        )
+        if not dominated:
+            expect.add((k, eid))
+    assert got == expect
