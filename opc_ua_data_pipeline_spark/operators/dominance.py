@@ -116,3 +116,51 @@ FROM s
 WHERE (m_later IS NULL OR value > m_later) AND value = m_same
 """,
 }
+
+
+def record_highs(events: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Rows that set a NEW RUNNING MAXIMUM for their key — the
+    append-only companion of :func:`pareto_front`.  The skyline is a
+    retrospective frontier (later points EVICT earlier ones, so no
+    append-mode streaming operator can maintain it), while "new
+    record" events are monotone — once emitted, never retracted —
+    which is exactly the contract a live record-alert needs, and the
+    reason the streaming twin (streaming/anomaly.record_high_stream)
+    carries one double of state per key.
+
+    A row is a record iff ``value > MAX(value)`` over all PRIOR rows
+    of its key in (time, event_id) order; an equal re-reading does
+    NOT re-alert.  Same (key, day) two-pass de-skew as pareto_front:
+    within-day exclusive prefix max + a broadcast previous-days
+    prefix-max boundary table, bit-identical to the single-window
+    cummax (max splits exactly across the day partition).
+    """
+    x = events.filter(F.col("value").isNotNull()).select(
+        F.col(key_col).alias("key"),
+        "ts",
+        "event_id",
+        "value",
+        F.to_date("ts").alias("_day"),
+    )
+    w_local = (
+        Window.partitionBy("key", "_day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = x.withColumn("m_local", F.max("value").over(w_local))
+    w_days = (
+        Window.partitionBy("key")
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bounds = (
+        x.groupBy("key", "_day")
+        .agg(F.max("value").alias("day_max"))
+        .withColumn("m_prev_days", F.max("day_max").over(w_days))
+        .select("key", "_day", "m_prev_days")
+    )
+    g = local.join(F.broadcast(bounds), ["key", "_day"])
+    prev_max = F.greatest(F.col("m_local"), F.col("m_prev_days"))
+    return g.filter(
+        prev_max.isNull() | (F.col("value") > prev_max)
+    ).select("key", "ts", "event_id", "value", prev_max.alias("prev_max"))

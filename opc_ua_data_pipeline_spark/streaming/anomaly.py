@@ -384,3 +384,78 @@ def seasonal_stream(
     return seasonal_anomalies(
         telemetry_transform(events_stream), profile=profile, **knobs
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming record-high alerts — the online twin of
+# operators/dominance.record_highs
+# ---------------------------------------------------------------------------
+
+RECORD_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("prev_max", T.DoubleType()),
+        T.StructField("n_disordered", T.LongType()),
+    ]
+)
+
+RECORD_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_max", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
+        T.StructField("n_disordered", T.LongType()),
+    ]
+)
+
+
+def _record_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (k,) = key
+    cur_max, last_us, last_eid, n_dis = (
+        state.get if state.exists else (None, None, None, 0)
+    )
+    out = []
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        df = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for r in df.itertuples():
+            t_us = int(r.ts.value) // 1000
+            if last_us is not None and (
+                t_us, r.event_id
+            ) < (last_us, last_eid):
+                # behind the key's event-time frontier: emitting would
+                # rewrite already-published records — drop + count
+                n_dis += 1
+                continue
+            if cur_max is None or r.value > cur_max:
+                out.append(
+                    (r.event_id, r.ts, k, r.value, cur_max, n_dis)
+                )
+                cur_max = r.value
+            last_us, last_eid = t_us, r.event_id
+    state.update((cur_max, last_us, last_eid, n_dis))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "event_id", "ts", "key", "value", "prev_max", "n_disordered",
+        ],
+    )
+
+
+def record_high_stream(events: DataFrame) -> DataFrame:
+    """O(1)-state record-high alerts per key: ONE double (the current
+    maximum) plus the event-time frontier for the disorder guard.
+    Monotone-emission semantics (see operators/dominance.record_highs)
+    make this the rare frontier operator that IS append-streamable."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _record_fn,
+        RECORD_OUTPUT_SCHEMA,
+        RECORD_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -164,3 +164,59 @@ def test_seasonal_stream_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and got
+
+
+def test_record_high_stream_matches_batch(spark, tmp_path):
+    from opc_ua_data_pipeline_spark.operators.dominance import record_highs
+    from opc_ua_data_pipeline_spark.streaming.anomaly import (
+        record_high_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts", "event_id")
+    rows = ev.collect()
+    d = tmp_path / "replay_records"
+    d.mkdir()
+    third = len(rows) // 3
+    for i, chunk in enumerate(
+        [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    ):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d / f"c{i}")
+        )
+    for i, f in enumerate(sorted(glob.glob(str(d / "c*" / "part-*.parquet")))):
+        os.rename(f, str(d / f"{i:02d}.parquet"))
+    _order_files(d)
+
+    out = _run_stream(
+        spark, record_high_stream(file_stream(spark, str(d))), "record_stream"
+    )
+    cols = ["event_id", "ts", "key", "value", "prev_max"]
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in record_highs(load_table(spark, SF_DIR, "events")).collect()
+    )
+    assert got == want and got
+    # ordered replay: nothing dropped
+    assert all(r["n_disordered"] == 0 for r in out.collect())
+
+
+def test_record_high_equal_rereading_does_not_realert(spark):
+    import datetime
+
+    from opc_ua_data_pipeline_spark.operators.dominance import record_highs
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "k", 5.0, "{}"),
+        (2, base + datetime.timedelta(hours=1), 1, "k", 5.0, "{}"),  # equal
+        (3, base + datetime.timedelta(hours=2), 1, "k", 7.0, "{}"),  # record
+        (4, base + datetime.timedelta(hours=3), 1, "k", 6.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = sorted(r["event_id"] for r in record_highs(df).collect())
+    assert got == [1, 3]
