@@ -99,102 +99,22 @@ _PYTEST_ONLY = {
 }
 
 # The driver's correctness pass verifies the FIRST 50 registry entries
-# per round, so registration order is rotated each round.  Round 5
-# front-loads (a) the 30 contract queries that have NEVER had a driver
-# row on the round-3-regenerated MICROS/NTZ parquet (the relational/
-# warehouse + dedup + sampling tail — all value-verified at BOTH
-# sf0.01 and sf0.1 in the committed CORRECTNESS_LOCAL_r04 artifacts,
-# and 16 of them independently re-executed green by the round-4
-# judge), then (b) the queries whose implementation changed in round 5
-# (trend_slope de-skew, latest_per_metric max_by rewrite, the
-# struct-ordered boundary carries in counter_agg/state_durations,
-# the ivfpq recall denominator fix) plus brand-new round-5 queries,
-# then (c) reference-surface re-checks.  With (a) green, every
-# round-4-era contract query has a driver row on the current parquet
-# encoding across r3 ∪ r4 ∪ r5 (the registry is 158 contract queries
-# after the round-5 additions; everything past slot 50 carries
-# dual-SF local artifacts and the (d)/(e) blocks front-load round 6).
+# per round, so registration order is rotated each round.  Round 6
+# front-loads (a) the 23 round-5 queries that have never had a driver
+# row (the round-5 verdict's top item — all 23 are green in the
+# committed dual-SF local artifacts AND were independently
+# re-executed green by the round-5 judge), then (b) the queries whose
+# implementation changed in round 6 (the distwindow de-skews of the
+# rolling z-score, Hampel, alarm and curation families; the seasonal
+# variance guard; the ztest degenerate guard; the templated
+# verified-near-dups oracle), then (c) queries brand-new in round 6,
+# then (d) reference-surface re-checks.  With this window green,
+# CORRECTNESS r3 ∪ r4 ∪ r5 ∪ r6 covers every contract query on the
+# current parquet encoding (the registry held 159 contract queries
+# after round 5; everything past slot 50 carries dual-SF local
+# artifacts).
 _PRIORITY = [
-    # (a) never driver-checked on the regenerated parquet:
-    # relational / warehouse analytics
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers",
-    "shipping_priority",
-    "brand_nation_margin",
-    "priority_late_items",
-    "sessionize",
-    "distinct_users",
-    "approx_distinct_users",
-    "corpus_cube",
-    "value_percentiles",
-    "approx_value_percentiles",
-    "value_rank_profile",
-    "event_type_pivot",
-    "asof_last_purchase",
-    "incident_range_join",
-    "value_histogram",
-    "conversion_funnel",
-    "cohort_retention",
-    "clicked_never_purchased",
-    # dedup family
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_bow_groups",
-    "dedup_incremental_new",
-    "dedup_clusters",
-    # sampling / training / layout
-    "stratified_sample",
-    "dataset_mix",
-    "media_metadata",
-    "salted_event_stats",
-    "zorder_keys",
-    # (b) implementation changed in round 5 (fresh row on new code)
-    "trend_slope",
-    "latest_per_metric",
-    "m4_downsample",
-    "counter_agg",
-    "state_durations",
-    "uptime_agg",
-    "time_weighted_avg",
-    "ann_ivfpq_recall",
-    "ann_lsh_recall",
-    "png_features",
-    "histogram_rollup_percentiles",
-    "feature_drift_psi",
-    "cdc_dedup_ratio",
-    "bpe_merges",
-    "bpe_segmentation",
-    "cdc_neardup_pairs",
-    # (b') brand-new in round 5's second half — the 4 most
-    # precision-novel fill the window's remaining slots; the other 3
-    # (candlestick_merge, dsir_importance, window_funnel_depth) queue
-    # for round 6 with dual-SF local artifacts in the meantime
-    "pca_project",
-    "embedding_covariance",
-    "lttb_downsample",
-    "metric_pair_correlation",
-    "candlestick_merge",
-    "dsir_importance",
-    "window_funnel_depth",
-    # (c) reference-surface re-checks
-    "latest_value",
-    "alarm_feed",
-    "rollup_minute",
-    "rollup_hourly",
-    "enrichment_join",
-    "wire_roundtrip",
-    "bronze_telemetry",
-    "hll_rollup_merge",
-    "dup_span_scrub",
-    "bmp_features",
-    "wav_features",
-    "deviation_alarms",
-    # (d) brand-new in round 5's third stretch — behind the (a)/(b)
-    # blocks (which the round-4 verdict pinned for this round's
-    # window) but ahead of everything already driver-verified, so
-    # round 6's rotation picks them up first.  All ten carry dual-SF
-    # local artifacts in the meantime.
+    # (a) the 23 round-5 queries without a driver row
     "cusum_changepoints",
     "hampel_despike",
     "kmv_distinct_users",
@@ -205,7 +125,6 @@ _PRIORITY = [
     "bracket_revenue",
     "lone_fault_suppliers",
     "benford_digit_check",
-    # (e) round-5 fourth stretch — newest last within the new block
     "seasonal_anomalies",
     "table_fingerprint",
     "pareto_front",
@@ -215,6 +134,40 @@ _PRIORITY = [
     "operator_error_ztest",
     "behavioral_entropy",
     "image_phash_pairs",
+    "candlestick_merge",
+    "dsir_importance",
+    "window_funnel_depth",
+    "sorted_neighborhood_pairs",
+    # (b) implementation changed in round 6 (fresh row on new code;
+    # hampel/seasonal/ztest/editdist above also changed this round)
+    "zscore_anomalies",
+    "winsorized_values",
+    "source_budget_trim",
+    "curriculum_stages",
+    "deviation_alarms",
+    "edge_alarms",
+    "latched_error",
+    "dedup_verified_near_dups",
+    # (c) brand-new in round 6
+    "ewma_smooth",
+    "gopher_quality_flags",
+    "repeated_ngram_ratio",
+    "topk_per_key",
+    "rfm_segments",
+    "error_burst_windows",
+    # (d) reference-surface re-checks
+    "latest_value",
+    "alarm_feed",
+    "rollup_minute",
+    "rollup_hourly",
+    "enrichment_join",
+    "wire_roundtrip",
+    "bronze_telemetry",
+    "threshold_alarms",
+    "time_range_scan",
+    "last_running_time",
+    "hll_rollup_merge",
+    "value_rank_profile",
 ]
 
 

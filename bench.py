@@ -105,6 +105,14 @@ HEADLINE = [
     # tail (per-pair DP cost), not a mechanism to race
     "lead_lag_correlation",  # lag-spine Pearson on the rollup
     "sliding_wau_sketch",    # daily HLL sketches, 7-day sliding union
+    # round-6 additions:
+    "zscore_anomalies",      # distwindow bucketed trailing frame
+    "ewma_smooth",           # quantized-weight EWMA, integer-exact
+    "gopher_quality_flags",  # rule-based doc gates, scan-stage narrow
+    "repeated_ngram_ratio",  # per-doc top-bigram share
+    "topk_per_key",          # salted two-phase exact top-k
+    "rfm_segments",          # three de-skewed global quintile ranks
+    "error_burst_windows",   # bucket spine + RANGE sliding sum
 ]
 
 
@@ -149,11 +157,17 @@ def main() -> None:
         # Build the plan fresh, then fully materialize through the noop
         # sink (exercises the whole plan incl. writes, returns nothing).
         timings[name] = run_once(fn, sf_dir)
-        # Warm = min of two re-runs: single-run times at sub-second
-        # scale on 32 threads carry ±1-2 s scheduler noise (observed
-        # round to round), and the minimum is the stable estimator of
-        # the data-path cost.
-        warm[name] = min(run_once(fn, sf_dir), run_once(fn, sf_dir))
+        # Warm = min of THREE re-runs (round-5 verdict item 8: the
+        # min-of-two suite accumulated a ±9% whole-suite JVM-churn
+        # band that made round-over-round comparison lean on mid-round
+        # snapshots).  Single runs at sub-second scale on 32 threads
+        # carry ±1-2 s scheduler noise; the minimum of three is the
+        # stable estimator of the data-path cost.
+        warm[name] = min(
+            run_once(fn, sf_dir),
+            run_once(fn, sf_dir),
+            run_once(fn, sf_dir),
+        )
 
     # Third pass on a re-chunked copy of the SAME rows.  The driver's
     # parquet files are each ONE row group, and parquet scans split at

@@ -6,10 +6,16 @@ first-class operators over the telemetry — batch forms via window
 functions (this module), streaming forms via keyed state
 (:mod:`..streaming.alarms`).
 
-Batch formulations are pure window functions: one shuffle on the
-partition key, then per-partition sorted evaluation — at 100 TB the
-key space (metric/user) distributes evenly and no driver-side state
-exists.
+Batch formulations are window functions DE-SKEWED for low-cardinality
+keys (the driver surface partitions on metric/operator — a handful of
+values, so a bare per-key window would sort a fixed fraction of the
+fact table in ONE task at any scale): the trailing frames run through
+:func:`distwindow.bounded_frame_apply` (bucketed global row numbers +
+edge carries), the unbounded latch through
+:func:`distwindow.keyed_prefix_last` (associative LOCF two-pass).  No
+driver-side state exists; the oracles keep the naive single-window
+SQL spellings, so the driver's hash compare re-proves the
+decompositions on every run.
 
 Semantics pinned from the reference:
 
@@ -28,9 +34,10 @@ Semantics pinned from the reference:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .distwindow import bounded_frame_apply, keyed_prefix_last
 from .ingest import TELEMETRY_SQL, telemetry
 
 #: Fixed target for the driver-data deviation queries (the reference
@@ -62,20 +69,32 @@ def deviation_alarms(
     """
     t = target if target is not None else F.lit(_TARGET)
     pct = deviation_pct(F.col("value_num"), t)
-    w_ord = Window.partitionBy(*key_cols).orderBy(*order_cols)
-    w = w_ord.rowsBetween(-2, 0)
     # Guarded samples (target==0 -> NULL pct) are filtered BEFORE the
     # window: the reference returns before appending to the buffer
     # (opcua_server/main.py:29-30), so a guarded sample must not occupy
-    # a slot in anyone's trailing-3 frame.
-    df = (
+    # a slot in anyone's trailing-3 frame.  The trailing-3 frame runs
+    # de-skewed; the two lags come out of the ordered frame list
+    # (frame order = global order restricted to the frame, so
+    # element_at(arr, 1/2) IS lag 2/1 whenever the frame is full —
+    # and rule 2 only reads them when frame_n == 3).
+    base = (
         df.filter(F.col("value_num").isNotNull())
         .withColumn("pct", pct)
         .filter(F.col("pct").isNotNull())
-        .withColumn("frame_n", F.count("pct").over(w))
-        .withColumn(
-            "gt2_n", F.count(F.when(F.abs(F.col("pct")) > 2, 1)).over(w)
-        )
+    )
+    framed = bounded_frame_apply(
+        base,
+        key_cols=key_cols,
+        order_cols=order_cols,
+        lo=-2,
+        hi=0,
+        exprs={
+            "frame_n": lambda w: F.count("pct").over(w),
+            "gt2_n": lambda w: F.count(
+                F.when(F.abs(F.col("pct")) > 2, 1)
+            ).over(w),
+            "_pcts": lambda w: F.collect_list("pct").over(w),
+        },
     )
     rule1 = F.abs(F.col("pct")) > 10
     rule2 = (F.col("frame_n") == 3) & (F.col("gt2_n") == 3)
@@ -90,13 +109,13 @@ def deviation_alarms(
         F.format_string(
             "%s: 3x in Folge Abweichung >2%% (%.2f%%, %.2f%%, %.2f%%)",
             F.col("metric"),
-            F.lag("pct", 2).over(w_ord),
-            F.lag("pct", 1).over(w_ord),
+            F.element_at("_pcts", 1),
+            F.element_at("_pcts", 2),
             F.col("pct"),
         ),
     )
     return (
-        df.withColumn("alarm", alarm)
+        framed.withColumn("alarm", alarm)
         .filter(F.col("alarm").isNotNull())
         .select(*key_cols, *order_cols, "pct", "alarm")
     )
@@ -111,12 +130,21 @@ def edge_alarms(
     """W4 — falling-edge detection: fire only on the transition below
     ``threshold`` (prev >= t AND cur < t), mirroring the per-feeder
     state flag at opcua_server/main.py:319-332 (reset when the value
-    recovers)."""
-    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
-    prev = F.lag("value_num").over(w)
+    recovers).  lag(1) is the first element of the de-skewed (-1, 0)
+    frame when that frame holds two rows."""
+    framed = bounded_frame_apply(
+        df.filter(F.col("value_num").isNotNull()),
+        key_cols=key_cols,
+        order_cols=order_cols,
+        lo=-1,
+        hi=0,
+        exprs={"_vals": lambda w: F.collect_list("value_num").over(w)},
+    )
+    prev = F.when(
+        F.size("_vals") == 2, F.element_at("_vals", 1)
+    )
     return (
-        df.filter(F.col("value_num").isNotNull())
-        .withColumn("prev_value", prev)
+        framed.withColumn("prev_value", prev)
         .filter(
             (F.col("value_num") < threshold)
             & F.col("prev_value").isNotNull()
@@ -146,17 +174,22 @@ def latched_error(
     Acknowledge/Start clears it (opcua_server/main.py:212-221,398-434).
 
     ``set_when`` rows latch ``message``; ``clear_when`` rows latch ''
-    (the reference writes the empty string on clear, :216)."""
+    (the reference writes the empty string on clear, :216).
+
+    The unbounded-preceding latch is LOCF — associative, so it runs
+    through :func:`distwindow.keyed_prefix_last` instead of a bare
+    per-key window (operator has a handful of values)."""
     marker = F.when(set_when, message).when(clear_when, F.lit(""))
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, 0)
+    latched = keyed_prefix_last(
+        df.withColumn("_marker", marker),
+        key_cols=key_cols,
+        order_cols=order_cols,
+        value_col="_marker",
+        out_col="_latched",
     )
-    return df.withColumn(
-        "current_error",
-        F.coalesce(F.last(marker, ignorenulls=True).over(w), F.lit("")),
-    )
+    return latched.withColumn(
+        "current_error", F.coalesce(F.col("_latched"), F.lit(""))
+    ).drop("_marker", "_latched")
 
 
 def threshold_alarms(df: DataFrame) -> DataFrame:
@@ -165,6 +198,57 @@ def threshold_alarms(df: DataFrame) -> DataFrame:
     return df.filter(
         F.col("value_num").isNotNull() & (F.abs(F.col("value_num") - _TARGET) > 25)
     ).select("metric", "time", "event_id", "value_num")
+
+
+# Error-burst detection: "N errors within a sliding hour" — the alarm
+# aggregation layer above the per-sample rules (the reference's agents
+# only ever see one sample at a time; an operations dashboard pages on
+# BURSTS).  Scale shape: the fact table collapses to (operator,
+# 10-minute bucket) error counts in ONE map-side-combinable shuffle;
+# the sliding sum then runs on that tiny bucket spine with a RANGE
+# frame over the integer bucket index — gaps (empty buckets) are
+# handled by the range frame itself, no gap-fill join, and the window
+# partition is bounded by #buckets-per-operator (time-proportional,
+# never fact-proportional — the lag-spine precedent from
+# hyperfunctions).
+
+BURST_BUCKET_SEC = 600
+BURST_SPAN_BUCKETS = 6  # sliding window = 6 buckets = 1 hour
+BURST_MIN_ERRORS = 30
+
+
+def error_burst_windows(
+    telemetry_df: DataFrame,
+    span: int = BURST_SPAN_BUCKETS,
+    min_errors: int = BURST_MIN_ERRORS,
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    bkt = F.expr(
+        f"unix_micros(time) DIV {BURST_BUCKET_SEC * 1_000_000}"
+    )
+    counts = (
+        telemetry_df.filter(
+            F.col("operator").isNotNull() & (F.col("metric") == "error")
+        )
+        .groupBy(F.col("operator"), bkt.alias("bkt"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    w = (
+        Window.partitionBy("operator")
+        .orderBy("bkt")
+        .rangeBetween(-(span - 1), 0)
+    )
+    sliding = F.sum("n_errors").over(w)
+    return counts.select(
+        "operator",
+        F.timestamp_seconds(F.col("bkt") * BURST_BUCKET_SEC).alias(
+            "bucket_start"
+        ),
+        "n_errors",
+        sliding.alias("sliding_errors"),
+        (sliding >= min_errors).alias("is_burst"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -209,6 +293,9 @@ QUERIES = {
     "edge_alarms": q_edge_alarms,
     "latched_error": q_latched_error,
     "threshold_alarms": q_threshold_alarms,
+    "error_burst_windows": lambda spark, sf: error_burst_windows(
+        telemetry(spark, sf)
+    ),
 }
 
 ORACLES = {
@@ -278,5 +365,28 @@ WITH telemetry AS ({TELEMETRY_SQL})
 SELECT metric, "time", event_id, value_num
 FROM telemetry
 WHERE value_num IS NOT NULL AND ABS(value_num - {_TARGET}) > 25
+""",
+    "error_burst_windows": f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+counts AS (
+  SELECT operator,
+         epoch_us("time") // {BURST_BUCKET_SEC * 1_000_000} AS bkt,
+         COUNT(*) AS n_errors
+  FROM telemetry
+  WHERE operator IS NOT NULL AND metric = 'error'
+  GROUP BY 1, 2
+)
+SELECT operator,
+       to_timestamp(bkt * {BURST_BUCKET_SEC}) AS bucket_start,
+       n_errors,
+       CAST(SUM(n_errors) OVER (PARTITION BY operator ORDER BY bkt
+                           RANGE BETWEEN {BURST_SPAN_BUCKETS - 1} PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+         AS sliding_errors,
+       SUM(n_errors) OVER (PARTITION BY operator ORDER BY bkt
+                           RANGE BETWEEN {BURST_SPAN_BUCKETS - 1} PRECEDING
+                                     AND CURRENT ROW)
+         >= {BURST_MIN_ERRORS} AS is_burst
+FROM counts
 """,
 }

@@ -16,9 +16,17 @@ decimal-exact sums so the flagged set is engine-deterministic:
 * warm-up guard: no verdict until the frame holds ``MIN_SAMPLES``
   rows.
 
-At 100 TB the frame state is O(window) per key inside one sort-merge
-window pass; the streaming twin is an applyInPandasWithState ring
-buffer exactly like streaming/alarms.py keeps for deviation rules.
+De-skew: event_type has ~5 distinct values, so a bare
+``Window.partitionBy(event_type)`` would sort ~1/5 of the fact table
+in ONE task at any scale even though the frame itself is bounded.
+The frame statistics therefore run through
+:mod:`distwindow.bounded_frame_apply` — two-pass global per-key row
+numbers, fixed 4096-row buckets, a 50-row carry at each bucket edge —
+so no partition ever exceeds bucket+frame rows while the decimal-sum
+frame aggregates stay bit-identical to the single-window form (the
+oracle keeps the naive SQL spelling as proof).  The streaming twin is
+an applyInPandasWithState ring buffer exactly like streaming/alarms.py
+keeps for deviation rules.
 """
 
 from __future__ import annotations
@@ -27,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from .distwindow import bounded_frame_apply
 
 ROLL_WINDOW = 50
 MIN_SAMPLES = 30
@@ -40,30 +49,35 @@ def rolling_zscore(
     min_samples: int = MIN_SAMPLES,
 ) -> DataFrame:
     """Per-key trailing z-score for every event (frame excludes the
-    current row — the score compares now against before)."""
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy("ts", "event_id")
-        .rowsBetween(-n_prev, -1)
-    )
+    current row — the score compares now against before).  Frame
+    membership counts ROWS (a NULL value occupies its slot, matching
+    the SQL COUNT/SUM-over-frame spelling)."""
     dec = F.col("value").cast("decimal(28,6)")
     dec2 = (F.col("value") * F.col("value")).cast("decimal(28,6)")
-    n = F.count(F.lit(1)).over(w)
-    s1 = F.sum(dec).over(w).cast("double")
-    s2 = F.sum(dec2).over(w).cast("double")
-    mean = s1 / n
-    var = (s2 - s1 * s1 / n) / (n - 1)
+    framed = bounded_frame_apply(
+        events.select("event_id", "ts", key_col, "value"),
+        key_cols=[key_col],
+        order_cols=["ts", "event_id"],
+        lo=-n_prev,
+        hi=-1,
+        exprs={
+            "n_prev": lambda w: F.count(F.lit(1)).over(w),
+            "_s1": lambda w: F.sum(dec).over(w).cast("double"),
+            "_s2": lambda w: F.sum(dec2).over(w).cast("double"),
+        },
+    )
+    n = F.col("n_prev")
+    mean = F.col("_s1") / n
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / (n - 1)
     z = (F.col("value") - mean) / F.sqrt(var)
-    return (
-        events.select(
-            "event_id",
-            "ts",
-            F.col(key_col).alias("key"),
-            "value",
-            n.alias("n_prev"),
-            F.when(n >= min_samples, mean).alias("roll_mean"),
-            F.when(n >= min_samples, z).alias("zscore"),
-        )
+    return framed.select(
+        "event_id",
+        "ts",
+        F.col(key_col).alias("key"),
+        "value",
+        "n_prev",
+        F.when(n >= min_samples, mean).alias("roll_mean"),
+        F.when(n >= min_samples, z).alias("zscore"),
     )
 
 
@@ -279,9 +293,11 @@ def cusum_changepoints(
 # The repaired value (med2 / 2.0) and mad (mad4 / 4.0) are power-of-
 # two divides: exact doubles on both engines.
 #
-# Scale shape: same single window pass / O(frame) state as
-# rolling_zscore (the module's documented contract for centered-frame
-# ops: the sort is the one shuffle, the frame is 2*HALF+1 rows).
+# Scale shape: same de-skewed bounded-frame pass as rolling_zscore
+# (distwindow.bounded_frame_apply): ±3 centered frame = 3-row carries
+# at BOTH bucket edges, partitions bounded by bucket+6 rows regardless
+# of key cardinality.  array_sort normalizes the collected frame, so
+# the result is bit-identical to the single-window oracle spelling.
 
 HAMPEL_HALF = 3  # frame = 3 before + current + 3 after
 HAMPEL_K_NUM = 44478  # 3 * 1.4826 scaled by 10^4
@@ -302,18 +318,24 @@ def hampel_despike(events: DataFrame, key_col: str = "event_type") -> DataFrame:
     """Per-key centered rolling-median spike repair (see module
     comment for the exact-integer formulation)."""
     x = F.expr(_X_MICRO)
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy("ts", "event_id")
-        .rowsBetween(-HAMPEL_HALF, HAMPEL_HALF)
-    )
-    framed = events.filter(F.col("value").isNotNull()).select(
+    framed = bounded_frame_apply(
+        events.filter(F.col("value").isNotNull()).select(
+            "event_id", "ts", key_col, "value", x.alias("x")
+        ),
+        key_cols=[key_col],
+        order_cols=["ts", "event_id"],
+        lo=-HAMPEL_HALF,
+        hi=HAMPEL_HALF,
+        exprs={
+            "_arr": lambda w: F.array_sort(F.collect_list("x").over(w))
+        },
+    ).select(
         "event_id",
         "ts",
         F.col(key_col).alias("key"),
         "value",
-        x.alias("x"),
-        F.array_sort(F.collect_list(x).over(w)).alias("_arr"),
+        "x",
+        "_arr",
     )
     framed = framed.withColumn("_med2", _med2(F.col("_arr")))
     devs = F.array_sort(
@@ -396,36 +418,116 @@ def seasonal_anomalies(
     profile: DataFrame | None = None,
 ) -> DataFrame:
     """Rows deviating > ``z_threshold`` sigma from their (metric,
-    hour-of-day) seasonal slot (slots with < ``min_samples`` history
-    abstain).
+    hour-of-day) seasonal slot.  Slots ABSTAIN when they hold
+    < ``min_samples`` history or when their variance is not strictly
+    positive: a constant slot has hod_var = 0 (or a tiny negative
+    from float cancellation of s2 - s1²/n), which would make z ±Inf/
+    NaN — both engines order NaN/Inf above the threshold, so without
+    the guard every row of a flat signal flags as anomalous.
 
     ``profile`` defaults to self-training on the scored frame (the
     batch/backfill shape); pass a frozen :func:`seasonal_profile` to
     score a LIVE STREAM against trained seasonality — the scoring path
     is a stateless narrow projection plus a stream-static broadcast
     join, so the same code serves both (streaming/anomaly.py twin).
+    The two sides are explicitly aliased: the self-trained profile
+    shares the fact table's lineage, and an unaliased equi-join on it
+    makes Catalyst warn about trivially-true predicates on every run.
     """
-    prof = seasonal_profile(telemetry_df) if profile is None else profile
-    fact = telemetry_df.filter(F.col("value_num").isNotNull())
+    prof = (seasonal_profile(telemetry_df) if profile is None else profile).alias(
+        "p"
+    )
+    fact = telemetry_df.filter(F.col("value_num").isNotNull()).alias("f")
     scored = fact.join(
         F.broadcast(prof),
-        (fact["metric"] == prof["metric"])
-        & (F.hour(fact["time"]) == prof["hod"]),
+        (F.col("f.metric") == F.col("p.metric"))
+        & (F.hour(F.col("f.time")) == F.col("p.hod")),
     )
     z = (F.col("value_num") - F.col("hod_mean")) / F.sqrt(F.col("hod_var"))
     return (
         scored.filter(
-            (F.col("n") >= min_samples) & (F.abs(z) > z_threshold)
+            (F.col("n") >= min_samples)
+            & (F.col("hod_var") > 0)
+            & (F.abs(z) > z_threshold)
         )
         .select(
             "event_id",
-            fact["metric"].alias("metric"),
+            F.col("f.metric").alias("metric"),
             "time",
             "value_num",
             "hod",
             "hod_mean",
             z.alias("zscore"),
         )
+    )
+
+
+# Quantized-weight EWMA smoothing: the classic recursive filter
+# s_t = a*x_t + (1-a)*s_{t-1} looks sequential, but industrial
+# practice (pandas ewm(adjust=True)) uses the equivalent finite form
+#
+#   s_t = Σ_j (1-a)^j x_{t-j} / Σ_j (1-a)^j
+#
+# whose tail weights vanish geometrically — at K=32 taps and a=0.2
+# the truncation error is (1-a)^32 < 8e-4 of one sample, i.e. the
+# operator is DEFINED here as the K-tap adjusted EWMA.  The weights
+# are QUANTIZED to integers (round((1-a)^j * 1e6)) precomputed in
+# Python and embedded as literals in BOTH engines, so the whole
+# numerator/denominator is exact BIGINT arithmetic — no pow(), no
+# float fold, no engine-specific libm — and only ONE double division
+# at the end.  Bound: |value| <= ~2.8e5 keeps the 32-term sum inside
+# int64 (driver events are <= ~600).
+#
+# De-skew: the K-row trailing frame runs through
+# distwindow.bounded_frame_apply like rolling_zscore; the frame list
+# arrives oldest->newest (window frame order on both engines), and
+# the weights are applied positionally from the newest end.
+
+EWMA_ALPHA = 0.2
+EWMA_TAPS = 32
+_EWMA_W = [round((1 - EWMA_ALPHA) ** j * 10**6) for j in range(EWMA_TAPS)]
+_EWMA_D = [sum(_EWMA_W[: m + 1]) for m in range(EWMA_TAPS)]
+
+
+def ewma_smooth(
+    events: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """Per-key K-tap adjusted EWMA (see block comment: integer-exact
+    quantized weights, one trailing de-skewed frame pass)."""
+    x = F.expr(_X_MICRO)
+    framed = bounded_frame_apply(
+        events.filter(F.col("value").isNotNull()).select(
+            "event_id", "ts", key_col, "value", x.alias("x")
+        ),
+        key_cols=[key_col],
+        order_cols=["ts", "event_id"],
+        lo=-(EWMA_TAPS - 1),
+        hi=0,
+        exprs={"_arr": lambda w: F.collect_list("x").over(w)},
+    )
+    m = F.size("_arr")
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _EWMA_W])
+    d_arr = F.array(*[F.lit(d).cast("long") for d in _EWMA_D])
+    # newest-first, so weight i pairs with the i-th most recent sample
+    prods = F.zip_with(
+        F.reverse(F.col("_arr")),
+        F.slice(w_arr, 1, m),
+        lambda xi, wi: xi * wi,
+    )
+    num = F.aggregate(
+        prods, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    denom = F.element_at(d_arr, m)
+    ewma = (
+        num.cast("double") / denom.cast("double") / F.lit(1e6)
+    )
+    return framed.select(
+        "event_id",
+        "ts",
+        F.col(key_col).alias("key"),
+        "value",
+        m.alias("n_taps"),
+        ewma.alias("ewma"),
     )
 
 
@@ -463,6 +565,9 @@ QUERIES = {
         load_table(spark, sf, "events")
     ),
     "seasonal_anomalies": q_seasonal_anomalies,
+    "ewma_smooth": lambda spark, sf: ewma_smooth(
+        load_table(spark, sf, "events")
+    ),
 }
 
 _FRAME = (
@@ -592,6 +697,28 @@ FROM scored
 }
 
 
+_EWMA_W_SQL = "[" + ", ".join(str(w) for w in _EWMA_W) + "]"
+_EWMA_D_SQL = "[" + ", ".join(str(d) for d in _EWMA_D) + "]"
+
+ORACLES["ewma_smooth"] = f"""
+WITH framed AS (
+  SELECT event_id, ts, event_type AS key, value,
+         list({_X_MICRO})
+           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN {EWMA_TAPS - 1} PRECEDING
+                          AND CURRENT ROW) AS arr
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, ts, key, value,
+       CAST(len(arr) AS INT) AS n_taps,
+       CAST(list_sum(list_transform(range(1, len(arr) + 1),
+              i -> arr[len(arr) - i + 1] * ({_EWMA_W_SQL})[i]))
+            AS DOUBLE)
+       / CAST(({_EWMA_D_SQL})[len(arr)] AS DOUBLE) / 1000000.0 AS ewma
+FROM framed
+"""
+
+
 def _seasonal_oracle() -> str:
     from .ingest import TELEMETRY_SQL
 
@@ -613,6 +740,7 @@ FROM telemetry t
 JOIN prof p ON t.metric = p.metric AND hour(t."time") = p.hod
 WHERE t.value_num IS NOT NULL
   AND p.n >= {SEASONAL_MIN_SAMPLES}
+  AND (s2 - s1 * s1 / n) / (n - 1) > 0
   AND abs((value_num - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)))
       > {SEASONAL_Z}
 """

@@ -132,21 +132,26 @@ def source_budget_trim(
     doc_id tie-break; a document is kept iff its RUNNING token total
     stays within budget).
 
-    One window per source — embarrassingly parallel across sources;
-    the running sum is exact integer arithmetic so every engine
-    agrees on the cut point.
+    NOT a ``Window.partitionBy(source)`` running sum — source is
+    low-cardinality, so that window sorts each source's ENTIRE corpus
+    in one task at any scale.  The running total instead comes from
+    :func:`distwindow.keyed_running_totals`: range-partition on
+    (source, -score, doc_id), local running sums, broadcast
+    per-partition offsets — exact integer arithmetic throughout, so
+    every engine agrees on the cut point and the oracle keeps the
+    naive single-window SQL as proof.
     """
+    from .distwindow import keyed_running_totals
+
     scored = quality_classifier(docs)
-    w = Window.partitionBy("source").orderBy(
-        F.col("quality_score").desc(), F.col("doc_id")
+    ranked = keyed_running_totals(
+        scored,
+        key_cols=["source"],
+        order_exprs=[F.col("quality_score").desc(), F.col("doc_id")],
+        weights={"cum_tokens": "n_tokens"},
     )
-    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return (
-        scored.withColumn("cum_tokens", cum)
-        .filter(F.col("cum_tokens") <= budget)
-        .select(
-            "doc_id", "source", "n_tokens", "quality_score", "cum_tokens"
-        )
+    return ranked.filter(F.col("cum_tokens") <= budget).select(
+        "doc_id", "source", "n_tokens", "quality_score", "cum_tokens"
     )
 
 
@@ -206,6 +211,69 @@ def vocab_coverage(docs: DataFrame, k: int = TOP_VOCAB_K) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style heuristic quality gates
+# ---------------------------------------------------------------------------
+
+# The rule-based document filters of Rae et al. 2021 (Gopher, §A1.1) —
+# the standard pre-filter ahead of any model-based classifier, and the
+# one every large-scale text pipeline re-implements: word-count
+# bounds, mean-word-length bounds, minimum alphabetic-word fraction,
+# and a minimum stop-word hit count (the "is this prose at all" test).
+# Every feature is an exact int/int double division over the
+# whitespace tokenization shared with quality_classifier, so the
+# flags are engine-deterministic; flags on empty documents are FALSE
+# (not NULL) on both engines — boolean NULLs cross the two pandas
+# bridges differently and are banned from contract outputs.
+#
+# 100 TB shape: a shuffle-free narrow projection — every feature
+# comes from the document's own token array in the scan stage, no
+# joins, no windows, no corpus statistics.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_quality_flags(docs: DataFrame) -> DataFrame:
+    toks = _toks()
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    mean_len = F.try_divide(sum_len.cast("double"), n)
+    alpha_frac = F.try_divide(n_alpha.cast("double"), n)
+    f_words = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    f_len = (mean_len >= GOPHER_MIN_MEAN_LEN) & (
+        mean_len <= GOPHER_MAX_MEAN_LEN
+    )
+    f_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    f_stop = n_stop >= GOPHER_MIN_STOP_HITS
+    return docs.select(
+        "doc_id",
+        "source",
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("stop_hits"),
+        F.coalesce(f_words, F.lit(False)).alias("pass_word_count"),
+        F.coalesce(f_len, F.lit(False)).alias("pass_mean_len"),
+        F.coalesce(f_alpha, F.lit(False)).alias("pass_alpha_frac"),
+        F.coalesce(f_stop, F.lit(False)).alias("pass_stop_hits"),
+        F.coalesce(
+            f_words & f_len & f_alpha & f_stop, F.lit(False)
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Corpus report card
 # ---------------------------------------------------------------------------
 
@@ -255,22 +323,29 @@ def curriculum_stages(
     standard curriculum schedule; staging WITHIN source keeps the mix
     of domains constant across stages.
 
-    One NTILE window per source — parallel across sources, same
-    cardinality contract as source_budget_trim; ordering ties break
-    on doc_id and the score itself is decimal-summed, so the stage
-    boundaries are engine-exact.
+    NOT an ``NTILE`` window per source (low-cardinality funnel, as in
+    source_budget_trim): the de-skewed two-pass rank plus the closed-
+    form NTILE in (rank, n) — distwindow.ntile_expr, the
+    value_rank_profile decomposition — gives the identical stage
+    labels with partitions bounded by range-partition size.  Ordering
+    ties break on doc_id and the score itself is decimal-summed, so
+    the stage boundaries are engine-exact.
     """
+    from .distwindow import keyed_running_totals, ntile_expr
+
     scored = unigram_logprob_scores(docs)
     joined = docs.select("doc_id", "source").join(scored, "doc_id")
-    w = Window.partitionBy("source").orderBy(
-        F.col("mean_logprob").desc(), F.col("doc_id")
+    ranked = keyed_running_totals(
+        joined,
+        key_cols=["source"],
+        order_exprs=[F.col("mean_logprob").desc(), F.col("doc_id")],
     )
-    return joined.select(
+    return ranked.select(
         "doc_id",
         "source",
         "n_tokens",
         "mean_logprob",
-        F.ntile(n_stages).over(w).alias("stage"),
+        ntile_expr(F.col("_rank"), F.col("_n"), n_stages).alias("stage"),
     )
 
 
@@ -484,6 +559,10 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(load_table(spark, sf_dir, "documents"))
 
 
+def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dsir_importance": q_dsir,
     "quality_classifier": q_quality_classifier,
@@ -492,6 +571,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "curriculum_stages": q_curriculum,
     "corpus_report": q_corpus_report,
+    "gopher_quality_flags": q_gopher,
 }
 
 # z written in the same textual order as the Column expression above
@@ -508,6 +588,45 @@ _Z_SQL = (
 )
 
 _SCORE_SQL = f"CAST(CAST(1.0 / (1.0 + exp(-({_Z_SQL}))) AS DECIMAL(18,9)) AS DOUBLE)"
+
+_SUM_LEN_SQL = (
+    f"CASE WHEN len({_TOKS}) = 0 THEN 0 "
+    f"ELSE list_reduce(list_transform({_TOKS}, "
+    f"t -> CAST(length(t) AS BIGINT)), (acc, x) -> acc + x) END"
+)
+_MEAN_LEN_SQL = (
+    f"CAST({_SUM_LEN_SQL} AS DOUBLE) / NULLIF(len({_TOKS}), 0)"
+)
+_ALPHA_FRAC_SQL = (
+    f"CAST(len(list_filter({_TOKS}, t -> regexp_matches(t, '[a-z]'))) "
+    f"AS DOUBLE) / NULLIF(len({_TOKS}), 0)"
+)
+
+_GOPHER_SQL = f"""
+SELECT doc_id, source,
+       CAST(len({_TOKS}) AS INT) AS n_words,
+       {_MEAN_LEN_SQL} AS mean_word_len,
+       {_ALPHA_FRAC_SQL} AS alpha_frac,
+       CAST({_stop_hits(QUALITY_STOPWORDS)} AS INT) AS stop_hits,
+       COALESCE(len({_TOKS}) >= {GOPHER_MIN_WORDS}
+                AND len({_TOKS}) <= {GOPHER_MAX_WORDS}, FALSE)
+         AS pass_word_count,
+       COALESCE({_MEAN_LEN_SQL} >= {GOPHER_MIN_MEAN_LEN}
+                AND {_MEAN_LEN_SQL} <= {GOPHER_MAX_MEAN_LEN}, FALSE)
+         AS pass_mean_len,
+       COALESCE({_ALPHA_FRAC_SQL} >= {GOPHER_MIN_ALPHA_FRAC}, FALSE)
+         AS pass_alpha_frac,
+       COALESCE({_stop_hits(QUALITY_STOPWORDS)} >= {GOPHER_MIN_STOP_HITS},
+                FALSE) AS pass_stop_hits,
+       COALESCE(len({_TOKS}) >= {GOPHER_MIN_WORDS}
+                AND len({_TOKS}) <= {GOPHER_MAX_WORDS}
+                AND {_MEAN_LEN_SQL} >= {GOPHER_MIN_MEAN_LEN}
+                AND {_MEAN_LEN_SQL} <= {GOPHER_MAX_MEAN_LEN}
+                AND {_ALPHA_FRAC_SQL} >= {GOPHER_MIN_ALPHA_FRAC}
+                AND {_stop_hits(QUALITY_STOPWORDS)}
+                    >= {GOPHER_MIN_STOP_HITS}, FALSE) AS keep
+FROM documents
+"""
 
 _CLF_SQL = f"""
 SELECT doc_id, source,
@@ -576,6 +695,7 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORACLES = {
     "dsir_importance": _DSIR_SQL,
     "quality_classifier": _CLF_SQL,
+    "gopher_quality_flags": _GOPHER_SQL,
     "source_budget_trim": f"""
 WITH scored AS (
   SELECT doc_id, source,

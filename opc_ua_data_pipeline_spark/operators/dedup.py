@@ -692,30 +692,6 @@ FROM bands a
 JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
             AND a.doc_id < b.doc_id
 """,
-    "dedup_verified_near_dups": f"""
-WITH bands AS ({_BANDS_SQL}),
-cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-              AND a.doc_id < b.doc_id
-),
-toks AS ({_TOKENS_SQL}),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
-common AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-  FROM cands c
-  JOIN toks ta ON c.doc_a = ta.doc_id
-  JOIN toks tb ON c.doc_b = tb.doc_id AND ta.tok = tb.tok
-  GROUP BY c.doc_a, c.doc_b
-)
-SELECT c.doc_a, c.doc_b,
-       CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
-FROM common c
-JOIN sizes sa ON c.doc_a = sa.doc_id
-JOIN sizes sb ON c.doc_b = sb.doc_id
-WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
-""",
     "simhash": _SIMHASH_SQL,
     "dedup_bow_groups": """
 SELECT md5(array_to_string(list_sort(list_distinct(
@@ -780,6 +756,44 @@ FROM ranked
 GROUP BY doc_id
 """,
 }
+
+
+def _verified_near_dups_sql(jaccard_floor: float) -> str:
+    """Template for the band-candidates -> exact-Jaccard oracle.
+
+    Parameterized on the floor so `dedup_verified_near_dups` (0.5) and
+    `editdist_near_dup_pairs`' candidate stage (EDIT_JACCARD_FLOOR)
+    instantiate the SAME text — a string .replace on a literal
+    threshold would silently no-op if the literal were reformatted.
+    """
+    return f"""
+WITH bands AS ({_BANDS_SQL}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+toks AS ({_TOKENS_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cands c
+  JOIN toks ta ON c.doc_a = ta.doc_id
+  JOIN toks tb ON c.doc_b = tb.doc_id AND ta.tok = tb.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+FROM common c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+JOIN sizes sb ON c.doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+      >= {jaccard_floor}
+"""
+
+
+ORACLES["dedup_verified_near_dups"] = _verified_near_dups_sql(0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -1180,7 +1194,7 @@ _EDIT_SIM_SQL = (
 
 ORACLES["editdist_near_dup_pairs"] = f"""
 WITH verified AS (
-{ORACLES["dedup_verified_near_dups"].replace(">= 0.5", f">= {EDIT_JACCARD_FLOOR}")}),
+{_verified_near_dups_sql(EDIT_JACCARD_FLOOR)}),
 cands AS (SELECT doc_a, doc_b FROM verified)
 SELECT doc_a, doc_b,
        levenshtein(a.text, b.text) AS edit_dist,

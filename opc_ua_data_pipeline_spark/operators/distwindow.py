@@ -1,0 +1,355 @@
+"""Distributed bounded-frame windows over low-cardinality keys.
+
+A bare ``Window.partitionBy(key)`` with ~5 distinct keys funnels ~1/5
+of the fact table through ONE task's sort at any scale — the defect
+class the round-4/5 de-skews eliminated from the hyperfunctions, CUSUM
+and dominance modules.  Those fixes used (key, day) partitions with
+boundary carries, which works for PREFIX aggregates (running sum/min:
+the carry is a constant-size per-day offset) but not for bounded ROW
+frames: a trailing-50 frame crossing a sparse day boundary needs the
+actual 50 previous ROWS, and a carry of "the last 50 rows of the
+previous day" silently breaks when a day holds fewer than 50 rows.
+
+This module implements the fully general decomposition:
+
+1. a global per-key row number via the distributed two-pass rank
+   (range-partition on the full sort key -> local row_number ->
+   per-(key, physical-partition) counts -> broadcast offsets) — the
+   value_rank_profile pattern (relational.py:362-410);
+2. fixed-size buckets of ``bucket_rows`` consecutive rows per key.
+   Every bucket except a key's LAST is full by construction — the
+   invariant that makes adjacent-bucket carries sufficient, which
+   day-based bucketing cannot guarantee;
+3. row replication only at bucket edges: the last ``before`` rows of
+   each bucket are copied into the next bucket, the first ``after``
+   rows into the previous one (``before``/``after`` = the frame's
+   preceding/following extent), so edge overhead is
+   (before+after)/bucket_rows — ~1% at the defaults;
+4. ONE window pass partitioned by (key, bucket) — partition size is
+   bounded by bucket_rows + before + after REGARDLESS of key
+   cardinality or time density — computing the caller's frame
+   expressions; carried copies are dropped afterwards.
+
+The result is bit-identical to the single-window form whenever the
+frame aggregates are insensitive to intra-frame order (counts, decimal
+sums, min/max, collect_list normalized by array_sort): every surviving
+row sees exactly the frame rows it would in the global per-key sort.
+The oracles of the operators built on this module (rolling_zscore,
+hampel_despike, deviation/edge alarms) deliberately stay in the naive
+single-window SQL spelling, so the driver's hash compare re-proves the
+equivalence on every run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+#: Rows per (key, bucket) window partition.  Big enough that edge
+#: replication is noise, small enough that a partition (bucket_rows +
+#: carries rows) always fits one task comfortably.
+BUCKET_ROWS = 4096
+
+#: Width of the range shuffle for the rank pass.  On a real cluster
+#: this scales with input volume; AQE coalesces the tail at small SF.
+RANGE_PARTS = 64
+
+_PID = "_dw_pid"
+_LRN = "_dw_lrn"
+_CNT = "_dw_cnt"
+_OFF = "_dw_off"
+_BKT = "_dw_bkt"
+_NATIVE = "_dw_native"
+
+
+def _join_back(
+    big: DataFrame, tiny: DataFrame, key_cols: list[str], keep: list[str]
+) -> DataFrame:
+    """Broadcast-join ``tiny``'s ``keep`` columns onto ``big`` on
+    (key_cols, _dw_pid) — NULL-SAFE on the keys: a nullable partition
+    key (e.g. operator) forms a real per-NULL group in window
+    semantics, and a plain equi-join would silently drop those rows.
+    """
+    b, t = big.alias("_dw_b"), tiny.alias("_dw_t")
+    cond = F.col(f"_dw_b.{_PID}") == F.col(f"_dw_t.{_PID}")
+    for c in key_cols:
+        cond = cond & F.col(f"_dw_b.{c}").eqNullSafe(F.col(f"_dw_t.{c}"))
+    return b.join(F.broadcast(t), cond).select(
+        "_dw_b.*", *[F.col(f"_dw_t.{c}") for c in keep]
+    )
+
+
+def _key_part(key_cols: list[str]) -> list[Column]:
+    """Partition expressions for the tiny offsets-table windows.
+    ``key_cols=[]`` means a GLOBAL rank; a constant partition keeps
+    the (range_parts-row) window plan out of the 'No Partition
+    Defined' warning channel, which this repo treats as a true
+    single-task-funnel regression signal."""
+    return [F.col(c) for c in key_cols] or [F.lit(0)]
+
+
+def attach_keyed_row_number(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    range_parts: int = RANGE_PARTS,
+    rn_col: str = "_rn",
+) -> DataFrame:
+    """``df`` + a global per-key row number, with NO per-key sort task.
+
+    ``order_cols`` must totalize the order within a key (include a
+    unique id) so the numbering — and everything built on it — is
+    deterministic.  ``key_cols=[]`` gives a GLOBAL row number (still
+    no single-task sort anywhere).
+    """
+    sort_key = [F.col(c) for c in [*key_cols, *order_cols]]
+    ranged = df.repartitionByRange(range_parts, *sort_key)
+    with_pid = ranged.withColumn(_PID, F.spark_partition_id())
+    w_local = Window.partitionBy(*key_cols, _PID).orderBy(*order_cols)
+    local = with_pid.withColumn(_LRN, F.row_number().over(w_local))
+    # tiny table: #keys x range_parts rows
+    counts = local.groupBy(*key_cols, _PID).agg(
+        F.count(F.lit(1)).alias(_CNT)
+    )
+    w_off = (
+        Window.partitionBy(*_key_part(key_cols))
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *key_cols,
+        _PID,
+        F.coalesce(F.sum(_CNT).over(w_off), F.lit(0)).alias(_OFF),
+    )
+    return (
+        _join_back(local, offsets, key_cols, [_OFF])
+        .withColumn(rn_col, F.col(_OFF) + F.col(_LRN))
+        .drop(_PID, _LRN, _OFF)
+    )
+
+
+def bounded_frame_apply(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    lo: int,
+    hi: int,
+    exprs: dict[str, Callable[[WindowSpec], Column]],
+    bucket_rows: int = BUCKET_ROWS,
+    range_parts: int = RANGE_PARTS,
+) -> DataFrame:
+    """Evaluate bounded-frame window expressions per key, de-skewed.
+
+    ``exprs`` maps output column name -> fn(window_spec) -> Column,
+    where the window spec is ordered by the global row number with
+    ``rowsBetween(lo, hi)``; each callable should close over the row
+    columns it aggregates (e.g. ``lambda w: F.count(F.lit(1)).over(w)``).
+
+    Returns ``df``'s columns plus the expression columns (and keeps
+    ``_rn`` out of the result).
+    """
+    before, after = max(0, -lo), max(0, hi)
+    if bucket_rows < max(before, after, 1):
+        raise ValueError(
+            f"bucket_rows={bucket_rows} must cover the frame extent "
+            f"(before={before}, after={after})"
+        )
+    base = attach_keyed_row_number(df, key_cols, order_cols, range_parts)
+    li = F.expr(f"(_rn - 1) % {bucket_rows}")  # 0-based index in bucket
+    base = base.withColumn(_BKT, F.expr(f"(_rn - 1) DIV {bucket_rows}"))
+    parts = [base.withColumn(_NATIVE, F.lit(True))]
+    if before > 0:
+        parts.append(
+            base.filter(li >= bucket_rows - before)
+            .withColumn(_BKT, F.col(_BKT) + 1)
+            .withColumn(_NATIVE, F.lit(False))
+        )
+    if after > 0:
+        parts.append(
+            base.filter((li < after) & (F.col(_BKT) > 0))
+            .withColumn(_BKT, F.col(_BKT) - 1)
+            .withColumn(_NATIVE, F.lit(False))
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    w = (
+        Window.partitionBy(*key_cols, _BKT)
+        .orderBy("_rn")
+        .rowsBetween(lo, hi)
+    )
+    out = unioned.select(
+        "*", *[fn(w).alias(name) for name, fn in exprs.items()]
+    )
+    return out.filter(F.col(_NATIVE)).drop("_rn", _BKT, _NATIVE)
+
+
+def keyed_running_totals(
+    df: DataFrame,
+    key_cols: list[str],
+    order_exprs: list[Column],
+    weights: dict[str, str] | None = None,
+    range_parts: int = RANGE_PARTS,
+    rank_col: str = "_rank",
+    n_col: str = "_n",
+) -> DataFrame:
+    """Per-key rank + inclusive running totals with NO per-key sort.
+
+    The prefix-aggregate sibling of :func:`bounded_frame_apply` for
+    low-cardinality keys: running sums decompose into (local running
+    sum within a range partition) + (a broadcast offset of the
+    preceding partitions' totals), so no carries are needed at all —
+    the same two-pass shape as value_rank_profile (relational.py).
+
+    ``order_exprs`` are Columns (``.desc()`` allowed) and must
+    totalize the order within a key.  ``weights`` maps output column
+    -> integer input column; each gets an INCLUSIVE running total.
+    Also emits ``rank_col`` (1-based per-key rank) and ``n_col`` (the
+    key's total row count).  All sums are plain integer arithmetic —
+    associative, so the totals are bit-identical to the single-window
+    spelling the oracles keep.
+    """
+    weights = weights or {}
+    ranged = df.repartitionByRange(
+        range_parts, *[F.col(c) for c in key_cols], *order_exprs
+    )
+    with_pid = ranged.withColumn(_PID, F.spark_partition_id())
+    w_local = (
+        Window.partitionBy(*key_cols, _PID)
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_rn = Window.partitionBy(*key_cols, _PID).orderBy(*order_exprs)
+    local = with_pid.select(
+        "*",
+        F.row_number().over(w_rn).alias(_LRN),
+        *[
+            F.sum(src).over(w_local).alias(f"_dw_lw_{out}")
+            for out, src in weights.items()
+        ],
+    )
+    counts = local.groupBy(*key_cols, _PID).agg(
+        F.count(F.lit(1)).alias(_CNT),
+        *[
+            F.sum(src).alias(f"_dw_tw_{out}")
+            for out, src in weights.items()
+        ],
+    )
+    w_off = (
+        Window.partitionBy(*_key_part(key_cols))
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(*_key_part(key_cols))
+    offsets = counts.select(
+        *key_cols,
+        _PID,
+        F.coalesce(F.sum(_CNT).over(w_off), F.lit(0)).alias(_OFF),
+        F.sum(_CNT).over(w_tot).alias(n_col),
+        *[
+            F.coalesce(F.sum(f"_dw_tw_{out}").over(w_off), F.lit(0)).alias(
+                f"_dw_ow_{out}"
+            )
+            for out in weights
+        ],
+    )
+    out_df = _join_back(
+        local,
+        offsets,
+        key_cols,
+        [_OFF, n_col, *[f"_dw_ow_{out}" for out in weights]],
+    ).select(
+        "*",
+        (F.col(_OFF) + F.col(_LRN)).alias(rank_col),
+        *[
+            (F.col(f"_dw_ow_{out}") + F.col(f"_dw_lw_{out}")).alias(out)
+            for out in weights
+        ],
+    )
+    drop = [_PID, _LRN, _OFF] + [
+        c for out in weights for c in (f"_dw_lw_{out}", f"_dw_tw_{out}", f"_dw_ow_{out}")
+        if c in out_df.columns
+    ]
+    return out_df.drop(*drop)
+
+
+def keyed_prefix_last(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    range_parts: int = RANGE_PARTS,
+) -> DataFrame:
+    """Per-key running LAST(value IGNORE NULLS) — LOCF/latch semantics
+    — with no per-key sort.
+
+    A "last non-null so far" prefix is associative: the global value
+    at any row is COALESCE(last non-null within this range partition
+    so far, last non-null of all PRECEDING partitions).  So the
+    decomposition is the keyed_running_totals two-pass with the sum
+    replaced by (a) a local running last(ignorenulls) and (b) a tiny
+    per-(key, partition) table holding each partition's final
+    non-null value — max_by over an order struct that is NULL on
+    null-valued rows, which max_by ignores — prefixed per key with a
+    last(ignorenulls) over partition ids and broadcast back.
+    """
+    ranged = df.repartitionByRange(
+        range_parts, *[F.col(c) for c in [*key_cols, *order_cols]]
+    )
+    with_pid = ranged.withColumn(_PID, F.spark_partition_id())
+    w_local = (
+        Window.partitionBy(*key_cols, _PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_pid.withColumn(
+        "_dw_loc", F.last(value_col, ignorenulls=True).over(w_local)
+    )
+    ord_struct = F.when(
+        F.col(value_col).isNotNull(), F.struct(*[F.col(c) for c in order_cols])
+    )
+    finals = with_pid.groupBy(*key_cols, _PID).agg(
+        F.max_by(value_col, ord_struct).alias("_dw_fin")
+    )
+    w_prev = (
+        Window.partitionBy(*_key_part(key_cols))
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = finals.select(
+        *key_cols,
+        _PID,
+        F.last("_dw_fin", ignorenulls=True).over(w_prev).alias("_dw_carry"),
+    )
+    return (
+        _join_back(local, offsets, key_cols, ["_dw_carry"])
+        .withColumn(
+            out_col, F.coalesce(F.col("_dw_loc"), F.col("_dw_carry"))
+        )
+        .drop(_PID, "_dw_loc", "_dw_carry")
+    )
+
+
+def ntile_expr(rank: Column, n: Column, k: int) -> Column:
+    """Closed-form NTILE(k) from (per-key rank, per-key count): the
+    first n%k buckets take ceil(n/k) rows, the rest floor(n/k) —
+    exactly Spark's/DuckDB's NTILE — so staging needs NO window at
+    all once the de-skewed rank exists.  Double divisions of counts
+    < 2^52 truncate exactly (value_rank_profile's quartile bound);
+    the q=0 guard covers keys with fewer rows than buckets (each row
+    its own bucket, per NTILE semantics)."""
+    q = (n / k).cast("long")
+    rem = n % k
+    big = rem * (q + 1)
+    return (
+        F.when(rank <= big, ((rank - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(
+            rem
+            + ((rank - big - 1) / F.greatest(q, F.lit(1))).cast("long")
+            + 1
+        )
+        .cast("int")
+    )

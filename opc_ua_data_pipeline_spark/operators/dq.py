@@ -295,7 +295,9 @@ def benford_digit_check(events: DataFrame) -> DataFrame:
 # rows survive byte-for-byte?" must be answerable WITHOUT sorting
 # 100 TB — so the per-partition digest is built from commutative
 # aggregates over a per-row hash: COUNT, an exact mod-2^60 SUM
-# (accumulated in DECIMAL(38,0), reduced once at the end) and a
+# (accumulated as three BIGINT 20-bit chunk sums so the plan stays a
+# map-side-combinable HashAggregate — see table_fingerprint's
+# docstring — and recombined modulo 2^60 once per output row) and a
 # BIT_XOR of a 60-bit hash prefix, plus MIN/MAX of the full
 # hex digest.  Any dropped, duplicated, or mutated row flips the
 # (sum, xor) pair with overwhelming probability; equal fingerprints
@@ -337,6 +339,11 @@ def table_fingerprint(events: DataFrame) -> DataFrame:
     2^60 hash sum therefore accumulates as THREE 20-bit chunk sums
     (each bounded by n_rows * 2^20, overflow-safe past 10^12 rows/
     partition) recombined modulo 2^60 once per output row.
+
+    ``to_date(ts)`` follows the session timezone; the streaming twin
+    (streaming/rollup.streaming_table_fingerprint) uses epoch-aligned
+    1-day windows, so the batch≡stream contract requires the UTC
+    session session.py pins (the twin asserts it).
     """
     h = F.md5(_fp_canon_spark())
     h60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
@@ -401,6 +408,12 @@ def q_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the rest-side counts are derived by broadcasting the 1-row total —
 # no second scan, no window.  z is pure IEEE arithmetic on exact
 # integer counts in pinned order, ulp-collapsed at DECIMAL(18,9).
+#
+# Degenerate one-vs-rest splits ABSTAIN (NULL z / NULL significant)
+# instead of emitting Inf/NaN: a single-operator dataset makes
+# n_tot - n = 0, and e_tot = 0 or e_tot = n_tot zeroes the pooled
+# variance — both denominators are guarded with try_divide (Spark) /
+# NULLIF (DuckDB), the same contract lead_lag_correlation uses.
 
 ZTEST_CRIT = 1.96  # two-sided 5%
 
@@ -418,9 +431,9 @@ def operator_error_ztest(telemetry_df: DataFrame) -> DataFrame:
         F.sum("n").alias("n_tot"), F.sum("e").alias("e_tot")
     )
     z_expr = (
-        "(e / n - (e_tot - e) / (n_tot - n))"
-        " / sqrt((e_tot / n_tot) * (1.0 - e_tot / n_tot)"
-        " * (1.0 / n + 1.0 / (n_tot - n)))"
+        "try_divide(e / n - try_divide(e_tot - e, n_tot - n),"
+        " sqrt((e_tot / n_tot) * (1.0 - e_tot / n_tot)"
+        " * (1.0 / n + try_divide(1.0, n_tot - n))))"
     )
     return (
         per_op.crossJoin(F.broadcast(totals))
@@ -645,10 +658,12 @@ FROM agg
 def _ztest_oracle() -> str:
     from .ingest import TELEMETRY_SQL
 
+    # NULLIF guards mirror the Spark path's try_divide: degenerate
+    # splits (one operator, all-error / no-error corpus) yield NULL.
     z = (
-        "(e / n - (e_tot - e) / (n_tot - n))"
-        " / sqrt((e_tot / n_tot) * (1.0 - e_tot / n_tot)"
-        " * (1.0 / n + 1.0 / (n_tot - n)))"
+        "(e / n - (e_tot - e) / NULLIF(n_tot - n, 0))"
+        " / NULLIF(sqrt((e_tot / n_tot) * (1.0 - e_tot / n_tot)"
+        " * (1.0 / n + 1.0 / NULLIF(n_tot - n, 0))), 0)"
     )
     return f"""
 WITH telemetry AS ({TELEMETRY_SQL}),

@@ -197,6 +197,79 @@ def behavioral_entropy(events: DataFrame) -> DataFrame:
     )
 
 
+# RFM segmentation: the classic recency/frequency/monetary customer
+# triage — every user scored 1..5 on each axis by QUINTILE, so a
+# '555' is a recent, frequent, high-spend user.  The quintiles are
+# GLOBAL ranks over the per-user aggregate table, which is exactly
+# where the naive spelling dies at scale: NTILE(5) OVER (ORDER BY x)
+# has an EMPTY partition spec, i.e. every user sorts through one
+# task.  Here each axis runs the distwindow two-pass global rank
+# (key_cols=[]) + the closed-form ntile — three range-shuffles over
+# the (already fact-reduced) user table, no single-task sort, no
+# unpartitioned Window.  Recency anchors on MAX(ts) of the corpus (a
+# 1-row broadcast) so the operator is deterministic, and all three
+# orderings tie-break on user_id.
+
+RFM_BUCKETS = 5
+
+
+def rfm_segments(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
+    from .distwindow import keyed_running_totals, ntile_expr
+
+    dec = F.col("value").cast("decimal(28,6)")
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(dec).alias("_mon"),
+        )
+    )
+    anchor = events.agg(F.max("ts").alias("_anchor"))
+    per_user = per_user.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days",
+        F.expr(
+            "CAST((unix_micros(_anchor) - unix_micros(_last))"
+            " DIV 86400000000 AS INT)"
+        ),
+    )
+    t = keyed_running_totals(
+        per_user,
+        [],
+        [F.col("recency_days"), F.col("user_id")],
+        rank_col="_r_rank",
+        n_col="_r_n",
+    )
+    t = keyed_running_totals(
+        t,
+        [],
+        [F.col("frequency").desc(), F.col("user_id")],
+        rank_col="_f_rank",
+        n_col="_f_n",
+    )
+    t = keyed_running_totals(
+        t,
+        [],
+        [F.col("_mon").desc(), F.col("user_id")],
+        rank_col="_m_rank",
+        n_col="_m_n",
+    )
+    r_q = ntile_expr(F.col("_r_rank"), F.col("_r_n"), buckets)
+    f_q = ntile_expr(F.col("_f_rank"), F.col("_f_n"), buckets)
+    m_q = ntile_expr(F.col("_m_rank"), F.col("_m_n"), buckets)
+    return t.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        F.col("_mon").cast("double").alias("monetary"),
+        r_q.alias("r_quintile"),
+        f_q.alias("f_quintile"),
+        m_q.alias("m_quintile"),
+        (r_q * 100 + f_q * 10 + m_q).cast("int").alias("rfm_code"),
+    )
+
+
 def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_path_trigrams(load_table(spark, sf_dir, "events"))
 
@@ -209,6 +282,9 @@ QUERIES = {
     "event_path_trigrams": q_path_trigrams,
     "multi_touch_attribution": q_attribution,
     "behavioral_entropy": lambda spark, sf: behavioral_entropy(
+        load_table(spark, sf, "events")
+    ),
+    "rfm_segments": lambda spark, sf: rfm_segments(
         load_table(spark, sf, "events")
     ),
 }
@@ -229,6 +305,38 @@ _ENT_OTHER = ", ".join(f"'{t}'" for t in EVENT_TYPES)
 
 
 ORACLES = {
+    # the oracle is the naive unpartitioned-NTILE spelling the
+    # operator exists to avoid — the decomposition must be invisible
+    "rfm_segments": f"""
+WITH per_user AS (
+  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+         SUM(CAST(value AS DECIMAL(28,6))) AS mon
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+anchor AS (SELECT MAX(ts) AS a FROM events),
+base AS (
+  SELECT user_id,
+         CAST((epoch_us(a) - epoch_us(last_ts)) // 86400000000 AS INT)
+           AS recency_days,
+         frequency, mon
+  FROM per_user CROSS JOIN anchor
+),
+q AS (
+  SELECT *,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY recency_days, user_id) AS r_q,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY mon DESC, user_id) AS m_q
+  FROM base
+)
+SELECT user_id, recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       CAST(mon AS DOUBLE) AS monetary,
+       CAST(r_q AS INT) AS r_quintile,
+       CAST(f_q AS INT) AS f_quintile,
+       CAST(m_q AS INT) AS m_quintile,
+       CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code
+FROM q
+""",
     "event_path_trigrams": f"""
 WITH stepped AS (
   SELECT user_id, event_type,

@@ -97,6 +97,65 @@ def key_skew_profile(
     )
 
 
+#: Exact top-k selection per hot key.
+TOPK_K = 5
+TOPK_SALTS = 16
+
+
+def topk_per_key(
+    events: DataFrame, k: int = TOPK_K, n_salts: int = TOPK_SALTS
+) -> DataFrame:
+    """Exact top-``k`` users by total spend per event_type — the
+    salted TWO-PHASE selection that replaces the classic (and
+    skew-fatal) ``row_number() OVER (PARTITION BY hot_key)``:
+
+    1. aggregate (event_type, user_id) totals — high-cardinality
+       composite, map-side combinable, no skew;
+    2. phase 1: per-(key, salt) top-k, where salt = hash(user_id) %
+       n_salts — each window partition holds ~#users/n_salts rows and
+       every user lives in exactly ONE salt, so the global top-k is a
+       subset of the per-salt winners;
+    3. phase 2: re-rank the k x n_salts survivors per key — a
+       bounded-size window (80 rows/key at the defaults) no matter
+       how many users exist.
+
+    Totals sum as DECIMAL (exact, associative); ties break on
+    user_id; anonymous traffic (NULL user_id) is excluded so both
+    engines order identically.  The oracle is the naive single-window
+    QUALIFY — salting must be invisible.
+    """
+    from pyspark.sql import Window
+
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(F.col("value").cast(_DEC)).alias("_sum"))
+    )
+    salt = F.pmod(F.xxhash64("user_id"), F.lit(n_salts))
+    w1 = Window.partitionBy("event_type", "_salt").orderBy(
+        F.col("_sum").desc(), F.col("user_id")
+    )
+    cand = (
+        per_user.withColumn("_salt", salt)
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .drop("_r", "_salt")
+    )
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.col("_sum").desc(), F.col("user_id")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select(
+            "event_type",
+            "user_id",
+            F.col("_sum").cast("double").alias("total_value"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_stats(
         load_table(spark, sf_dir, "events"),
@@ -115,6 +174,9 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "salted_event_stats": q_salted_event_stats,
     "key_skew_profile": q_key_skew,
+    "topk_per_key": lambda spark, sf: topk_per_key(
+        load_table(spark, sf, "events")
+    ),
 }
 
 ORACLES = {
@@ -145,5 +207,25 @@ SELECT key_value, n_rows,
 FROM (SELECT * FROM counts
       ORDER BY n_rows DESC, key_value LIMIT {SKEW_TOP_N})
 CROSS JOIN totals
+""",
+    # the oracle is the UNSALTED single-window top-k: the two-phase
+    # selection must be invisible
+    "topk_per_key": f"""
+WITH per_user AS (
+  SELECT event_type, user_id,
+         SUM(CAST(value AS DECIMAL(28,6))) AS s
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, user_id, s,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY s DESC, user_id) AS rk
+  FROM per_user
+)
+SELECT event_type, user_id,
+       CAST(s AS DOUBLE) AS total_value,
+       CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {TOPK_K}
 """,
 }

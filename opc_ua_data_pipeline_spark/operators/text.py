@@ -517,8 +517,66 @@ def pmi_collocations(
     )
 
 
+#: Gopher repetition gate: a document whose single most frequent
+#: 2-gram covers more than this fraction of all its 2-gram slots is
+#: template/spam-shaped (Rae et al. 2021 §A1.1 uses 0.18-0.20 over
+#: the n-gram family; this operator pins the 2-gram member).
+REP_TOP_BIGRAM_MAX = 0.18
+
+
+def repeated_ngram_ratio(docs: DataFrame) -> DataFrame:
+    """Per-document repeated-2-gram statistics — the repetition half
+    of the Gopher rule set (curation.gopher_quality_flags holds the
+    length/lexicon half): total and distinct bigram counts, the top
+    bigram's share of all bigram slots, and the repetitive flag.
+
+    Scale shape: explode to (doc_id, bigram) -> ONE map-side-
+    combinable count shuffle keyed on the high-cardinality composite
+    -> per-doc reduce -> left join back to the doc spine (both sides
+    hash-partitioned on doc_id).  Counts are exact integers; the two
+    fractions are single int/int double divisions; flags are
+    NULL-free on both engines (docs with < 2 tokens have zero
+    bigrams and abstain with NULL fractions, FALSE flag).
+    """
+    toked = docs.select("doc_id", _toks().alias("ts"))
+    bgs = toked.select(
+        "doc_id", F.explode(_bigram_arr(F.col("ts"))).alias("bg")
+    )
+    counts = bgs.groupBy("doc_id", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("_nb"),
+        F.max("c").alias("_top"),
+        F.count(F.lit(1)).alias("_nd"),
+    )
+    joined = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    top_frac = F.try_divide(F.col("_top").cast("double"), F.col("_nb"))
+    distinct_frac = F.try_divide(
+        F.col("_nd").cast("double"), F.col("_nb")
+    )
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("_nb"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce(F.col("_top"), F.lit(0))
+        .cast("bigint")
+        .alias("top_bigram_n"),
+        F.coalesce(F.col("_nd"), F.lit(0))
+        .cast("bigint")
+        .alias("n_distinct_bigrams"),
+        top_frac.alias("top_bigram_frac"),
+        distinct_frac.alias("distinct_bigram_frac"),
+        F.coalesce(top_frac > REP_TOP_BIGRAM_MAX, F.lit(False)).alias(
+            "flag_repetitive"
+        ),
+    )
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
+    "repeated_ngram_ratio": lambda spark, sf: repeated_ngram_ratio(
+        load_table(spark, sf, "documents")
+    ),
     "text_quality_scores": q_quality,
     "text_language_id": q_lang_id,
     "text_fingerprints": q_fingerprints,
@@ -559,6 +617,30 @@ FROM documents
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+ORACLE_REPEATED_NGRAM = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+bgs AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM toks
+),
+counts AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS nb, MAX(c) AS topn, COUNT(*) AS nd
+  FROM counts GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(topn, 0) AS BIGINT) AS top_bigram_n,
+       CAST(COALESCE(nd, 0) AS BIGINT) AS n_distinct_bigrams,
+       CAST(topn AS DOUBLE) / nb AS top_bigram_frac,
+       CAST(nd AS DOUBLE) / nb AS distinct_bigram_frac,
+       COALESCE(CAST(topn AS DOUBLE) / nb > {REP_TOP_BIGRAM_MAX}, FALSE)
+         AS flag_repetitive
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
 
 def _stop_hits(words: list[str]) -> str:
     arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
@@ -576,6 +658,7 @@ for _lang in LANG_STOPWORDS:
 _GUESS += "ELSE 'unk' END"
 
 ORACLES = {
+    "repeated_ngram_ratio": ORACLE_REPEATED_NGRAM,
     "text_token_stats": f"""
 SELECT doc_id,
        len({_TOKS}) AS n_tokens,

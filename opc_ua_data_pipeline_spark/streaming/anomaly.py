@@ -459,3 +459,65 @@ def record_high_stream(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA — the online twin of operators/anomaly.ewma_smooth
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_taps", T.IntegerType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [T.StructField("v6", T.ArrayType(T.LongType()))]
+)
+
+
+def _ewma_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keyed ring of the last EWMA_TAPS micro-unit samples; per row
+    the SAME integer dot product as the batch operator (quantized
+    weights imported from the batch module so the two can never
+    drift), so closed keys emit bit-identical smoothed values."""
+    from ..operators.anomaly import _EWMA_D, _EWMA_W, EWMA_TAPS
+
+    (k,) = key
+    (v6,) = [list(a) for a in state.get] if state.exists else ([],)
+    out = []
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        df = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for r in df.itertuples():
+            if r.value is None or pd.isna(r.value):
+                continue
+            v6.append(_micro6(r.value))
+            if len(v6) > EWMA_TAPS:
+                v6.pop(0)
+            m = len(v6)
+            num = sum(x * w for x, w in zip(reversed(v6), _EWMA_W))
+            ewma = num / _EWMA_D[m - 1] / 1e6
+            out.append((r.event_id, r.ts, k, r.value, m, ewma))
+    state.update((v6,))
+    yield pd.DataFrame(
+        out,
+        columns=["event_id", "ts", "key", "value", "n_taps", "ewma"],
+    )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    return events.groupBy("event_type").applyInPandasWithState(
+        _ewma_fn,
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -299,8 +299,27 @@ def streaming_table_fingerprint(events: DataFrame) -> DataFrame:
     Batch ≡ stream bit-for-bit on closed days
     (tests/test_streaming_fingerprint.py); the mod-2^60 recombination
     happens per emitted row, after the mergeable chunk sums.
+
+    Timezone contract: this stream buckets by ``F.window('ts', '1
+    day')`` — epoch-aligned UTC tumbling days — while the batch
+    verifier groups by ``to_date(ts)``, which follows
+    ``spark.sql.session.timeZone``.  The two agree ONLY under a UTC
+    session (session.py pins it in RUNTIME_CONFS); a non-UTC session
+    would place rows between local and UTC midnight in different days
+    on the two paths, so this function refuses to build under one.
     """
+    from pyspark.sql import SparkSession
+
     from ..operators.dq import _fp_canon_spark
+
+    active = SparkSession.getActiveSession()
+    tz = active.conf.get("spark.sql.session.timeZone") if active else "UTC"
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            "streaming_table_fingerprint requires a UTC session timezone "
+            f"(got {tz!r}): its epoch-aligned 1-day windows must match "
+            "the batch verifier's to_date(ts) day boundaries"
+        )
 
     h60 = F.conv(
         F.substring(F.md5(_fp_canon_spark()), 1, 15), 16, 10

@@ -220,3 +220,39 @@ def test_record_high_equal_rereading_does_not_realert(spark):
     )
     got = sorted(r["event_id"] for r in record_highs(df).collect())
     assert got == [1, 3]
+
+
+def test_ewma_stream_matches_batch(spark, tmp_path):
+    """Streaming quantized-weight EWMA ≡ batch ewma_smooth bit-for-bit
+    (integer dot products with shared weight tables; the one float
+    division happens on identical exact integers)."""
+    from opc_ua_data_pipeline_spark.operators.anomaly import ewma_smooth
+    from opc_ua_data_pipeline_spark.streaming.anomaly import ewma_stream
+
+    ev = load_table(spark, SF_DIR, "events").orderBy("ts", "event_id")
+    rows = ev.collect()
+    d = tmp_path / "replay"
+    d.mkdir()
+    third = len(rows) // 3
+    for i, chunk in enumerate(
+        [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    ):
+        spark.createDataFrame(chunk, ev.schema).coalesce(1).write.parquet(
+            str(d / f"c{i}")
+        )
+    for i, f in enumerate(sorted(glob.glob(str(d / "c*" / "part-*.parquet")))):
+        os.rename(f, str(d / f"{i:02d}.parquet"))
+    _order_files(d)
+
+    out = _run_stream(
+        spark, ewma_stream(file_stream(spark, str(d))), "ewma_stream"
+    )
+    cols = ["event_id", "ts", "key", "value", "n_taps", "ewma"]
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in ewma_smooth(load_table(spark, SF_DIR, "events")).collect()
+    )
+    assert len(got) == len(want)
+    assert got == want
+    assert any(t[4] > 1 for t in got)  # multi-tap region reached
