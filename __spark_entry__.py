@@ -155,6 +155,12 @@ _PRIORITY = [
     "topk_per_key",
     "rfm_segments",
     "error_burst_windows",
+    "copurchase_triangles",
+    "neardup_triangles",
+    "heavy_hitter_bigrams",
+    "sliding_p95_histogram",
+    "prefix_jaccard_pairs",
+    "theil_sen_trend",
     # (d) reference-surface re-checks
     "latest_value",
     "alarm_feed",

@@ -196,9 +196,144 @@ def q_neardup_pagerank(spark, sf_dir: str) -> DataFrame:
     return pagerank(edges.select("doc_a", "doc_b"))
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting / global clustering coefficient
+# ---------------------------------------------------------------------------
+
+#: Minimum number of distinct orders two parts must share before the
+#: co-purchase pair becomes an edge.  support>=2 is the classic
+#: market-basket noise gate: at any SF it prunes the quadratic
+#: one-off-co-occurrence tail (sf0.1: 1.20M raw pairs -> 3.6k edges)
+#: so the triangle join runs on a sparse "frequently bought together"
+#: graph, not on #orders x (items-per-order choose 2) noise.
+COPURCHASE_MIN_SUPPORT = 2
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One-row global triangle census of an undirected simple graph:
+    (n_vertices, n_edges, n_wedges, n_triangles, global_clustering).
+
+    ``edges`` holds unique canonical pairs (first column < second).
+    Triangles use the degree-ordered node-iterator (Chiba-Nishizeki /
+    Schank-Wagner): orient every edge from its (degree, id)-lower
+    endpoint to the higher, pair up out-neighbors, and close each
+    wedge against the canonical edge list.  Orientation bounds
+    out-degree by O(sqrt(m)) regardless of hubs, so the wedge-join —
+    the only super-linear step — is skew-proof: a celebrity vertex of
+    degree d contributes d low-degree-oriented wedges, not d².
+    Every step is an equi-join or aggregate (one shuffle each); the
+    five outputs are 1-row aggregates crossJoin-broadcast together.
+    global_clustering = 3*triangles / wedges (NULL on wedge-free
+    graphs), decimal-rounded at the one IEEE division so the value is
+    engine-exact.
+    """
+    u0, v0 = edges.columns[:2]
+    e = edges.select(F.col(u0).alias("u"), F.col(v0).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient each edge from (d, x)-lower endpoint to higher
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    a = oriented.alias("a")
+    b = oriented.alias("b")
+    wedge_pairs = a.join(
+        b,
+        (F.col("a.src") == F.col("b.src"))
+        & (F.col("a.dst") < F.col("b.dst")),
+    ).select(
+        F.least("a.dst", "b.dst").alias("wu"),
+        F.greatest("a.dst", "b.dst").alias("wv"),
+    )
+    closed = wedge_pairs.join(
+        e, (F.col("wu") == F.col("u")) & (F.col("wv") == F.col("v"))
+    )
+    n_vert = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    n_edge = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedge = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges")
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    out = (
+        n_vert.crossJoin(F.broadcast(n_edge))
+        .crossJoin(F.broadcast(n_wedge))
+        .crossJoin(F.broadcast(n_tri))
+    )
+    return out.select(
+        "n_vertices",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CAST(CAST(try_divide(3.0 * n_triangles,"
+            " CAST(n_wedges AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)"
+        ).alias("global_clustering"),
+    )
+
+
+def copurchase_edges(lineitem: DataFrame, min_support: int) -> DataFrame:
+    """Canonical (u < v) part pairs co-occurring in >= min_support
+    distinct orders.  The self-join fans out on l_orderkey whose
+    per-key width is the per-order item count (bounded ~7 in the
+    TPC-H shape), so candidate volume is linear in orders; the
+    support gate then prunes the noise tail before any graph work.
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    ai = items.alias("ai")
+    bi = items.alias("bi")
+    return (
+        ai.join(
+            bi,
+            (F.col("ai.l_orderkey") == F.col("bi.l_orderkey"))
+            & (F.col("ai.l_partkey") < F.col("bi.l_partkey")),
+        )
+        .groupBy(
+            F.col("ai.l_partkey").alias("u"),
+            F.col("bi.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+        .select("u", "v")
+    )
+
+
+def q_copurchase_triangles(spark, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return triangle_stats(copurchase_edges(li, COPURCHASE_MIN_SUPPORT))
+
+
+def q_neardup_triangles(spark, sf_dir: str) -> DataFrame:
+    """Triangle census of the simhash near-dup graph — the density
+    check behind dedup_clusters: high clustering means near-dup
+    components are genuine copy-groups (cliques), low clustering
+    means chained borderline matches that a rep-per-cluster scrub
+    would over-delete."""
+    from ..tables import load_table
+    from .dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = simhash_near_dup_pairs(docs, max_hamming=CLUSTER_HAMMING_MAX)
+    return triangle_stats(edges.select("doc_a", "doc_b"))
+
+
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "neardup_pagerank": q_neardup_pagerank,
+    "copurchase_triangles": q_copurchase_triangles,
+    "neardup_triangles": q_neardup_triangles,
 }
 
 
@@ -265,7 +400,61 @@ def _pagerank_oracle() -> str:
     )
 
 
+def _triangle_census_sql(edges_sql: str) -> str:
+    """The naive spelling the operator avoids: an unoriented a<b<c
+    triple self-join (no degree orientation, no skew bound) — the
+    decomposition must be invisible in the census."""
+    return f"""
+WITH edges AS ({edges_sql}),
+deg AS (
+  SELECT x, COUNT(*) AS d
+  FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY x
+),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+         AS n_wedges,
+       (SELECT t FROM tri) AS n_triangles,
+       CAST(CAST(
+         3.0 * (SELECT t FROM tri)
+         / NULLIF(CAST((SELECT SUM(d * (d - 1) // 2) FROM deg)
+                  AS DOUBLE), 0)
+       AS DECIMAL(18,9)) AS DOUBLE) AS global_clustering
+"""
+
+
+_COPURCHASE_EDGES_SQL = f"""
+  SELECT u, v FROM (
+    SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS support
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE support >= {COPURCHASE_MIN_SUPPORT}
+"""
+
+
+def _neardup_triangle_oracle() -> str:
+    from .dedup import ORACLES as DEDUP_ORACLES, SIMHASH_HAMMING_MAX
+
+    pairs_sql = DEDUP_ORACLES["simhash_near_dup_pairs"].replace(
+        f"<= {SIMHASH_HAMMING_MAX}", f"<= {CLUSTER_HAMMING_MAX}"
+    )
+    return _triangle_census_sql(
+        f"SELECT doc_a AS u, doc_b AS v FROM ({pairs_sql})"
+    )
+
+
 ORACLES = {
     "dedup_clusters": _cluster_oracle(),
     "neardup_pagerank": _pagerank_oracle(),
+    "copurchase_triangles": _triangle_census_sql(_COPURCHASE_EDGES_SQL),
+    "neardup_triangles": _neardup_triangle_oracle(),
 }

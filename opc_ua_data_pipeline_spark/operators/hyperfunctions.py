@@ -932,7 +932,73 @@ def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb_downsample(telemetry(spark, sf_dir))
 
 
+def theil_sen_trend(tel: DataFrame) -> DataFrame:
+    """Per-metric Theil-Sen robust trend: the MEDIAN of all pairwise
+    slopes between daily averages — the outlier-proof complement of
+    :func:`trend_slope` (least squares has 0% breakdown: one stuck
+    sensor day drags the OLS fit arbitrarily; the Sen estimator
+    tolerates ~29% corrupted days).
+
+    Scale: the raw scan collapses to a (metric, day) rollup FIRST —
+    the only fact-sized shuffle.  Pairwise slopes are quadratic in
+    #DAYS (rollup rows), not in samples: 3 years of history is
+    ~6·10⁵ pairs per metric, independent of corpus size.  The median
+    is taken on the ≤(days choose 2)-element slope list per metric —
+    a bounded collect_list, the KMV/bounded-spine size class, never
+    a data-proportional sort.
+
+    Exactness: daily avg = exact DECIMAL(28,6) sum → one IEEE divide
+    by the BIGINT count; each slope is one IEEE subtract + divide on
+    those doubles, ulp-collapsed at DECIMAL(18,9); the lower median
+    (element ceil(n/2) of the sorted list) is order-free.
+    """
+    dec = F.col("value_num").cast("decimal(28,6)")
+    daily = (
+        tel.filter(F.col("value_num").isNotNull())
+        .groupBy("metric", F.to_date("time").alias("day"))
+        .agg(F.sum(dec).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "metric",
+            "day",
+            (F.col("_s").cast("double") / F.col("_n")).alias("davg"),
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.metric") == F.col("b.metric"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.metric").alias("metric"),
+        (
+            (F.col("b.davg") - F.col("a.davg"))
+            / F.datediff(F.col("b.day"), F.col("a.day")).cast("double")
+        )
+        .cast("decimal(18,9)")
+        .cast("double")
+        .alias("slope"),
+    )
+    per_metric = slopes.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr(
+            "element_at(array_sort(collect_list(slope)),"
+            " CAST(ceil(count(*) / 2.0) AS INT))"
+        ).alias("sen_slope_per_day"),
+    )
+    n_days = daily.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    return per_metric.join(n_days, "metric").select(
+        "metric", "n_days", "n_pairs", "sen_slope_per_day"
+    )
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return theil_sen_trend(telemetry(spark, sf_dir))
+
+
 QUERIES = {
+    "theil_sen_trend": q_theil_sen,
     "state_durations": q_state_durations,
     "time_weighted_avg": q_time_weighted_avg,
     "time_bucket_gapfill": q_gapfill,
@@ -1302,3 +1368,31 @@ SELECT metric, bucket,
 FROM anchored
 """,
 }
+
+ORACLES["theil_sen_trend"] = f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+daily AS (
+  SELECT metric, CAST("time" AS DATE) AS day,
+         CAST(SUM(CAST(value_num AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+           AS davg
+  FROM telemetry WHERE value_num IS NOT NULL
+  GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.metric,
+         CAST(CAST((b.davg - a.davg) / CAST(b.day - a.day AS DOUBLE)
+              AS DECIMAL(18,9)) AS DOUBLE) AS slope
+  FROM daily a
+  JOIN daily b ON a.metric = b.metric AND a.day < b.day
+),
+med AS (
+  SELECT metric, COUNT(*) AS n_pairs,
+         list_sort(list(slope))[CAST(ceil(COUNT(*) / 2.0) AS INT)]
+           AS sen_slope_per_day
+  FROM slopes GROUP BY metric
+)
+SELECT m.metric, d.n_days, m.n_pairs, m.sen_slope_per_day
+FROM med m
+JOIN (SELECT metric, COUNT(*) AS n_days FROM daily GROUP BY metric) d
+  ON m.metric = d.metric
+"""

@@ -200,6 +200,227 @@ def kmv_source_overlap(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: sketch candidates + exact verification
+# ---------------------------------------------------------------------------
+
+#: heavy-hitter share threshold: a bigram is "heavy" when it is at
+#: least this fraction of all bigram occurrences in the corpus.
+MG_PHI = 0.0005
+#: Misra-Gries counters per partition.  The no-false-negative
+#: guarantee needs k > 1/phi (any item with global count > N/k is,
+#: by pigeonhole, > n_p/k in some partition, where MG's deficit
+#: bound est >= f_p - n_p/k keeps its counter alive); 4x margin.
+MG_K = 8192
+
+#: Spark-side word-bigram array from a text column — must stay in
+#: lockstep with the DuckDB spelling in the oracle below (and with
+#: text.py's pmi_collocations tokenization).
+_BIGRAMS_EXPR = (
+    "transform(sequence(0, size({ts}) - 2),"
+    " i -> concat(element_at({ts}, i + 1), ' ',"
+    " element_at({ts}, i + 2)))"
+)
+
+
+def _mg_candidates(texts: DataFrame, k: int) -> DataFrame:
+    """Per-partition Misra-Gries pass over the bigram stream →
+    candidate bigrams (union over partitions).
+
+    The ONLY Python in the operator, and it is the sketch itself —
+    a k-entry dict per partition, never a per-row UDF on the hot
+    aggregate path.  Amortized O(1) per bigram (each decrement-all
+    is paid for by k prior inserts); output is <= k rows per
+    partition regardless of input size.
+    """
+
+    def part(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                toks = [t for t in text.split(" ") if t]
+                for i in range(len(toks) - 1):
+                    bg = toks[i] + " " + toks[i + 1]
+                    c = counters.get(bg)
+                    if c is not None:
+                        counters[bg] = c + 1
+                    elif len(counters) < k:
+                        counters[bg] = 1
+                    else:
+                        dead = []
+                        for key, v in counters.items():
+                            if v == 1:
+                                dead.append(key)
+                            else:
+                                counters[key] = v - 1
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame({"bg": list(counters.keys())})
+
+    return texts.select("text").mapInPandas(part, "bg string")
+
+
+def heavy_hitter_bigrams(
+    docs: DataFrame, phi: float = MG_PHI, k: int = MG_K
+) -> DataFrame:
+    """Exact phi-heavy-hitter word bigrams, two passes, no full
+    groupBy over the bigram key space.
+
+    Pass 1 (sketch): per-partition Misra-Gries with ``k`` counters —
+    candidates are every counter that survives, unioned across
+    partitions (<= #partitions x k rows, a broadcast-scale frame
+    even at 100 TB).  The MG deficit bound guarantees NO FALSE
+    NEGATIVES for items with share > 1/k, so with k > 1/phi the
+    candidate set provably contains every phi-heavy hitter.
+
+    Pass 2 (verify): re-scan the corpus, broadcast-semi-join the
+    candidates, and count EXACTLY — the aggregate key space is now
+    the candidate set, not the n-gram space, so the one shuffle is
+    bounded by k x #partitions whatever the corpus vocabulary is.
+    Output is exact (sketch only prunes), which is what makes the
+    hash-match oracle possible: the naive spelling is a plain
+    GROUP BY ... HAVING over ALL bigrams — the full shuffle this
+    operator exists to avoid at 100 TB vocabulary scale.
+    """
+    bigrams = docs.select(
+        F.explode(
+            F.expr(_BIGRAMS_EXPR.format(ts="filter(split(text, ' '), t -> t <> '')"))
+        ).alias("bg")
+    )
+    cands = _mg_candidates(docs, k).distinct()
+    total = bigrams.agg(F.count(F.lit(1)).alias("n_total"))
+    counts = (
+        bigrams.join(F.broadcast(cands), "bg")
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_occurrences") >= F.ceil(F.lit(phi) * F.col("n_total"))
+        )
+        .select(
+            F.col("bg").alias("bigram"),
+            "n_occurrences",
+            F.expr(
+                "CAST(CAST(CAST(n_occurrences AS DOUBLE)"
+                " / CAST(n_total AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE)"
+            ).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable daily histograms -> sliding-window quantile serving table
+# ---------------------------------------------------------------------------
+
+#: equi-width histogram bucket width over value_num (domain ~0..500
+#: in the fixture; ~50 buckets).  At production scale the width is a
+#: config knob per metric family — the plan shape is width-invariant.
+HIST_WIDTH = 10.0
+HIST_SLIDE_DAYS = 7
+HIST_QUANTILE = 0.95
+
+
+def sliding_histogram_quantile(
+    tel: DataFrame,
+    width: float = HIST_WIDTH,
+    days: int = HIST_SLIDE_DAYS,
+    q: float = HIST_QUANTILE,
+) -> DataFrame:
+    """Trailing-``days`` p-``q`` per metric per day, computed ENTIRELY
+    from per-day equi-width histograms — the quantile twin of
+    rollups.sliding_wau_sketch: facts collapse to a (metric, day,
+    bucket) sketch table ONCE; the window slide replicates the
+    SKETCH (x days), never the raw scan; the answer is the histogram
+    quantile (lower bucket bound at the ceil(q*n)-th rank), exact
+    integer/decimal math end to end so the contract is a hash match.
+
+    Plan: one fact shuffle (the histogram groupBy, partial-aggregated
+    map-side to #metrics x #days x #buckets), one sketch-sized
+    shuffle for the slide, and a cumulative window whose partition is
+    bounded by #buckets (~50) — nothing downstream of the first
+    aggregate is data-proportional.  The day histograms are the
+    mergeable partials a serving layer stores; any window length is a
+    re-merge, not a re-scan.
+    """
+    spark = tel.sparkSession
+    hist = (
+        tel.filter(F.col("value_num").isNotNull())
+        .groupBy(
+            "metric",
+            F.to_date("time").alias("day"),
+            F.expr(f"CAST(FLOOR(value_num / {width!r}) AS INT)").alias(
+                "bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    offs = spark.range(0, days).select(F.col("id").cast("int").alias("off"))
+    served = hist.crossJoin(F.broadcast(offs)).select(
+        "metric",
+        F.date_add(F.col("day"), F.col("off")).alias("window_end"),
+        "bucket",
+        "n",
+    )
+    # windows only materialize for (metric, day)s that exist — the
+    # sketch-sized distinct, broadcast back onto the replicated rows
+    anchor_days = hist.select(
+        "metric", F.col("day").alias("window_end")
+    ).distinct()
+    merged = (
+        served.join(F.broadcast(anchor_days), ["metric", "window_end"])
+        .groupBy("metric", "window_end", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("metric", "window_end")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("metric", "window_end")
+    cum = merged.select(
+        "metric",
+        "window_end",
+        "bucket",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("n_window"),
+    )
+    return (
+        cum.filter(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("n_window"))
+        )
+        .groupBy("metric", "window_end")
+        .agg(
+            F.max("n_window").alias("n_window"),
+            F.min("bucket").alias("q_bucket"),
+        )
+        .select(
+            "metric",
+            "window_end",
+            "n_window",
+            "q_bucket",
+            (F.col("q_bucket").cast("double") * F.lit(width)).alias(
+                "q_value_lo"
+            ),
+        )
+    )
+
+
+def q_heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitter_bigrams(load_table(spark, sf_dir, "documents"))
+
+
+def q_sliding_histogram_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .ingest import telemetry
+
+    return sliding_histogram_quantile(telemetry(spark, sf_dir))
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(load_table(spark, sf_dir, "events"))
 
@@ -211,6 +432,8 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "kmv_distinct_users": q_kmv_distinct,
     "kmv_source_overlap": q_kmv_overlap,
+    "heavy_hitter_bigrams": q_heavy_hitter_bigrams,
+    "sliding_p95_histogram": q_sliding_histogram_quantile,
 }
 
 _H_USER = _h60_sql("user_id", "kmv")
@@ -284,3 +507,69 @@ SELECT s1, s2, k_used, n_common,
 FROM agg
 """,
 }
+
+
+def _hh_oracle() -> str:
+    # the naive spelling heavy_hitter_bigrams avoids: a full GROUP BY
+    # over the ENTIRE bigram key space (the sketch pass must be
+    # invisible — output is exact either way)
+    return f"""
+WITH t AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents
+),
+b AS (
+  SELECT UNNEST(list_transform(range(1, len(ts)),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM t
+),
+tot AS (SELECT COUNT(*) AS n_total FROM b)
+SELECT bg AS bigram,
+       COUNT(*) AS n_occurrences,
+       CAST(CAST(CAST(COUNT(*) AS DOUBLE) / CAST(n_total AS DOUBLE)
+            AS DECIMAL(18,9)) AS DOUBLE) AS share
+FROM b CROSS JOIN tot
+GROUP BY bg, n_total
+HAVING COUNT(*) >= ceil({MG_PHI} * n_total)
+"""
+
+
+def _sliding_hist_oracle() -> str:
+    from .ingest import TELEMETRY_SQL
+
+    return f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+h AS (
+  SELECT metric, CAST("time" AS DATE) AS day,
+         CAST(FLOOR(value_num / {HIST_WIDTH!r}) AS INT) AS bucket,
+         COUNT(*) AS n
+  FROM telemetry WHERE value_num IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+days AS (SELECT DISTINCT metric, day FROM h),
+win AS (
+  SELECT d.metric, d.day AS window_end, h.bucket, SUM(h.n) AS n
+  FROM days d
+  JOIN h ON h.metric = d.metric
+        AND h.day BETWEEN d.day - {HIST_SLIDE_DAYS - 1} AND d.day
+  GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT metric, window_end, bucket,
+         SUM(n) OVER (PARTITION BY metric, window_end
+                      ORDER BY bucket) AS cum,
+         SUM(n) OVER (PARTITION BY metric, window_end) AS n_window
+  FROM win
+)
+SELECT metric, window_end,
+       CAST(MAX(n_window) AS BIGINT) AS n_window,
+       MIN(bucket) AS q_bucket,
+       CAST(MIN(bucket) AS DOUBLE) * {HIST_WIDTH!r} AS q_value_lo
+FROM cum
+WHERE cum >= ceil({HIST_QUANTILE} * n_window)
+GROUP BY 1, 2
+"""
+
+
+ORACLES["heavy_hitter_bigrams"] = _hh_oracle()
+ORACLES["sliding_p95_histogram"] = _sliding_hist_oracle()

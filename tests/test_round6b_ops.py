@@ -1,0 +1,221 @@
+"""Semantic unit tests for the round-6b operators (triangle census,
+Misra-Gries heavy hitters, prefix-filter Jaccard join, Theil-Sen
+trend, sliding histogram quantile) — crafted inputs with
+hand-computable answers; oracle parity at sf0.01/sf0.1 is pinned by
+checkq / local_correctness."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from opc_ua_data_pipeline_spark.operators.dedup import (
+    jaccard_pairs,
+    prefix_filter_jaccard_pairs,
+)
+from opc_ua_data_pipeline_spark.operators.graph import triangle_stats
+from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+    theil_sen_trend,
+)
+from opc_ua_data_pipeline_spark.operators.sketch import (
+    heavy_hitter_bigrams,
+    sliding_histogram_quantile,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [Row(u=a, v=b) for a, b in pairs], "u long, v long"
+    )
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+def _tel(spark, rows):
+    """rows: (day_offset, second, metric, value)"""
+    return spark.createDataFrame(
+        [
+            Row(
+                time=T0 + dt.timedelta(days=d, seconds=s),
+                metric=m,
+                value_num=float(v),
+                event_id=i,
+            )
+            for i, (d, s, m, v) in enumerate(rows)
+        ],
+        "time timestamp, metric string, value_num double, event_id long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_census_k4_minus_edge(spark):
+    # K4 minus (1,4): triangles {1,2,3} and {2,3,4}; degrees 2,3,3,2
+    g = _edges(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    r = triangle_stats(g).collect()[0]
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (4, 5, 2)
+    assert r.n_wedges == 1 + 3 + 3 + 1
+    assert abs(r.global_clustering - 6 / 8) < 1e-9
+
+
+def test_triangle_census_wedge_free_graph_abstains(spark):
+    r = triangle_stats(_edges(spark, [(1, 2), (3, 4)])).collect()[0]
+    assert r.n_triangles == 0 and r.n_wedges == 0
+    assert r.global_clustering is None
+
+
+def test_triangle_census_counts_each_triangle_once_on_hub(spark):
+    # star + rim: hub 0 to 1..5, rim cycle closes 5 triangles; the
+    # degree-ordered orientation must not double count around the hub
+    rim = [(i, i + 1) for i in range(1, 5)] + [(1, 5)]
+    g = _edges(spark, [(0, i) for i in range(1, 6)] + rim)
+    r = triangle_stats(g).collect()[0]
+    assert r.n_triangles == 5
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitter_bigrams (Misra-Gries)
+# ---------------------------------------------------------------------------
+
+
+def test_mg_heavy_hitters_match_brute_force_under_tiny_k(spark):
+    # skewed stream: 'a b' dominates, long tail of one-offs; k far
+    # smaller than the vocabulary so MG actually decrements
+    texts = ["a b " * 50] * 4 + [
+        " ".join(f"t{i}_{j}" for j in range(40)) for i in range(20)
+    ]
+    docs = _docs(spark, texts).repartition(4)
+    out = {
+        r.bigram: r.n_occurrences
+        for r in heavy_hitter_bigrams(docs, phi=0.05, k=32).collect()
+    }
+    # brute force on the exploded bigram stream
+    bgs = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(filter(split(text, ' '),"
+                " t -> t <> '')) - 2), i ->"
+                " concat(element_at(filter(split(text, ' '), t -> t <> ''),"
+                " i + 1), ' ', element_at(filter(split(text, ' '),"
+                " t -> t <> ''), i + 2)))"
+            )
+        ).alias("bg")
+    )
+    n = bgs.count()
+    brute = {
+        r.bg: r.cnt
+        for r in bgs.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+        if r.cnt >= -(-0.05 * n // 1)  # ceil
+    }
+    assert out == brute
+    assert "a b" in out  # the designed heavy hitter survived
+
+
+def test_mg_no_false_negatives_across_partitions(spark):
+    # the hitter is heavy globally but diluted in every partition
+    texts = ["x y " * 5 + " ".join(f"n{i}_{j}" for j in range(10)) for i in range(16)]
+    docs = _docs(spark, texts).repartition(8)
+    out = heavy_hitter_bigrams(docs, phi=0.1, k=64).collect()
+    assert any(r.bigram == "x y" for r in out)
+
+
+# ---------------------------------------------------------------------------
+# prefix_filter_jaccard_pairs == exact quadratic join
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_equals_quadratic(spark):
+    base = "the quick brown fox jumps over the lazy dog".split()
+    texts = [
+        " ".join(base),
+        " ".join(base[:-1] + ["cat"]),
+        " ".join(base[:4] + ["zeta", "eta", "theta", "iota"]),
+        "completely different words entirely here now",
+        " ".join(base) + " extra",
+        "zz",
+    ]
+    docs = _docs(spark, texts)
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in prefix_filter_jaccard_pairs(docs, 0.5).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in jaccard_pairs(docs, 0.5).collect()
+    }
+    assert got == want and len(want) >= 2
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    # docs sharing ONLY the corpus-wide most frequent token must not
+    # become candidates: rare-first ordering pushes it out of prefixes
+    texts = [f"common u{i} v{i} w{i} x{i}" for i in range(10)]
+    docs = _docs(spark, texts)
+    assert prefix_filter_jaccard_pairs(docs, 0.5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_ignores_outlier_day(spark):
+    # perfect +2/day trend, one catastrophic spike day; the Sen
+    # median slope stays ~2 while OLS would be dragged far off
+    rows = [(d, 0, "m", 2.0 * d) for d in range(11)]
+    rows[5] = (5, 0, "m", 1e6)
+    r = theil_sen_trend(_tel(spark, rows)).collect()[0]
+    assert r.n_days == 11 and r.n_pairs == 55
+    assert abs(r.sen_slope_per_day - 2.0) < 1e-6
+
+
+def test_theil_sen_single_day_metric_absent(spark):
+    out = theil_sen_trend(
+        _tel(spark, [(0, 0, "solo", 1.0), (0, 60, "solo", 2.0)])
+    ).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# sliding_histogram_quantile
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantile_hand_computed(spark):
+    # day 0: values 0..190 step 10 -> buckets 0..19, one each;
+    # rank ceil(.95*20)=19 -> bucket 18 -> lower bound 180
+    rows = [(0, i, "m", 10.0 * i) for i in range(20)]
+    # day 1: ten 5s -> window(day1) = 30 values, rank 29 -> bucket 18
+    rows += [(1, i, "m", 5.0) for i in range(10)]
+    out = {
+        str(r.window_end): (r.n_window, r.q_bucket, r.q_value_lo)
+        for r in sliding_histogram_quantile(_tel(spark, rows)).collect()
+    }
+    assert out["2024-01-01"] == (20, 18, 180.0)
+    assert out["2024-01-02"] == (30, 18, 180.0)
+
+
+def test_histogram_quantile_window_forgets(spark):
+    # the spike day leaves the 7-day window: day 8's p95 is tail-free
+    rows = [(0, i, "m", 400.0) for i in range(20)]
+    rows += [(8, i, "m", 10.0) for i in range(20)]
+    out = {
+        str(r.window_end): r.q_value_lo
+        for r in sliding_histogram_quantile(_tel(spark, rows)).collect()
+    }
+    assert out["2024-01-01"] == 400.0
+    assert out["2024-01-09"] == 10.0
