@@ -346,8 +346,18 @@ def sliding_histogram_quantile(
     mergeable partials a serving layer stores; any window length is a
     re-merge, not a re-scan.
     """
-    spark = tel.sparkSession
-    hist = (
+    return sliding_quantile_from_partials(
+        daily_value_histogram(tel, width), width, days, q
+    )
+
+
+def daily_value_histogram(
+    tel: DataFrame, width: float = HIST_WIDTH
+) -> DataFrame:
+    """The mergeable partial: (metric, day, bucket, n).  Exactly what
+    the streaming twin (streaming/rollup.streaming_daily_value_histogram)
+    appends per closed day — both feed sliding_quantile_from_partials."""
+    return (
         tel.filter(F.col("value_num").isNotNull())
         .groupBy(
             "metric",
@@ -358,6 +368,18 @@ def sliding_histogram_quantile(
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def sliding_quantile_from_partials(
+    hist: DataFrame,
+    width: float = HIST_WIDTH,
+    days: int = HIST_SLIDE_DAYS,
+    q: float = HIST_QUANTILE,
+) -> DataFrame:
+    """The serving-layer re-merge: stored (metric, day, bucket, n)
+    partials → trailing-``days`` quantile table.  Runs on the SKETCH
+    only — this is the half a dashboard re-executes per refresh."""
+    spark = hist.sparkSession
     offs = spark.range(0, days).select(F.col("id").cast("int").alias("off"))
     served = hist.crossJoin(F.broadcast(offs)).select(
         "metric",
@@ -366,12 +388,24 @@ def sliding_histogram_quantile(
         "n",
     )
     # windows only materialize for (metric, day)s that exist — the
-    # sketch-sized distinct, broadcast back onto the replicated rows
-    anchor_days = hist.select(
-        "metric", F.col("day").alias("window_end")
-    ).distinct()
+    # sketch-sized distinct, broadcast back onto the replicated rows.
+    # Explicit aliases: served and anchor_days share the hist lineage
+    # (the seasonal_anomalies self-join lesson).
+    anchor_days = (
+        hist.select(
+            F.col("metric").alias("_a_metric"),
+            F.col("day").alias("_a_wend"),
+        )
+        .distinct()
+        .alias("_anchor")
+    )
     merged = (
-        served.join(F.broadcast(anchor_days), ["metric", "window_end"])
+        served.alias("_served")
+        .join(
+            F.broadcast(anchor_days),
+            (F.col("_served.metric") == F.col("_anchor._a_metric"))
+            & (F.col("_served.window_end") == F.col("_anchor._a_wend")),
+        )
         .groupBy("metric", "window_end", "bucket")
         .agg(F.sum("n").alias("n"))
     )

@@ -242,6 +242,48 @@ def streaming_histogram_partials(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_daily_value_histogram(telemetry: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.sketch.daily_value_histogram`` —
+    the mergeable partial behind ``sliding_p95_histogram``: watermarked
+    per-(metric, day, bucket) counts, appended once per closed day.
+    Plain sums are losslessly mergeable, so a serving layer ingests
+    these partials and answers ANY trailing-window quantile by
+    re-merging sketches (``sketch.sliding_quantile_from_partials``)
+    without rescanning facts; state is #open-days x #metrics x
+    #buckets rows, independent of input volume.
+
+    Timezone contract (same as streaming_table_fingerprint): the
+    stream buckets by epoch-aligned UTC 1-day windows while the batch
+    side groups by ``to_date(time)`` — they agree only under a UTC
+    session, so this refuses to build under any other.
+    """
+    from pyspark.sql import SparkSession
+
+    from ..operators.sketch import HIST_WIDTH
+
+    active = SparkSession.getActiveSession()
+    tz = active.conf.get("spark.sql.session.timeZone") if active else "UTC"
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            "streaming_daily_value_histogram requires a UTC session "
+            f"timezone (got {tz!r}): its epoch-aligned 1-day windows "
+            "must match the batch side's to_date(time) day boundaries"
+        )
+    b = F.expr(f"CAST(FLOOR(value_num / {HIST_WIDTH!r}) AS INT)")
+    return (
+        telemetry.filter(F.col("value_num").isNotNull())
+        .withWatermark("time", "1 hour")
+        .groupBy(F.window("time", "1 day"), F.col("metric"), b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "metric",
+            F.col("window.start").cast("date").alias("day"),
+            "bucket",
+            "n",
+        )
+    )
+
+
 def streaming_candlestick(
     telemetry: DataFrame, watermark: str = "1 minute"
 ) -> DataFrame:
