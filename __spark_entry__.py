@@ -161,6 +161,9 @@ _PRIORITY = [
     "sliding_p95_histogram",
     "prefix_jaccard_pairs",
     "theil_sen_trend",
+    "score_decile_profile",
+    "conversion_latency_quantiles",
+    "metric_operator_mi",
     # (d) reference-surface re-checks
     "latest_value",
     "alarm_feed",

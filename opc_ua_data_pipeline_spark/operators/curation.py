@@ -415,12 +415,68 @@ def line_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Score-decile calibration profile
+# ---------------------------------------------------------------------------
+
+SCORE_DECILES = 10
+
+
+def score_decile_profile(docs: DataFrame) -> DataFrame:
+    """Per-decile profile of the quality-classifier score distribution
+    — the calibration/drift artifact an ML-ops loop diffs week over
+    week (PSI's decile-grain sibling): rank ALL docs by score, cut
+    into 10 equal buckets, and summarize each (count, score range,
+    mean tokens, keep share).
+
+    The naive spelling is ``NTILE(10) OVER (ORDER BY score)`` — an
+    unpartitioned single-task sort of the whole corpus.  Here the
+    decile comes from the distwindow GLOBAL two-pass rank +
+    closed-form ntile (the rfm_segments machinery), so no task ever
+    sees more than a range partition; the profile aggregate after it
+    is 10 groups, map-side combinable.  avg_tokens is an exact
+    BIGINT sum with ONE IEEE division; scores are already
+    DECIMAL(18,9)-collapsed doubles, so min/max hash exactly.
+    """
+    from .distwindow import keyed_running_totals, ntile_expr
+
+    scored = quality_classifier(docs)
+    t = keyed_running_totals(
+        scored,
+        [],
+        [F.col("quality_score").desc(), F.col("doc_id")],
+        rank_col="_rank",
+        n_col="_n",
+    )
+    dec = ntile_expr(F.col("_rank"), F.col("_n"), SCORE_DECILES)
+    return (
+        t.withColumn("decile", dec)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("quality_score").alias("max_score"),
+            F.min("quality_score").alias("min_score"),
+            (
+                F.sum("n_tokens").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_tokens"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-contract queries + DuckDB oracles
 # ---------------------------------------------------------------------------
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
+def q_score_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return score_decile_profile(load_table(spark, sf_dir, "documents"))
 
 
 def q_source_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,6 +628,7 @@ QUERIES = {
     "curriculum_stages": q_curriculum,
     "corpus_report": q_corpus_report,
     "gopher_quality_flags": q_gopher,
+    "score_decile_profile": q_score_deciles,
 }
 
 # z written in the same textual order as the Column expression above
@@ -815,3 +872,24 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN assembled a ON d.doc_id = a.doc_id
 """,
 }
+
+# the oracle is the naive unpartitioned-NTILE spelling
+# score_decile_profile exists to avoid (rfm_segments precedent)
+ORACLES["score_decile_profile"] = f"""
+WITH scored AS ({_CLF_SQL}),
+dec AS (
+  SELECT *,
+         NTILE({SCORE_DECILES}) OVER (ORDER BY quality_score DESC, doc_id)
+           AS decile
+  FROM scored
+)
+SELECT CAST(decile AS INT) AS decile,
+       COUNT(*) AS n_docs,
+       MAX(quality_score) AS max_score,
+       MIN(quality_score) AS min_score,
+       CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS avg_tokens,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM dec
+GROUP BY decile
+"""

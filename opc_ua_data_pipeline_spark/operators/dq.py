@@ -454,6 +454,53 @@ def q_operator_error_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return operator_error_ztest(telemetry(spark, sf_dir))
 
 
+def metric_operator_mi(tel: DataFrame) -> DataFrame:
+    """Mutual information (nats) between the metric and operator tags
+    — the categorical-dependence screen behind feature selection and
+    leakage audits ("does knowing the operator tell you anything
+    about what the machine reports?"): MI = Σ p(x,y)·ln(p(x,y)/
+    (p(x)·p(y))), 0 iff independent.
+
+    One fact-sized map-side-combinable shuffle to the #metrics ×
+    #operators contingency table; margins and the grand total are
+    re-aggregates OF THE TABLE (never the facts), broadcast back; the
+    per-cell term rounds to DECIMAL(18,9) at its libm call (the PSI/
+    entropy precedent) and the ≤ |X|·|Y| decimal terms sum exactly —
+    a bit-identical scalar on both engines.
+    """
+    cells = (
+        tel.filter(F.col("operator").isNotNull())
+        .groupBy("metric", "operator")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    cx = cells.groupBy("metric").agg(F.sum("c_xy").alias("c_x"))
+    cy = cells.groupBy("operator").agg(F.sum("c_xy").alias("c_y"))
+    tot = cells.agg(F.sum("c_xy").alias("n"))
+    joined = (
+        cells.join(F.broadcast(cx), "metric")
+        .join(F.broadcast(cy), "operator")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (
+        "CAST((CAST(c_xy AS DOUBLE) / n)"
+        " * ln((CAST(c_xy AS DOUBLE) * n)"
+        " / (CAST(c_x AS DOUBLE) * c_y)) AS DECIMAL(18,9))"
+    )
+    return joined.selectExpr(
+        "c_xy", "c_x", "c_y", "n", f"{term} AS _t"
+    ).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").alias("n_events"),
+        F.sum("_t").cast("double").alias("mi_nats"),
+    )
+
+
+def q_metric_operator_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ingest import telemetry
+
+    return metric_operator_mi(telemetry(spark, sf_dir))
+
+
 def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq_report(
         load_table(spark, sf_dir, "lineitem"),
@@ -470,6 +517,7 @@ QUERIES = {
         load_table(spark, sf, "events")
     ),
     "operator_error_ztest": q_operator_error_ztest,
+    "metric_operator_mi": q_metric_operator_mi,
 }
 
 _FP_CANON_SQL = (
@@ -686,3 +734,36 @@ FROM per_op CROSS JOIN tot
 
 
 ORACLES["operator_error_ztest"] = _ztest_oracle()
+
+
+def _mi_oracle() -> str:
+    from .ingest import TELEMETRY_SQL
+
+    return f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+cells AS (
+  SELECT metric, operator, COUNT(*) AS c_xy
+  FROM telemetry WHERE operator IS NOT NULL
+  GROUP BY 1, 2
+),
+cx AS (SELECT metric, CAST(SUM(c_xy) AS BIGINT) AS c_x
+       FROM cells GROUP BY 1),
+cy AS (SELECT operator, CAST(SUM(c_xy) AS BIGINT) AS c_y
+       FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM cells),
+j AS (
+  SELECT c_xy, c_x, c_y, n
+  FROM cells JOIN cx USING (metric) JOIN cy USING (operator)
+  CROSS JOIN tot
+)
+SELECT COUNT(*) AS n_cells,
+       MAX(n) AS n_events,
+       CAST(SUM(CAST(
+         (CAST(c_xy AS DOUBLE) / n)
+         * ln((CAST(c_xy AS DOUBLE) * n) / (CAST(c_x AS DOUBLE) * c_y))
+       AS DECIMAL(18,9))) AS DOUBLE) AS mi_nats
+FROM j
+"""
+
+
+ORACLES["metric_operator_mi"] = _mi_oracle()

@@ -278,6 +278,67 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_touch_attribution(load_table(spark, sf_dir, "events"))
 
 
+#: reported conversion-latency quantiles (p50/p90/p95)
+CONV_QUANTILES = (0.5, 0.9, 0.95)
+
+
+def conversion_latency_quantiles(events: DataFrame) -> DataFrame:
+    """Signup→first-purchase latency quantiles — the funnel-speed KPI
+    (how long does activation take for the median user? the p95
+    laggard?).
+
+    Per user: first signup, first purchase STRICTLY after it, the
+    micros delta.  The quantiles are EXACT (percentile_disc
+    semantics: the value at rank ceil(q*n) of the ascending sort) but
+    computed WITHOUT the unpartitioned ORDER BY window that spelling
+    implies: the distwindow global two-pass rank numbers every
+    latency with no single-task sort, then three broadcast quantile
+    rows filter rank == ceil(q*n).  Ties on latency are broken by
+    user_id, which cannot change the reported value (equal values
+    sort adjacently).
+    """
+    from .distwindow import keyed_running_totals
+
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("ts") > F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"), F.min("st").alias("st"))
+    )
+    lat = purchases.select(
+        "user_id",
+        (F.unix_micros("pt") - F.unix_micros("st")).alias("latency_us"),
+    )
+    ranked = keyed_running_totals(
+        lat,
+        [],
+        [F.col("latency_us"), F.col("user_id")],
+        rank_col="_rank",
+        n_col="_n",
+    )
+    spark = events.sparkSession
+    spine = spark.createDataFrame(
+        [(q,) for q in CONV_QUANTILES], "quantile double"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(spine))
+        .filter(
+            F.col("_rank") == F.ceil(F.col("quantile") * F.col("_n"))
+        )
+        .select(
+            "quantile",
+            "latency_us",
+            F.col("_n").alias("n_users"),
+        )
+    )
+
+
 QUERIES = {
     "event_path_trigrams": q_path_trigrams,
     "multi_touch_attribution": q_attribution,
@@ -286,6 +347,9 @@ QUERIES = {
     ),
     "rfm_segments": lambda spark, sf: rfm_segments(
         load_table(spark, sf, "events")
+    ),
+    "conversion_latency_quantiles": lambda spark, sf: (
+        conversion_latency_quantiles(load_table(spark, sf, "events"))
     ),
 }
 
@@ -421,4 +485,32 @@ SELECT user_id,
        CAST(n_other AS BIGINT) AS n_other,
        CAST(-({_ENT_TERMS}) AS DOUBLE) AS entropy_nats
 FROM hist
+"""
+
+_CONV_Q_LIST = ", ".join(str(q) for q in CONV_QUANTILES)
+
+# the oracle keeps the naive unpartitioned ROW_NUMBER/COUNT() OVER ()
+# spelling the operator avoids
+ORACLES["conversion_latency_quantiles"] = f"""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS st FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS pt, MIN(s.st) AS st
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.st
+  WHERE e.event_type = 'purchase' GROUP BY 1
+),
+lat AS (
+  SELECT user_id, epoch_us(pt) - epoch_us(st) AS latency_us FROM p
+),
+r AS (
+  SELECT user_id, latency_us,
+         ROW_NUMBER() OVER (ORDER BY latency_us, user_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM lat
+),
+q AS (SELECT UNNEST([{_CONV_Q_LIST}]) AS quantile)
+SELECT q.quantile, r.latency_us, CAST(r.n AS BIGINT) AS n_users
+FROM q JOIN r ON r.rk = ceil(q.quantile * r.n)
 """

@@ -219,3 +219,106 @@ def test_histogram_quantile_window_forgets(spark):
     }
     assert out["2024-01-01"] == 400.0
     assert out["2024-01-09"] == 10.0
+
+
+# ---------------------------------------------------------------------------
+# score_decile_profile / conversion_latency_quantiles / metric_operator_mi
+# ---------------------------------------------------------------------------
+
+
+def test_score_deciles_partition_the_corpus(spark):
+    from opc_ua_data_pipeline_spark.operators.curation import (
+        score_decile_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                text=" ".join(f"w{i}_{j}" for j in range(3 + i % 7)),
+                source=f"src{i % 3}",
+            )
+            for i in range(40)
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = sorted(score_decile_profile(docs).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n_docs for r in rows) == 40
+    # deciles are score-descending: each decile's floor >= the next's cap
+    for a, b in zip(rows, rows[1:]):
+        assert a.min_score >= b.max_score
+
+
+def test_conversion_latency_quantiles_hand_ranked(spark):
+    from opc_ua_data_pipeline_spark.operators.journeys import (
+        conversion_latency_quantiles,
+    )
+
+    rows = []
+    for u in range(1, 11):  # user u converts in exactly u seconds
+        rows.append((0, u, "signup", 1.0))
+        rows.append((u, u, "purchase", 5.0))
+    # noise: a purchase BEFORE signup must not count
+    rows.append((0, 99, "purchase", 1.0))
+    ev = _events_tbl(spark, rows)
+    out = {r.quantile: (r.latency_us, r.n_users)
+           for r in conversion_latency_quantiles(ev).collect()}
+    # ranks ceil(q*10): p50 -> 5th (5s), p90 -> 9th, p95 -> 10th
+    assert out[0.5] == (5_000_000, 10)
+    assert out[0.9] == (9_000_000, 10)
+    assert out[0.95] == (10_000_000, 10)
+
+
+def _events_tbl(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=T0 + dt.timedelta(seconds=s),
+                user_id=u,
+                event_type=k,
+                value=float(v),
+                props=None,
+            )
+            for i, (s, u, k, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _mi_tel(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                time=T0 + dt.timedelta(seconds=i),
+                metric=m,
+                operator=o,
+                value_num=1.0,
+                event_id=i,
+            )
+            for i, (m, o) in enumerate(rows)
+        ],
+        "time timestamp, metric string, operator string, "
+        "value_num double, event_id long",
+    )
+
+
+def test_mi_zero_when_independent(spark):
+    from opc_ua_data_pipeline_spark.operators.dq import metric_operator_mi
+
+    rows = [(m, o) for m in ("a", "b") for o in ("x", "y") for _ in range(5)]
+    r = metric_operator_mi(_mi_tel(spark, rows)).collect()[0]
+    assert r.n_cells == 4 and r.n_events == 20
+    assert abs(r.mi_nats) < 1e-8
+
+
+def test_mi_equals_ln_k_when_deterministic(spark):
+    import math
+
+    from opc_ua_data_pipeline_spark.operators.dq import metric_operator_mi
+
+    rows = [("a", "x")] * 7 + [("b", "y")] * 7 + [("c", "z")] * 7
+    r = metric_operator_mi(_mi_tel(spark, rows)).collect()[0]
+    assert abs(r.mi_nats - math.log(3)) < 1e-6
