@@ -164,6 +164,9 @@ _PRIORITY = [
     "score_decile_profile",
     "conversion_latency_quantiles",
     "metric_operator_mi",
+    "link_prediction_topk",
+    "survival_curve",
+    "table_profile",
     # (d) reference-surface re-checks
     "latest_value",
     "alarm_feed",

@@ -495,6 +495,118 @@ def metric_operator_mi(tel: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Column profiler (the Deequ/GE "profile" sibling of dq_report)
+# ---------------------------------------------------------------------------
+
+#: (column, kind) spec for the lineitem profile — the single source
+#: both the Spark aggregate and the DuckDB oracle are generated from,
+#: so the two can never drift.  kind: num (min/max as DOUBLE),
+#: str (lexicographic min/max), ts (min/max as epoch micros).
+PROFILE_COLS: list[tuple[str, str]] = [
+    ("l_orderkey", "num"),
+    ("l_partkey", "num"),
+    ("l_suppkey", "num"),
+    ("l_linenumber", "num"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def table_profile(
+    df: DataFrame, cols: list[tuple[str, str]] = PROFILE_COLS
+) -> DataFrame:
+    """One-pass column profile: (column_name, n_rows, n_nulls,
+    n_distinct, min_num, max_num, min_str, max_str) per column — the
+    catalog statistics a lake publishes per ingest (and the inputs to
+    CBO-style size estimates / zone-map sanity checks).
+
+    ONE scan computes every column's null count, exact distinct, and
+    min/max inside a single aggregate (no per-column passes); the
+    unpivot to rows is a ``stack`` over the 1-row aggregate.  The
+    exact COUNT(DISTINCT) per column makes this one aggregate with
+    #cols distinct-expansions — at 100 TB you swap those for the HLL
+    sketches this repo already serves (hll_rollup_merge) and keep the
+    plan; exact is what makes the hash-match oracle possible here.
+    Timestamps profile as epoch micros; numerics as DOUBLE (exact for
+    the BIGINT key ranges in play); strings lexicographically.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in cols:
+        e = F.unix_micros(F.col(c)) if kind == "ts" else F.col(c)
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"),
+            F.countDistinct(e).alias(f"_nd_{c}"),
+        ]
+        if kind == "str":
+            aggs += [
+                F.min(e).alias(f"_mns_{c}"),
+                F.max(e).alias(f"_mxs_{c}"),
+            ]
+        else:
+            aggs += [
+                F.min(e).cast("double").alias(f"_mn_{c}"),
+                F.max(e).cast("double").alias(f"_mx_{c}"),
+            ]
+    one = df.agg(*aggs)
+    parts = []
+    for c, kind in cols:
+        if kind == "str":
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            mns, mxs = f"_mns_{c}", f"_mxs_{c}"
+        else:
+            mn, mx = f"_mn_{c}", f"_mx_{c}"
+            mns, mxs = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
+        parts.append(
+            f"'{c}', _nn_{c}, _nd_{c}, {mn}, {mx}, {mns}, {mxs}"
+        )
+    stack = (
+        f"stack({len(cols)}, " + ", ".join(parts) + ") AS (column_name,"
+        " n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+    return one.selectExpr("n_rows", stack).select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )
+
+
+def _profile_oracle() -> str:
+    selects = []
+    for c, kind in PROFILE_COLS:
+        e = f"epoch_us({c})" if kind == "ts" else c
+        if kind == "str":
+            mn = "CAST(NULL AS DOUBLE)"
+            mx = "CAST(NULL AS DOUBLE)"
+            mns, mxs = f"MIN({c})", f"MAX({c})"
+        else:
+            mn, mx = f"CAST(MIN({e}) AS DOUBLE)", f"CAST(MAX({e}) AS DOUBLE)"
+            mns = "CAST(NULL AS VARCHAR)"
+            mxs = "CAST(NULL AS VARCHAR)"
+        selects.append(
+            f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows,"
+            f" COUNT(*) - COUNT({c}) AS n_nulls,"
+            f" COUNT(DISTINCT {e}) AS n_distinct,"
+            f" {mn} AS min_num, {mx} AS max_num,"
+            f" {mns} AS min_str, {mxs} AS max_str FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table_profile(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_metric_operator_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ingest import telemetry
 
@@ -518,6 +630,7 @@ QUERIES = {
     ),
     "operator_error_ztest": q_operator_error_ztest,
     "metric_operator_mi": q_metric_operator_mi,
+    "table_profile": q_table_profile,
 }
 
 _FP_CANON_SQL = (
@@ -767,3 +880,5 @@ FROM j
 
 
 ORACLES["metric_operator_mi"] = _mi_oracle()
+
+ORACLES["table_profile"] = _profile_oracle()

@@ -308,6 +308,82 @@ def copurchase_edges(lineitem: DataFrame, min_support: int) -> DataFrame:
     )
 
 
+LINK_PRED_TOP_K = 25
+
+
+def link_prediction_topk(
+    edges: DataFrame, k: int = LINK_PRED_TOP_K
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction: score every NON-adjacent
+    vertex pair at distance 2 by |N(a)∩N(b)| / |N(a)∪N(b)| and return
+    the top-k — the "customers who bought these parts also bought"
+    recommender primitive over the co-purchase graph.
+
+    Plan: symmetrize once; common-neighbor counts come from ONE wedge
+    equi-join on the shared neighbor (the triangle census's join
+    shape, candidate volume Σ deg²); existing edges drop out with a
+    broadcast-able anti-join against the canonical edge list; degrees
+    join in as a vertex-sized table.  Jaccard is an exact BIGINT
+    ratio; the top-k is a TakeOrderedAndProject + bounded re-rank,
+    never a global sort.
+    """
+    from ..functions.ranking import bounded_rank
+
+    u0, v0 = edges.columns[:2]
+    e = edges.select(F.col(u0).alias("u"), F.col(v0).alias("v"))
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    a, b = sym.alias("a"), sym.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.u") < F.col("b.u")),
+        )
+        .groupBy(
+            F.col("a.u").alias("x"), F.col("b.u").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    non_adjacent = common.join(
+        e,
+        (F.col("x") == F.col("u")) & (F.col("y") == F.col("v")),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("x"), F.col("d").alias("dx"))
+    db = deg.select(F.col("u").alias("y"), F.col("d").alias("dy"))
+    scored = (
+        non_adjacent.join(da, "x")
+        .join(db, "y")
+        .select(
+            "x",
+            "y",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("dx") + F.col("dy") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    topk = scored.orderBy(
+        F.col("jaccard").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(k)
+    return bounded_rank(
+        topk,
+        [("jaccard", "desc"), ("x", "asc"), ("y", "asc")],
+        "rank",
+    )
+
+
+def q_link_prediction(spark, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return link_prediction_topk(
+        copurchase_edges(li, COPURCHASE_MIN_SUPPORT)
+    )
+
+
 def q_copurchase_triangles(spark, sf_dir: str) -> DataFrame:
     from ..tables import load_table
 
@@ -334,6 +410,7 @@ QUERIES = {
     "neardup_pagerank": q_neardup_pagerank,
     "copurchase_triangles": q_copurchase_triangles,
     "neardup_triangles": q_neardup_triangles,
+    "link_prediction_topk": q_link_prediction,
 }
 
 
@@ -457,4 +534,32 @@ ORACLES = {
     "neardup_pagerank": _pagerank_oracle(),
     "copurchase_triangles": _triangle_census_sql(_COPURCHASE_EDGES_SQL),
     "neardup_triangles": _neardup_triangle_oracle(),
+    "link_prediction_topk": f"""
+WITH edges AS ({_COPURCHASE_EDGES_SQL}),
+sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+common AS (
+  SELECT a.u AS x, b.u AS y, COUNT(*) AS n_common
+  FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+  GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT c.x, c.y, c.n_common
+  FROM common c
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE c.x = e.u AND c.y = e.v)
+),
+scored AS (
+  SELECT x, y, n_common,
+         CAST(n_common AS DOUBLE) / (da.d + db.d - n_common) AS jaccard
+  FROM nonadj
+  JOIN deg da ON x = da.u
+  JOIN deg db ON y = db.u
+)
+SELECT x, y, n_common, jaccard,
+       CAST(ROW_NUMBER() OVER (ORDER BY jaccard DESC, x, y)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {LINK_PRED_TOP_K}
+""",
 }

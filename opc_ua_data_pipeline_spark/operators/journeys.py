@@ -339,9 +339,90 @@ def conversion_latency_quantiles(events: DataFrame) -> DataFrame:
     )
 
 
+def survival_curve(events: DataFrame) -> DataFrame:
+    """Kaplan-Meier survival over user lifespans — the churn curve
+    ("what fraction of users are still active t days after their
+    first event"): S(t) = Π_{i<=t} (1 - d_i / n_i) with d_i = users
+    whose observed lifespan is exactly i days and n_i = users at
+    risk entering day i.
+
+    Scale: the fact table collapses to per-user (first, last) in ONE
+    map-side-combinable shuffle; everything after runs on the
+    lifespan-day spine (≤ observation-window days, ~30 here), where
+    the at-risk suffix and the cumulative product are prefix
+    aggregates on a constant-valued non-foldable partition (the
+    distwindow warning-channel convention).  The product is
+    exp(Σ ln(term)) with each ln rounded to DECIMAL(18,9) at its
+    libm call and the final exp re-rounded — the PSI contract — and
+    a dead-end flag (d_i = n_i, ln(0)) pins survival to exactly 0.0
+    from that day on instead of feeding -inf through exp.
+    """
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("_first"),
+            F.max(F.to_date("ts")).alias("_last"),
+        )
+    )
+    died = (
+        per_user.select(
+            F.datediff(F.col("_last"), F.col("_first")).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_died"))
+    )
+    total = per_user.agg(F.count(F.lit(1)).alias("_n_total"))
+    part = F.pmod(F.col("t"), F.lit(1))
+    w_before = (
+        Window.partitionBy(part)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    at_risk = (
+        died.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.col("_n_total")
+            - F.coalesce(F.sum("n_died").over(w_before), F.lit(0)),
+        )
+        .drop("_n_total")
+    )
+    term_ln = F.expr(
+        "CASE WHEN n_died < n_at_risk THEN"
+        " CAST(ln(1.0 - CAST(n_died AS DOUBLE)"
+        " / CAST(n_at_risk AS DOUBLE)) AS DECIMAL(18,9)) END"
+    )
+    dead = F.when(F.col("n_died") == F.col("n_at_risk"), 1).otherwise(0)
+    w_cum = (
+        Window.partitionBy(part)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = at_risk.select(
+        "t",
+        "n_at_risk",
+        "n_died",
+        F.sum(term_ln).over(w_cum).alias("_sum_ln"),
+        F.sum(dead).over(w_cum).alias("_n_dead_end"),
+    )
+    survival = F.when(F.col("_n_dead_end") > 0, F.lit(0.0)).otherwise(
+        F.expr(
+            "CAST(CAST(exp(CAST(COALESCE(_sum_ln, 0) AS DOUBLE))"
+            " AS DECIMAL(18,9)) AS DOUBLE)"
+        )
+    )
+    return staged.select(
+        "t", "n_at_risk", "n_died", survival.alias("survival")
+    )
+
+
 QUERIES = {
     "event_path_trigrams": q_path_trigrams,
     "multi_touch_attribution": q_attribution,
+    "survival_curve": lambda spark, sf: survival_curve(
+        load_table(spark, sf, "events")
+    ),
     "behavioral_entropy": lambda spark, sf: behavioral_entropy(
         load_table(spark, sf, "events")
     ),
@@ -513,4 +594,42 @@ r AS (
 q AS (SELECT UNNEST([{_CONV_Q_LIST}]) AS quantile)
 SELECT q.quantile, r.latency_us, CAST(r.n AS BIGINT) AS n_users
 FROM q JOIN r ON r.rk = ceil(q.quantile * r.n)
+"""
+
+ORACLES["survival_curve"] = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(MIN(ts) AS DATE) AS first_day,
+         CAST(MAX(ts) AS DATE) AS last_day
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+died AS (
+  SELECT CAST(last_day - first_day AS INT) AS t, COUNT(*) AS n_died
+  FROM per_user GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS n_total FROM per_user),
+risk AS (
+  SELECT t, n_died,
+         n_total - COALESCE(SUM(n_died) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS n_at_risk
+  FROM died CROSS JOIN tot
+),
+staged AS (
+  SELECT t, n_at_risk, n_died,
+         SUM(CASE WHEN n_died < n_at_risk THEN
+               CAST(ln(1.0 - CAST(n_died AS DOUBLE)
+                     / CAST(n_at_risk AS DOUBLE)) AS DECIMAL(18,9))
+             END) OVER w AS sum_ln,
+         SUM(CASE WHEN n_died = n_at_risk THEN 1 ELSE 0 END)
+           OVER w AS n_dead_end
+  FROM risk
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT t, CAST(n_at_risk AS BIGINT) AS n_at_risk, n_died,
+       CASE WHEN n_dead_end > 0 THEN 0.0
+            ELSE CAST(CAST(exp(CAST(COALESCE(sum_ln, 0) AS DOUBLE))
+                 AS DECIMAL(18,9)) AS DOUBLE) END AS survival
+FROM staged
 """

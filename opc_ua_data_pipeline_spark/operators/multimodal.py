@@ -282,6 +282,99 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(parse, BMP_FEATURE_SCHEMA)
 
 
+BMP_DOWNSCALE_SCHEMA = (
+    "doc_id long, width int, height int, payload binary, "
+    "px_mean double, top_left_b int"
+)
+
+
+def bmp_downscale(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image resize through the BMP codec: decode → integer box
+    filter (each output channel = floor(mean of factor² source
+    pixels)) → re-encode a valid, smaller 24-bpp BMP — the
+    resize/thumbnail stage of a multimodal ingest, with the same
+    Arrow-batched mapInPandas plumbing as the feature decoders (the
+    shape a PIL/ffmpeg-backed production kernel drops into).
+
+    Output keeps the re-encoded payload (a decodable BMP — the
+    roundtrip is pinned by tests/test_round6b_ops.py re-decoding it
+    with decode_bmp_features) plus the downscaled stats.  Integer
+    arithmetic only, so results are deterministic across platforms.
+    Pytest-only by design: a binary result column cannot cross the
+    driver's canonicalizer (verify-skill gotcha), and the codec
+    mechanism is already contract-verified via bmp_features /
+    image_phash_pairs.
+    """
+    import struct
+
+    import numpy as np
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] != b"BM":
+                    raise ValueError("not a BMP payload")
+                (data_off,) = struct.unpack_from("<I", b, 10)
+                _hdr, w, h = struct.unpack_from("<Iii", b, 14)
+                _planes, bpp = struct.unpack_from("<HH", b, 26)
+                (comp,) = struct.unpack_from("<I", b, 30)
+                if comp != 0 or bpp != 24:
+                    raise ValueError("unsupported BMP variant")
+                stride = (w * 3 + 3) // 4 * 4
+                stored = [
+                    np.frombuffer(
+                        b, np.uint8, stride, data_off + r * stride
+                    )[: w * 3]
+                    for r in range(h)
+                ]
+                img = np.stack(stored[::-1]).reshape(h, w, 3).astype(
+                    np.int64
+                )
+                oh, ow = h // factor, w // factor
+                small = (
+                    img[: oh * factor, : ow * factor]
+                    .reshape(oh, factor, ow, factor, 3)
+                    .sum(axis=(1, 3))
+                    // (factor * factor)
+                ).astype(np.uint8)
+                ostride = (ow * 3 + 3) // 4 * 4
+                body = bytearray()
+                for r in range(oh - 1, -1, -1):  # top-down -> bottom-up
+                    row = small[r].tobytes()
+                    body += row + b"\x00" * (ostride - len(row))
+                fsize = 54 + len(body)
+                hdr = (
+                    b"BM"
+                    + struct.pack("<IHHI", fsize, 0, 0, 54)
+                    + struct.pack(
+                        "<IiiHHIIiiII",
+                        40, ow, oh, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+                    )
+                )
+                px = small.reshape(-1).astype(np.int64)
+                rows.append(
+                    (
+                        doc_id,
+                        ow,
+                        oh,
+                        bytes(hdr) + bytes(body),
+                        float(px.sum()) / px.size if px.size else None,
+                        int(small[0, 0, 0]) if px.size else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "payload",
+                    "px_mean", "top_left_b",
+                ],
+            ).astype({"width": "int32", "height": "int32"})
+
+    return media.mapInPandas(work, BMP_DOWNSCALE_SCHEMA)
+
+
 WAV_FEATURE_SCHEMA = (
     "doc_id long, sample_rate int, n_samples int, duration_sec double, "
     "amp_mean double, amp_peak int"
