@@ -167,6 +167,12 @@ _PRIORITY = [
     "link_prediction_topk",
     "survival_curve",
     "table_profile",
+    "association_rules",
+    # seasonal_decompose / spearman_correlation land past slot 50
+    # this round (the window is full); their dual-SF local artifacts
+    # carry the value check, and they front-load round 7's window.
+    "seasonal_decompose",
+    "spearman_correlation",
     # (d) reference-surface re-checks
     "latest_value",
     "alarm_feed",

@@ -375,6 +375,109 @@ def link_prediction_topk(
     )
 
 
+ASSOC_TOP_K = 25
+
+
+def association_rules(
+    lineitem: DataFrame,
+    min_support: int = COPURCHASE_MIN_SUPPORT,
+    k: int = ASSOC_TOP_K,
+) -> DataFrame:
+    """Market-basket association rules a→b over order baskets, ranked
+    by lift — the Apriori output tier a recommender serves (support /
+    confidence / lift per directed rule).
+
+    Scale: baskets collapse to DISTINCT (order, item) once; pair
+    counts come from the bounded per-order self-join (items-per-order
+    choose 2, never corpus-quadratic) gated at ``min_support``; item
+    counts and the basket total are broadcast-sized re-aggregates.
+    Both rule directions materialize from ONE undirected pair count.
+    All three measures are exact-integer ratios evaluated in a pinned
+    IEEE order, so the top-k is deterministic; the final cut is a
+    TakeOrderedAndProject + bounded re-rank.
+    """
+    from ..functions.ranking import bounded_rank
+
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item_counts = items.groupBy(
+        F.col("l_partkey").alias("item")
+    ).agg(F.count(F.lit(1)).alias("n_item"))
+    ai, bi = items.alias("ai"), items.alias("bi")
+    pairs = (
+        ai.join(
+            bi,
+            (F.col("ai.l_orderkey") == F.col("bi.l_orderkey"))
+            & (F.col("ai.l_partkey") < F.col("bi.l_partkey")),
+        )
+        .groupBy(
+            F.col("ai.l_partkey").alias("u"),
+            F.col("bi.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_support)
+    )
+    directed = pairs.select(
+        F.col("u").alias("antecedent"),
+        F.col("v").alias("consequent"),
+        "n_both",
+    ).unionAll(
+        pairs.select(
+            F.col("v").alias("antecedent"),
+            F.col("u").alias("consequent"),
+            "n_both",
+        )
+    )
+    na = item_counts.select(
+        F.col("item").alias("antecedent"), F.col("n_item").alias("n_ante")
+    )
+    nc = item_counts.select(
+        F.col("item").alias("consequent"), F.col("n_item").alias("n_cons")
+    )
+    scored = (
+        directed.join(na, "antecedent")
+        .join(nc, "consequent")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            (F.col("n_both") / F.col("n_baskets").cast("double")).alias(
+                "support"
+            ),
+            (F.col("n_both") / F.col("n_ante").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                F.col("n_both").cast("double")
+                * F.col("n_baskets").cast("double")
+                / (
+                    F.col("n_ante").cast("double")
+                    * F.col("n_cons").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )
+    topk = scored.orderBy(
+        F.col("lift").desc(),
+        F.col("antecedent").asc(),
+        F.col("consequent").asc(),
+    ).limit(k)
+    return bounded_rank(
+        topk,
+        [("lift", "desc"), ("antecedent", "asc"), ("consequent", "asc")],
+        "rank",
+    )
+
+
+def q_association_rules(spark, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    return association_rules(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_link_prediction(spark, sf_dir: str) -> DataFrame:
     from ..tables import load_table
 
@@ -411,6 +514,7 @@ QUERIES = {
     "copurchase_triangles": q_copurchase_triangles,
     "neardup_triangles": q_neardup_triangles,
     "link_prediction_topk": q_link_prediction,
+    "association_rules": q_association_rules,
 }
 
 
@@ -563,3 +667,41 @@ FROM scored
 QUALIFY rank <= {LINK_PRED_TOP_K}
 """,
 }
+
+ORACLES["association_rules"] = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+item_counts AS (
+  SELECT l_partkey AS item, COUNT(*) AS n_item FROM items GROUP BY 1
+),
+pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n_both
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COPURCHASE_MIN_SUPPORT}
+),
+directed AS (
+  SELECT u AS antecedent, v AS consequent, n_both FROM pairs
+  UNION ALL
+  SELECT v, u, n_both FROM pairs
+),
+scored AS (
+  SELECT antecedent, consequent, n_both,
+         n_both / CAST(n_baskets AS DOUBLE) AS support,
+         n_both / CAST(na.n_item AS DOUBLE) AS confidence,
+         CAST(n_both AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+           / (CAST(na.n_item AS DOUBLE) * CAST(nc.n_item AS DOUBLE))
+           AS lift
+  FROM directed
+  JOIN item_counts na ON antecedent = na.item
+  JOIN item_counts nc ON consequent = nc.item
+  CROSS JOIN tot
+)
+SELECT antecedent, consequent, n_both, support, confidence, lift,
+       CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, antecedent, consequent)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {ASSOC_TOP_K}
+"""

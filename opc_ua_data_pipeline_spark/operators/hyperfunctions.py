@@ -997,8 +997,158 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_trend(telemetry(spark, sf_dir))
 
 
+def _daily_sums(tel: DataFrame) -> DataFrame:
+    """(metric, day, day_idx, s, n, davg) — exact DECIMAL(28,6) daily
+    sum + count, davg as the repo-standard raw double (exact sum →
+    one IEEE division, NO decimal re-round: rounding a mean back to
+    the decimal grid creates exact HALF ties whenever the count is a
+    power of two, and Spark [HALF_UP] and DuckDB [half-even] break
+    ties differently — the rollup exact_avg convention avoids the
+    midpoint entirely).  day_idx = epoch days (pure integer weekday /
+    RANGE key, no locale/tz semantics)."""
+    dec = F.col("value_num").cast("decimal(28,6)")
+    return (
+        tel.filter(F.col("value_num").isNotNull())
+        .groupBy("metric", F.to_date("time").alias("day"))
+        .agg(F.sum(dec).alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "metric",
+            "day",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias(
+                "day_idx"
+            ),
+            "s",
+            "n",
+            (F.col("s").cast("double") / F.col("n")).alias("davg"),
+        )
+    )
+
+
+SEASONAL_MA_HALF = 3  # centered 7-day moving average
+
+
+def seasonal_decompose(tel: DataFrame) -> DataFrame:
+    """Classical seasonal-trend decomposition of each metric's daily
+    series: trend = centered 7-day moving average, seasonal = mean
+    detrended value per day-of-week slot, residual = the rest — the
+    decomposition behind "is Monday always like this, or is today
+    broken" triage (the batch complement of seasonal_anomalies'
+    hour-of-day z-scores).
+
+    Scale: the ONLY fact-sized operation is the daily rollup; every
+    window after it runs on the (metric, day) spine —
+    time-proportional, never data-proportional (error_burst_windows
+    precedent).  The weekday slot is epoch-days mod 7 (pure integer,
+    no locale/tz semantics to disagree on).
+
+    Exactness (no-midpoint discipline): the trend is the POOLED
+    7-day mean — exact decimal sums of sums and of counts, ONE IEEE
+    division — and every published mean stays a raw double (see
+    _daily_sums: re-rounding means to the decimal grid creates exact
+    HALF ties that Spark and DuckDB break differently).  Detrended
+    values are collapsed to DECIMAL(18,12) for the order-free
+    seasonal sums — at that scale the summed integer units stay
+    below 2^53, so BOTH engines' decimal->double casts are EXACT
+    (DuckDB double-rounds int128-backed wider decimals; the
+    trend_slope gotcha); seasonal and residual are again single
+    IEEE ops on identical operands.  Edge days (incomplete 7-day window) publish NULL
+    trend/seasonal/residual and stay out of the seasonal means.
+    """
+    daily = _daily_sums(tel)
+    w7_sql = (
+        f"(PARTITION BY metric ORDER BY day_idx RANGE BETWEEN"
+        f" {SEASONAL_MA_HALF} PRECEDING AND {SEASONAL_MA_HALF} FOLLOWING)"
+    )
+    with_trend = daily.select(
+        "metric",
+        "day",
+        "day_idx",
+        "davg",
+        F.expr(
+            f"CASE WHEN COUNT(*) OVER {w7_sql} = {2 * SEASONAL_MA_HALF + 1}"
+            f" THEN CAST(SUM(s) OVER {w7_sql} AS DOUBLE)"
+            f" / CAST(SUM(n) OVER {w7_sql} AS DOUBLE) END"
+        ).alias("trend"),
+    )
+    detrended = with_trend.withColumn(
+        "_det", F.expr("CAST(davg - trend AS DECIMAL(18,12))")
+    ).withColumn("_wd", F.pmod(F.col("day_idx"), F.lit(7)))
+    seasonal = detrended.groupBy("metric", "_wd").agg(
+        F.expr(
+            "CAST(SUM(_det) AS DOUBLE) / CAST(COUNT(_det) AS DOUBLE)"
+        ).alias("_seas")
+    )
+    out = detrended.join(F.broadcast(seasonal), ["metric", "_wd"])
+    return out.select(
+        "metric",
+        "day",
+        "davg",
+        "trend",
+        F.when(F.col("_det").isNotNull(), F.col("_seas")).alias("seasonal"),
+        F.expr("CAST(_det AS DOUBLE) - _seas").alias("residual"),
+    )
+
+
+def spearman_correlation(tel: DataFrame) -> DataFrame:
+    """Spearman rank correlation per metric pair over the daily-avg
+    series — the monotone-dependence complement of the Pearson
+    metric_pair_correlation (robust to outliers and nonlinearity).
+
+    rho = 1 - 6·Σd² / (n·(n²-1)) over rank vectors, with ranks
+    assigned by (value, day) row_number — a deterministic total
+    order, so Σd² is EXACT integer arithmetic and rho is one IEEE
+    expression per pair: the contract is a plain hash match, no
+    variance guards or ulp collapse needed (n <= 1 abstains via
+    try_divide).  Ranks are per-metric over the full rollup spine;
+    pairs join on common days (the fixture's spines are identical —
+    on ragged real data, filter to the common spine first).
+    All windows run on the rollup, partitioned by metric.
+    """
+    daily = _daily_sums(tel)
+    w = Window.partitionBy("metric").orderBy("davg", "day_idx")
+    ranked = daily.select(
+        "metric", "day_idx", F.row_number().over(w).alias("rk")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.day_idx") == F.col("b.day_idx"))
+        & (F.col("a.metric") < F.col("b.metric")),
+    ).select(
+        F.col("a.metric").alias("metric_a"),
+        F.col("b.metric").alias("metric_b"),
+        ((F.col("a.rk") - F.col("b.rk")) * (F.col("a.rk") - F.col("b.rk"))).alias(
+            "_d2"
+        ),
+    )
+    agg = pairs.groupBy("metric_a", "metric_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("_d2").alias("_sd2"),
+    )
+    return agg.select(
+        "metric_a",
+        "metric_b",
+        "n_days",
+        F.expr(
+            "1.0 - try_divide(6.0 * CAST(_sd2 AS DOUBLE),"
+            " CAST(n_days AS DOUBLE)"
+            " * (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) - 1.0))"
+        ).alias("spearman_rho"),
+    )
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_decompose(telemetry(spark, sf_dir))
+
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spearman_correlation(telemetry(spark, sf_dir))
+
+
 QUERIES = {
     "theil_sen_trend": q_theil_sen,
+    "seasonal_decompose": q_seasonal_decompose,
+    "spearman_correlation": q_spearman,
     "state_durations": q_state_durations,
     "time_weighted_avg": q_time_weighted_avg,
     "time_bucket_gapfill": q_gapfill,
@@ -1395,4 +1545,73 @@ SELECT m.metric, d.n_days, m.n_pairs, m.sen_slope_per_day
 FROM med m
 JOIN (SELECT metric, COUNT(*) AS n_days FROM daily GROUP BY metric) d
   ON m.metric = d.metric
+"""
+
+_DAILY_SUMS_SQL = f"""
+  SELECT metric, CAST("time" AS DATE) AS day,
+         CAST(CAST("time" AS DATE) - DATE '1970-01-01' AS INT) AS day_idx,
+         SUM(CAST(value_num AS DECIMAL(28,6))) AS s,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value_num AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+           AS davg
+  FROM telemetry WHERE value_num IS NOT NULL
+  GROUP BY 1, 2
+"""
+
+ORACLES["seasonal_decompose"] = f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+daily AS ({_DAILY_SUMS_SQL}),
+with_trend AS (
+  SELECT metric, day, day_idx, davg,
+         CASE WHEN COUNT(*) OVER w = {2 * SEASONAL_MA_HALF + 1} THEN
+           CAST(SUM(s) OVER w AS DOUBLE) / CAST(SUM(n) OVER w AS DOUBLE)
+         END AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY metric ORDER BY day_idx
+               RANGE BETWEEN {SEASONAL_MA_HALF} PRECEDING
+                         AND {SEASONAL_MA_HALF} FOLLOWING)
+),
+det AS (
+  SELECT *,
+         CAST(davg - trend AS DECIMAL(18,12)) AS _det,
+         day_idx % 7 AS _wd
+  FROM with_trend
+),
+seas AS (
+  SELECT metric, _wd,
+         CAST(SUM(_det) AS DOUBLE) / CAST(COUNT(_det) AS DOUBLE) AS _seas
+  FROM det GROUP BY 1, 2
+)
+SELECT d.metric, d.day, d.davg, d.trend,
+       CASE WHEN d._det IS NOT NULL THEN s._seas END AS seasonal,
+       CAST(d._det AS DOUBLE) - s._seas AS residual
+FROM det d JOIN seas s ON d.metric = s.metric AND d._wd = s._wd
+"""
+
+ORACLES["spearman_correlation"] = f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+daily AS ({_DAILY_SUMS_SQL}),
+ranked AS (
+  SELECT metric, day_idx,
+         ROW_NUMBER() OVER (PARTITION BY metric
+                            ORDER BY davg, day_idx) AS rk
+  FROM daily
+),
+pairs AS (
+  SELECT a.metric AS metric_a, b.metric AS metric_b,
+         (a.rk - b.rk) * (a.rk - b.rk) AS d2
+  FROM ranked a
+  JOIN ranked b ON a.day_idx = b.day_idx AND a.metric < b.metric
+),
+agg AS (
+  SELECT metric_a, metric_b, COUNT(*) AS n_days,
+         CAST(SUM(d2) AS BIGINT) AS sd2
+  FROM pairs GROUP BY 1, 2
+)
+SELECT metric_a, metric_b, n_days,
+       1.0 - (6.0 * CAST(sd2 AS DOUBLE))
+           / NULLIF(CAST(n_days AS DOUBLE)
+             * (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE) - 1.0), 0)
+         AS spearman_rho
+FROM agg
 """

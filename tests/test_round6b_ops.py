@@ -353,3 +353,109 @@ def test_bmp_downscale_roundtrip_and_box_average(spark):
     # constant image: box average of a constant IS the constant
     const = bmp_downscale(as_bmp(_docs(spark, ["a" * 48]))).collect()[0]
     assert const.px_mean == 97.0 and const.top_left_b == 97
+
+
+# ---------------------------------------------------------------------------
+# association_rules / link_prediction / seasonal_decompose / spearman /
+# survival_curve
+# ---------------------------------------------------------------------------
+
+
+def _baskets(spark, orders):
+    rows = []
+    for okey, parts in orders:
+        for i, p in enumerate(parts):
+            rows.append(
+                Row(l_orderkey=okey, l_partkey=p, l_linenumber=i)
+            )
+    return spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_linenumber int"
+    )
+
+
+def test_association_rules_hand_computed(spark):
+    from opc_ua_data_pipeline_spark.operators.graph import association_rules
+
+    # 4 baskets: {1,2} twice, {1,3}, {1}; pair (1,2) support 2
+    li = _baskets(spark, [(10, [1, 2]), (11, [1, 2]), (12, [1, 3]), (13, [1])])
+    out = {(r.antecedent, r.consequent): r for r in
+           association_rules(li, min_support=2).collect()}
+    assert set(out) == {(1, 2), (2, 1)}
+    r12, r21 = out[(1, 2)], out[(2, 1)]
+    assert r12.n_both == 2 and r12.support == 0.5
+    assert abs(r12.confidence - 2 / 4) < 1e-12      # P(2|1) = 2/4
+    assert abs(r21.confidence - 1.0) < 1e-12        # P(1|2) = 2/2
+    assert abs(r12.lift - (2 * 4) / (4 * 2)) < 1e-12  # = 1.0
+
+
+def test_link_prediction_scores_distance2_only(spark):
+    from opc_ua_data_pipeline_spark.operators.graph import (
+        link_prediction_topk,
+    )
+
+    # path graph 1-2-3 plus edge 3-4: candidates (1,3) share {2},
+    # (2,4) share {3}, (1,4)? distance 3 -> absent; (1,2) adjacent
+    g = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    out = {(r.x, r.y): r.jaccard for r in link_prediction_topk(g).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    # N(1)={2}, N(3)={2,4}: common 1, union 2 -> 0.5
+    assert abs(out[(1, 3)] - 0.5) < 1e-12
+
+
+def test_seasonal_decompose_recovers_weekly_pattern(spark):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        seasonal_decompose,
+    )
+
+    # pure weekly signal, zero trend: value = bump on day_idx%7==0
+    rows = []
+    for d in range(28):
+        v = 70.0 if (19723 + d) % 7 == 0 else 0.0  # 2024-01-01 = 19723
+        rows.append((d, 0, "m", v))
+    out = {str(r.day): r for r in
+           seasonal_decompose(_tel(spark, rows)).collect()}
+    mid = out["2024-01-10"]
+    assert abs(mid.trend - 10.0) < 1e-9           # 70/7 per window
+    assert abs(mid.seasonal - (0.0 - 10.0)) < 1e-9  # non-bump day
+    assert abs(mid.residual) < 1e-9
+    # edges abstain
+    assert out["2024-01-01"].trend is None
+    assert out["2024-01-01"].residual is None
+
+
+def test_spearman_exact_monotone_and_antitone(spark):
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        spearman_correlation,
+    )
+
+    rows = []
+    for d in range(10):
+        rows.append((d, 0, "up", float(d)))
+        rows.append((d, 1, "up2", float(d * d)))   # same order -> rho 1
+        rows.append((d, 2, "down", float(-d)))     # reversed -> rho -1
+    out = {(r.metric_a, r.metric_b): r.spearman_rho
+           for r in spearman_correlation(_tel(spark, rows)).collect()}
+    assert abs(out[("up", "up2")] - 1.0) < 1e-12
+    assert abs(out[("down", "up")] + 1.0) < 1e-12
+    assert abs(out[("down", "up2")] + 1.0) < 1e-12
+
+
+def test_survival_curve_hand_computed(spark):
+    from opc_ua_data_pipeline_spark.operators.journeys import survival_curve
+
+    # 4 users: lifespans 0, 1, 1, 3 days
+    rows = [(0, 1, "click", 1.0)]
+    rows += [(0, 2, "click", 1.0), (1, 2, "click", 1.0)]
+    rows += [(0, 3, "click", 1.0), (1, 3, "click", 1.0)]
+    rows += [(0, 4, "click", 1.0), (3, 4, "click", 1.0)]
+    ev = _events_tbl(spark, [(d * 86400 + s, u, k, v) for d, s, u, k, v in
+                             [(d, i, u, k, v) for i, (d, u, k, v) in
+                              enumerate(rows)]])
+    out = {r.t: r for r in survival_curve(ev).collect()}
+    # t=0: 1/4 dies -> S=0.75; t=1: 2/3 die -> S=0.25; t=3: last dies -> 0
+    assert (out[0].n_at_risk, out[0].n_died) == (4, 1)
+    assert abs(out[0].survival - 0.75) < 1e-9
+    assert (out[1].n_at_risk, out[1].n_died) == (3, 2)
+    assert abs(out[1].survival - 0.25) < 1e-9
+    assert (out[3].n_at_risk, out[3].n_died) == (1, 1)
+    assert out[3].survival == 0.0
