@@ -173,6 +173,8 @@ _PRIORITY = [
     # carry the value check, and they front-load round 7's window.
     "seasonal_decompose",
     "spearman_correlation",
+    "ks_drift",
+    "revenue_gini",
     # (d) reference-surface re-checks
     "latest_value",
     "alarm_feed",

@@ -607,6 +607,83 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_profile(load_table(spark, sf_dir, "lineitem"))
 
 
+#: KS uses the same reference/current split as the PSI monitor.
+KS_ALPHA_COEF = 1.358  # c(alpha) for alpha = 0.05
+
+
+def ks_drift(events: DataFrame, split_ts: str = PSI_SPLIT) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per event_type between the
+    reference window (before ``split_ts``) and the current window —
+    the distribution-free companion of feature_drift_psi: PSI needs a
+    binning choice; KS is the exact sup-norm ECDF distance, caught at
+    whatever value the distributions actually diverge.
+
+    Exact-textbook semantics: counts aggregate per (type, value)
+    FIRST (evaluating the ECDF gap mid-tie would overestimate the
+    sup), then both cumulative counts run over the distinct-value
+    spine via distwindow.keyed_running_totals — event_type is the
+    canonical low-cardinality key, so a bare per-type window would
+    funnel each type's distinct values through one task; the two-pass
+    rank never does.  KS and the α=0.05 critical value are single
+    IEEE expressions over exact integers (sqrt is libm → the
+    DECIMAL(18,9) collapse before the drift flag, PSI precedent).
+    """
+    is_ref = F.col("ts") < F.lit(split_ts).cast("timestamp")
+    per_value = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(is_ref.cast("long")).alias("_r"),
+            F.sum((~is_ref).cast("long")).alias("_c"),
+        )
+    )
+    from .distwindow import keyed_running_totals
+
+    cum = keyed_running_totals(
+        per_value,
+        ["event_type"],
+        [F.col("value")],
+        weights={"cum_ref": "_r", "cum_cur": "_c"},
+    )
+    totals = per_value.groupBy("event_type").agg(
+        F.sum("_r").alias("n_ref"), F.sum("_c").alias("n_cur")
+    )
+    gap = cum.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.expr(
+            "abs(CAST(cum_ref AS DOUBLE) / n_ref"
+            " - CAST(cum_cur AS DOUBLE) / n_cur)"
+        ).alias("_gap"),
+    )
+    crit = (
+        f"CAST(CAST({KS_ALPHA_COEF} * sqrt((CAST(n_ref AS DOUBLE)"
+        f" + n_cur) / (CAST(n_ref AS DOUBLE) * n_cur))"
+        f" AS DECIMAL(18,9)) AS DOUBLE)"
+    )
+    return (
+        gap.groupBy("event_type")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.max("_gap").alias("ks_stat"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            "ks_stat",
+            f"{crit} AS ks_critical",
+            f"ks_stat > {crit} AS drifted",
+        )
+    )
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ks_drift(load_table(spark, sf_dir, "events"))
+
+
 def q_metric_operator_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ingest import telemetry
 
@@ -631,6 +708,7 @@ QUERIES = {
     "operator_error_ztest": q_operator_error_ztest,
     "metric_operator_mi": q_metric_operator_mi,
     "table_profile": q_table_profile,
+    "ks_drift": q_ks_drift,
 }
 
 _FP_CANON_SQL = (
@@ -882,3 +960,50 @@ FROM j
 ORACLES["metric_operator_mi"] = _mi_oracle()
 
 ORACLES["table_profile"] = _profile_oracle()
+
+# the oracle keeps the naive per-type single-window spelling ks_drift
+# exists to avoid
+ORACLES["ks_drift"] = f"""
+WITH per_value AS (
+  SELECT event_type, value,
+         SUM(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0 END)
+           AS r,
+         SUM(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 0 ELSE 1 END)
+           AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type,
+         SUM(r) OVER w AS cum_ref,
+         SUM(c) OVER w AS cum_cur
+  FROM per_value
+  WINDOW w AS (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+totals AS (
+  SELECT event_type, CAST(SUM(r) AS BIGINT) AS n_ref,
+         CAST(SUM(c) AS BIGINT) AS n_cur
+  FROM per_value GROUP BY 1
+),
+gap AS (
+  SELECT cum.event_type, n_ref, n_cur,
+         abs(CAST(cum_ref AS DOUBLE) / n_ref
+             - CAST(cum_cur AS DOUBLE) / n_cur) AS g
+  FROM cum JOIN totals ON cum.event_type = totals.event_type
+),
+agg AS (
+  SELECT event_type, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+         MAX(g) AS ks_stat
+  FROM gap GROUP BY 1
+)
+SELECT event_type, n_ref, n_cur, ks_stat,
+       CAST(CAST({KS_ALPHA_COEF} * sqrt((CAST(n_ref AS DOUBLE) + n_cur)
+            / (CAST(n_ref AS DOUBLE) * n_cur)) AS DECIMAL(18,9))
+            AS DOUBLE) AS ks_critical,
+       ks_stat > CAST(CAST({KS_ALPHA_COEF}
+            * sqrt((CAST(n_ref AS DOUBLE) + n_cur)
+            / (CAST(n_ref AS DOUBLE) * n_cur)) AS DECIMAL(18,9))
+            AS DOUBLE) AS drifted
+FROM agg
+"""

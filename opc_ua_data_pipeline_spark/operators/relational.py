@@ -940,7 +940,64 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transition_matrix(load_table(spark, sf_dir, "events"))
 
 
+def revenue_gini(orders: DataFrame) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    "do 20% of customers drive 80% of revenue" number, computed from
+    the Lorenz-ordered rank identity
+    ``G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n`` over customers sorted by
+    revenue ascending.
+
+    The naive spelling is ``ROW_NUMBER() OVER (ORDER BY revenue)`` —
+    an unpartitioned global sort — so the rank comes from the
+    distwindow two-pass global rank (rfm/decile precedent).
+    Exactness: per-customer revenue and the two Σ terms are exact
+    DECIMAL sums (rank·revenue stays decimal), so G is a handful of
+    IEEE ops on exact operands — plain hash contract.
+    """
+    from .distwindow import keyed_running_totals
+
+    # 2-decimal units (o_totalprice's native scale): the rank-weighted
+    # sum stays below 2^53 integer units, so BOTH engines' decimal->
+    # double casts are exact (the int128 double-rounding trap); the
+    # published gini is still DECIMAL(18,12)-collapsed for margin.
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).alias("_rev")
+    )
+    ranked = keyed_running_totals(
+        per_cust,
+        [],
+        [F.col("_rev"), F.col("o_custkey")],
+        rank_col="_i",
+        n_col="_n",
+    )
+    return (
+        ranked.select(
+            (F.col("_i").cast("decimal(28,2)") * F.col("_rev")).alias(
+                "_ix"
+            ),
+            "_rev",
+            "_n",
+        )
+        .groupBy()
+        .agg(
+            F.max("_n").alias("n_customers"),
+            F.sum("_rev").cast("double").alias("total_revenue"),
+            F.expr(
+                "CAST(CAST(2.0 * CAST(SUM(_ix) AS DOUBLE)"
+                " / (CAST(MAX(_n) AS DOUBLE) * CAST(SUM(_rev) AS DOUBLE))"
+                " - (CAST(MAX(_n) AS DOUBLE) + 1.0) / MAX(_n)"
+                " AS DECIMAL(18,12)) AS DOUBLE)"
+            ).alias("gini"),
+        )
+    )
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return revenue_gini(load_table(spark, sf_dir, "orders"))
+
+
 QUERIES = {
+    "revenue_gini": q_revenue_gini,
     "pricing_summary": q_pricing_summary,
     "small_quantity_revenue": q_small_quantity_revenue,
     "bracket_revenue": lambda spark, sf: bracket_revenue(
@@ -1339,4 +1396,27 @@ FROM counts
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 QUALIFY rank <= 10
+"""
+
+# the oracle keeps the naive unpartitioned ROW_NUMBER spelling
+# revenue_gini exists to avoid
+ORACLES["revenue_gini"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS rev
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT rev,
+         ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+         COUNT(*) OVER () AS n
+  FROM per_cust
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+       CAST(CAST(2.0 * CAST(SUM(CAST(i AS DECIMAL(28,2)) * rev) AS DOUBLE)
+            / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE))
+            - (CAST(MAX(n) AS DOUBLE) + 1.0) / MAX(n)
+            AS DECIMAL(18,12)) AS DOUBLE) AS gini
+FROM ranked
 """

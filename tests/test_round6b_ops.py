@@ -459,3 +459,45 @@ def test_survival_curve_hand_computed(spark):
     assert abs(out[1].survival - 0.25) < 1e-9
     assert (out[3].n_at_risk, out[3].n_died) == (1, 1)
     assert out[3].survival == 0.0
+
+
+# ---------------------------------------------------------------------------
+# ks_drift / revenue_gini
+# ---------------------------------------------------------------------------
+
+
+def test_ks_detects_shift_and_passes_identical(spark):
+    from opc_ua_data_pipeline_spark.operators.dq import ks_drift
+
+    # 'stable': identical distributions both windows -> KS 0
+    # 'shifted': disjoint supports -> KS 1
+    rows = []
+    for i in range(40):
+        half = 0 if i < 20 else 20  # days 0..14 ref, 16.. cur
+        d = 0 if i < 20 else 20
+        rows.append((d * 86400 + i, i, "stable", float(i % 5)))
+        rows.append((d * 86400 + i, i, "shifted",
+                     float(i % 5) + (0.0 if i < 20 else 100.0)))
+    ev = _events_tbl(spark, rows)
+    out = {r.event_type: r for r in ks_drift(ev).collect()}
+    assert out["stable"].ks_stat == 0.0 and not out["stable"].drifted
+    assert out["shifted"].ks_stat == 1.0 and out["shifted"].drifted
+
+
+def test_gini_extremes(spark):
+    from opc_ua_data_pipeline_spark.operators.relational import revenue_gini
+
+    def _orders(vals):
+        return spark.createDataFrame(
+            [Row(o_orderkey=i, o_custkey=i, o_totalprice=float(v))
+             for i, v in enumerate(vals)],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        )
+
+    equal = revenue_gini(_orders([100.0] * 10)).collect()[0]
+    assert abs(equal.gini) < 1e-9  # perfect equality
+    # one customer holds everything: G -> (n-1)/n
+    concentrated = revenue_gini(
+        _orders([0.0] * 9 + [1000.0])
+    ).collect()[0]
+    assert abs(concentrated.gini - 9 / 10) < 1e-9
