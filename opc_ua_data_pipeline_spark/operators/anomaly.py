@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
-from .distwindow import bounded_frame_apply
+from .distwindow import bounded_frame_apply, trailing_frame_sums
 
 ROLL_WINDOW = 50
 MIN_SAMPLES = 30
@@ -54,17 +54,21 @@ def rolling_zscore(
     the SQL COUNT/SUM-over-frame spelling)."""
     dec = F.col("value").cast("decimal(28,6)")
     dec2 = (F.col("value") * F.col("value")).cast("decimal(28,6)")
-    framed = bounded_frame_apply(
+    # prefix-difference trailing sums (O(1)/row) instead of the
+    # re-aggregated -50..-1 frame (O(frame)/row — measured 5.8 s warm
+    # at sf0.1 vs ~1.5 s on this spelling); exact decimal subtraction,
+    # value-identical to the window form the oracle keeps
+    framed = trailing_frame_sums(
         events.select("event_id", "ts", key_col, "value"),
         key_cols=[key_col],
         order_cols=["ts", "event_id"],
-        lo=-n_prev,
-        hi=-1,
-        exprs={
-            "n_prev": lambda w: F.count(F.lit(1)).over(w),
-            "_s1": lambda w: F.sum(dec).over(w).cast("double"),
-            "_s2": lambda w: F.sum(dec2).over(w).cast("double"),
-        },
+        n_prev=n_prev,
+        sums={"_s1d": dec, "_s2d": dec2},
+    ).withColumns(
+        {
+            "_s1": F.col("_s1d").cast("double"),
+            "_s2": F.col("_s2d").cast("double"),
+        }
     )
     n = F.col("n_prev")
     mean = F.col("_s1") / n

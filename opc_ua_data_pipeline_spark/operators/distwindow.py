@@ -192,6 +192,77 @@ def bounded_frame_apply(
     return out.filter(F.col(_NATIVE)).drop("_rn", _BKT, _NATIVE)
 
 
+def trailing_frame_sums(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    n_prev: int,
+    sums: dict[str, Column],
+    count_col: str = "n_prev",
+    bucket_rows: int = BUCKET_ROWS,
+    range_parts: int = RANGE_PARTS,
+) -> DataFrame:
+    """Trailing rows-frame (-n_prev .. -1) COUNT(*) and SUMs in
+    O(1)/row — the prefix-difference form of
+    :func:`bounded_frame_apply` for sum-like aggregates.
+
+    A bounded ROWS frame makes Spark RE-AGGREGATE the frame for every
+    row (O(frame)/row: a 50-row trailing sum over 10⁹ rows costs
+    5·10¹⁰ adds per expression).  Sums are invertible, so this
+    evaluates each as a difference of two UNBOUNDED-PRECEDING running
+    sums — which Spark maintains incrementally — read back with
+    ``lag(1)`` and ``lag(n_prev+1)``: same bucket + carry
+    construction, O(1)/row regardless of frame width.
+
+    Semantics match the window spelling exactly: ``count_col`` counts
+    ROWS in the frame (NULLs hold their slot); each sum skips NULL
+    inputs and is NULL when the frame holds no non-NULL input (the
+    SQL SUM-over-frame contract), reconstructed from a parallel
+    non-NULL-count prefix.  Exactness requires sum inputs on a
+    decimal grid (exact subtraction) — cast before passing.
+    """
+    before = n_prev
+    if bucket_rows < max(before, 1):
+        raise ValueError(
+            f"bucket_rows={bucket_rows} must cover n_prev={n_prev}"
+        )
+    base = attach_keyed_row_number(df, key_cols, order_cols, range_parts)
+    li = F.expr(f"(_rn - 1) % {bucket_rows}")
+    base = base.withColumn(_BKT, F.expr(f"(_rn - 1) DIV {bucket_rows}"))
+    carries = (
+        base.filter(li >= bucket_rows - before)
+        .withColumn(_BKT, F.col(_BKT) + 1)
+        .withColumn(_NATIVE, F.lit(False))
+    )
+    unioned = base.withColumn(_NATIVE, F.lit(True)).unionByName(carries)
+    wp = Window.partitionBy(*key_cols, _BKT).orderBy("_rn")
+    wcum = wp.rowsBetween(Window.unboundedPreceding, 0)
+    prefix_exprs = {"_tp_cnt": F.count(F.lit(1)).over(wcum)}
+    for name, col in sums.items():
+        prefix_exprs[f"_tp_s_{name}"] = F.sum(col).over(wcum)
+        prefix_exprs[f"_tp_n_{name}"] = F.count(col).over(wcum)
+    staged = unioned.select(
+        "*", *[e.alias(k) for k, e in prefix_exprs.items()]
+    )
+
+    def _diff(c: str) -> Column:
+        return F.coalesce(F.lag(c, 1).over(wp), F.lit(0)) - F.coalesce(
+            F.lag(c, before + 1).over(wp), F.lit(0)
+        )
+
+    out_cols = [_diff("_tp_cnt").alias(count_col)]
+    for name in sums:
+        out_cols.append(
+            F.when(_diff(f"_tp_n_{name}") > 0, _diff(f"_tp_s_{name}"))
+            .alias(name)
+        )
+    out = staged.select("*", *out_cols)
+    drop = ["_rn", _BKT, _NATIVE] + [
+        c for c in staged.columns if c.startswith("_tp_")
+    ]
+    return out.filter(F.col(_NATIVE)).drop(*drop)
+
+
 def keyed_running_totals(
     df: DataFrame,
     key_cols: list[str],

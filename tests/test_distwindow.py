@@ -213,3 +213,43 @@ def test_no_bare_low_cardinality_fact_window(spark, name):
                 part_cols,
                 order_cols,
             )
+
+
+def test_trailing_prefix_sums_match_bare_window(spark):
+    """The O(1)/row prefix-difference trailing frame must equal the
+    naive -k..-1 rows-frame spelling row for row — including the
+    SUM-is-NULL-when-frame-all-NULL contract, NULL key groups, and
+    carries forced at every tiny-bucket edge."""
+    from opc_ua_data_pipeline_spark.operators.distwindow import (
+        trailing_frame_sums,
+    )
+
+    df = _toy(spark)
+    for k in (1, 5, 7):
+        got = {
+            r.id: (r.n_prev, r.s)
+            for r in trailing_frame_sums(
+                df,
+                key_cols=["key"],
+                order_cols=["ord", "id"],
+                n_prev=k,
+                sums={"s": F.col("value").cast("decimal(28,6)")},
+                bucket_rows=8,
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("key")
+            .orderBy("ord", "id")
+            .rowsBetween(-k, -1)
+        )
+        want = {
+            r.id: (r.n_prev, r.s)
+            for r in df.select(
+                "id",
+                F.count(F.lit(1)).over(w).alias("n_prev"),
+                F.sum(F.col("value").cast("decimal(28,6)"))
+                .over(w)
+                .alias("s"),
+            ).collect()
+        }
+        assert got == want
