@@ -591,7 +591,7 @@ r AS (
          COUNT(*) OVER () AS n
   FROM lat
 ),
-q AS (SELECT UNNEST([{_CONV_Q_LIST}]) AS quantile)
+q AS (SELECT CAST(UNNEST([{_CONV_Q_LIST}]) AS DOUBLE) AS quantile)
 SELECT q.quantile, r.latency_us, CAST(r.n AS BIGINT) AS n_users
 FROM q JOIN r ON r.rk = ceil(q.quantile * r.n)
 """
