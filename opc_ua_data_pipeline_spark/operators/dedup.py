@@ -1197,7 +1197,11 @@ def sorted_neighborhood_pairs(
         "doc_id",
         F.substring(F.lower(F.col("text")), 1, key_len).alias("sk"),
     ).repartitionByRange(64, "sk", "doc_id")
-    with_pid = keyed.withColumn("_pid", F.spark_partition_id())
+    # materialized for branch-consistent _pid (the distwindow
+    # attach_keyed_row_number rationale)
+    with_pid = keyed.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     w_local = Window.partitionBy("_pid").orderBy("sk", "doc_id")
     local = with_pid.withColumn("_rn", F.row_number().over(w_local))
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))

@@ -112,7 +112,18 @@ def attach_keyed_row_number(
     """
     sort_key = [F.col(c) for c in [*key_cols, *order_cols]]
     ranged = df.repartitionByRange(range_parts, *sort_key)
-    with_pid = ranged.withColumn(_PID, F.spark_partition_id())
+    # MATERIALIZE the pid-stamped frame: spark_partition_id is only
+    # meaningful for ONE physical execution, and the big side (the
+    # local windows) and the tiny side (the per-partition counts) are
+    # separate plan branches — without this, range-boundary
+    # re-sampling or AQE coalescing can hand the two branches
+    # DIFFERENT partition ids, silently corrupting the offsets
+    # (caught by the sf0.1 local-correctness sweep in round 6; the
+    # sf0.01 window was too small to split the branches).  At cluster
+    # scale swap for persist() to survive executor loss.
+    with_pid = ranged.withColumn(
+        _PID, F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     w_local = Window.partitionBy(*key_cols, _PID).orderBy(*order_cols)
     local = with_pid.withColumn(_LRN, F.row_number().over(w_local))
     # tiny table: #keys x range_parts rows
@@ -292,7 +303,11 @@ def keyed_running_totals(
     ranged = df.repartitionByRange(
         range_parts, *[F.col(c) for c in key_cols], *order_exprs
     )
-    with_pid = ranged.withColumn(_PID, F.spark_partition_id())
+    # materialized for branch-consistent _PID (see
+    # attach_keyed_row_number)
+    with_pid = ranged.withColumn(
+        _PID, F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     w_local = (
         Window.partitionBy(*key_cols, _PID)
         .orderBy(*order_exprs)
@@ -376,7 +391,11 @@ def keyed_prefix_last(
     ranged = df.repartitionByRange(
         range_parts, *[F.col(c) for c in [*key_cols, *order_cols]]
     )
-    with_pid = ranged.withColumn(_PID, F.spark_partition_id())
+    # materialized for branch-consistent _PID (see
+    # attach_keyed_row_number)
+    with_pid = ranged.withColumn(
+        _PID, F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     w_local = (
         Window.partitionBy(*key_cols, _PID)
         .orderBy(*order_cols)
