@@ -390,7 +390,11 @@ def value_rank_profile(events: DataFrame) -> DataFrame:
     ranged = events.select("event_id", "event_type", "value").repartitionByRange(
         64, "event_type", "value", "event_id"
     )
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # materialized: branch-inconsistent partition ids corrupt the
+    # offsets (distwindow.attach_keyed_row_number rationale)
+    with_pid = ranged.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     w_local = Window.partitionBy("event_type", "_pid").orderBy("value", "event_id")
     local = with_pid.withColumn("_rn", F.row_number().over(w_local))
 

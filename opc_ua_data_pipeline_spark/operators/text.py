@@ -199,9 +199,15 @@ def vocab_stats(df: DataFrame) -> DataFrame:
     )
     total = tf.agg(F.sum("n_occurrences").alias("total_occ"))
 
-    ranged = tf.repartitionByRange(
-        32, F.col("n_occurrences").desc(), F.col("term").asc()
-    ).withColumn("_pid", F.spark_partition_id())
+    # materialized: branch-inconsistent partition ids corrupt the
+    # offsets (distwindow.attach_keyed_row_number rationale)
+    ranged = (
+        tf.repartitionByRange(
+            32, F.col("n_occurrences").desc(), F.col("term").asc()
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     w_local = Window.partitionBy("_pid").orderBy(
         F.col("n_occurrences").desc(), F.col("term").asc()
     )
