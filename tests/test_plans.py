@@ -145,7 +145,13 @@ def test_two_pass_windows_have_no_global_window(spark):
     present."""
     for name in ["text_vocab_stats", "value_rank_profile"]:
         plan = formatted_plan(Q[name](spark, SF))
-        assert "rangepartitioning(" in plan, name
+        # the range-partition first pass now materializes behind a
+        # localCheckpoint (branch-consistent partition ids — see the
+        # round-6 post-mortem in PERF.md), so the downstream plan
+        # shows the checkpointed scan instead of the exchange
+        assert (
+            "rangepartitioning(" in plan or "ExistingRDD" in plan
+        ), name
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
             spec = m.group(1)
             # a global window's spec starts directly with the ORDER BY
