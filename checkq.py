@@ -12,7 +12,7 @@ import duckdb
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as entry_mod
-from local_correctness import _norm
+from local_correctness import _norm, _schema_sig
 from opc_ua_data_pipeline_spark.tables import TABLE_NAMES
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -34,7 +34,8 @@ def main() -> int:
         spdf = queries[name](spark, SF_DIR).toPandas()
         dpdf = con.execute(oracles[name]).df()
         cols = sorted(spdf.columns)
-        ok_schema = cols == sorted(dpdf.columns)
+        sig_a, sig_b = _schema_sig(spdf), _schema_sig(dpdf)
+        ok_schema = sig_a == sig_b
         a = sorted(
             "|".join(_norm(v) for v in row)
             for row in spdf[cols].itertuples(index=False, name=None)
@@ -57,8 +58,8 @@ def main() -> int:
         if not ok:
             rc = 1
             if not ok_schema:
-                print("  spark cols:", cols)
-                print("  duck  cols:", sorted(dpdf.columns))
+                print("  spark cols:", [f"{c}:{t}" for c, t in sig_a])
+                print("  duck  cols:", [f"{c}:{t}" for c, t in sig_b])
             else:
                 for x, y in zip(a, b):
                     if x != y:

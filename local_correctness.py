@@ -40,6 +40,73 @@ import __spark_entry__ as entry_mod
 from opc_ua_data_pipeline_spark.tables import TABLE_NAMES
 
 
+def _dtype_sig(series):
+    """Canonical dtype signature for the driver-mirroring schema compare.
+
+    Round 6 proved name-only schema comparison is too weak: the driver
+    flagged ``error_burst_windows`` schema_match=false because DuckDB's
+    ``to_timestamp()`` yields TIMESTAMP WITH TIME ZONE (tz-aware
+    datetime64 in pandas) while Spark's ``timestamp_seconds`` is plain
+    TIMESTAMP — identical column names, different types.  This
+    signature keeps tz-awareness distinct while canonicalizing the
+    pairs the driver demonstrably tolerates (DATE objects vs midnight
+    datetime64 — round-1 cohort/funnel queries were fully green; int /
+    float width skew, whose value reprs are already compared exactly
+    by ``_norm``).
+    """
+    import numpy as np
+    import pandas as pd
+
+    dt = series.dtype
+    if isinstance(dt, pd.DatetimeTZDtype):
+        return "timestamptz"
+    s = str(dt)
+    if s.startswith("datetime64"):
+        # Midnight-only datetime64 is how DuckDB renders DATE through
+        # .df(); Spark DATE arrives as object(datetime.date).  The
+        # driver hashes those as equal, so collapse the midnight case.
+        nonnull = series.dropna()
+        if len(nonnull) and (
+            pd.DatetimeIndex(nonnull).normalize() == pd.DatetimeIndex(nonnull)
+        ).all():
+            return "date_or_midnight"
+        return "timestamp"
+    if s.startswith(("int", "uint", "Int", "UInt")):
+        return "int"
+    if s.startswith(("float", "Float")):
+        return "float"
+    if s.startswith("bool"):
+        return "bool"
+    if s == "object":
+        nonnull = series.dropna()
+        if not len(nonnull):
+            return "empty"
+        v = nonnull.iloc[0]
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, datetime.datetime):
+            return "timestamptz" if v.tzinfo else "timestamp"
+        if isinstance(v, datetime.date):
+            return "date_or_midnight"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "array"
+        if isinstance(v, (bool, np.bool_)):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        return "object"
+    return s
+
+
+def _schema_sig(pdf):
+    """Sorted (column, canonical dtype) pairs for a pandas frame."""
+    return sorted((c, _dtype_sig(pdf[c])) for c in pdf.columns)
+
+
 def _norm(v):
     import numpy as np
     import pandas as pd
@@ -108,9 +175,13 @@ def main() -> int:
                 dpdf = con.execute(oracles[name]).df()
                 entry["oracle_rows"] = len(dpdf)
                 entry["rows_match"] = len(spdf) == len(dpdf)
-                entry["schema_match"] = sorted(spdf.columns) == sorted(
-                    dpdf.columns
-                )
+                sig_a, sig_b = _schema_sig(spdf), _schema_sig(dpdf)
+                entry["schema_match"] = sig_a == sig_b
+                if not entry["schema_match"]:
+                    entry["schema_diff"] = {
+                        "spark": [f"{c}:{t}" for c, t in sig_a],
+                        "oracle": [f"{c}:{t}" for c, t in sig_b],
+                    }
                 cols = sorted(spdf.columns)
                 a = sorted(
                     "|".join(_norm(v) for v in row)
@@ -150,7 +221,9 @@ def main() -> int:
     bad = [
         n
         for n, e in report.items()
-        if e["err"] not in (None, "no_oracle") or e["values_match"] is False
+        if e["err"] not in (None, "no_oracle")
+        or e["values_match"] is False
+        or e["schema_match"] is False
     ]
     print("WROTE", out_path, "queries:", len(report), "failures:", bad)
     return 1 if bad else 0

@@ -377,7 +377,7 @@ counts AS (
   GROUP BY 1, 2
 )
 SELECT operator,
-       to_timestamp(bkt * {BURST_BUCKET_SEC}) AS bucket_start,
+       CAST(to_timestamp(bkt * {BURST_BUCKET_SEC}) AS TIMESTAMP) AS bucket_start,
        n_errors,
        CAST(SUM(n_errors) OVER (PARTITION BY operator ORDER BY bkt
                            RANGE BETWEEN {BURST_SPAN_BUCKETS - 1} PRECEDING
