@@ -147,7 +147,7 @@ def source_budget_trim(
     ranked = keyed_running_totals(
         scored,
         key_cols=["source"],
-        order_exprs=[F.col("quality_score").desc(), F.col("doc_id")],
+        order_by=[("quality_score", False), "doc_id"],
         weights={"cum_tokens": "n_tokens"},
     )
     return ranked.filter(F.col("cum_tokens") <= budget).select(
@@ -338,7 +338,7 @@ def curriculum_stages(
     ranked = keyed_running_totals(
         joined,
         key_cols=["source"],
-        order_exprs=[F.col("mean_logprob").desc(), F.col("doc_id")],
+        order_by=[("mean_logprob", False), "doc_id"],
     )
     return ranked.select(
         "doc_id",
@@ -443,7 +443,7 @@ def score_decile_profile(docs: DataFrame) -> DataFrame:
     t = keyed_running_totals(
         scored,
         [],
-        [F.col("quality_score").desc(), F.col("doc_id")],
+        [("quality_score", False), "doc_id"],
         rank_col="_rank",
         n_col="_n",
     )

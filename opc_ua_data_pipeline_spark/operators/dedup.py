@@ -1201,34 +1201,18 @@ def sorted_neighborhood_pairs(
     integers; the Jaccard verify joins the n·w pairs back to the
     token arrays — per-row array intersect/union, one double divide.
     """
+    from .distwindow import attach_keyed_row_number
+
     keyed = docs.select(
         "doc_id",
         F.substring(F.lower(F.col("text")), 1, key_len).alias("sk"),
-    ).repartitionByRange(64, "sk", "doc_id")
-    # materialized for branch-consistent _pid (the distwindow
-    # attach_keyed_row_number rationale)
-    with_pid = keyed.withColumn(
-        "_pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
-    w_local = Window.partitionBy("_pid").orderBy("sk", "doc_id")
-    local = with_pid.withColumn("_rn", F.row_number().over(w_local))
-    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    # offsets table: #partitions rows — the bare ordered window is
-    # over the bounded offset spine, not data (documented contract)
-    # constant-VALUED (but non-foldable) partition keeps this 64-row
-    # offsets window out of the 'No Partition Defined' warning channel
-    # (distwindow._key_part convention; a bare lit() gets folded away)
-    w_off = (
-        Window.partitionBy(F.pmod(F.col("_pid"), F.lit(1)))
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off")
-    )
-    ranked = local.join(F.broadcast(offsets), "_pid").select(
-        "doc_id", "sk", (F.col("_off") + F.col("_rn")).alias("rank")
-    )
+    # global rank via the deterministic-bucket two-pass (the string
+    # probe: first 7 UTF-8 bytes as a bigint — monotone under
+    # UTF8_BINARY, so buckets respect the sk sort)
+    ranked = attach_keyed_row_number(
+        keyed, [], ["sk", "doc_id"], range_parts=64, rn_col="rank"
+    ).select("doc_id", "sk", "rank")
     probe = ranked.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sk").alias("sk_a"),

@@ -12,10 +12,10 @@ previous day" silently breaks when a day holds fewer than 50 rows.
 
 This module implements the fully general decomposition:
 
-1. a global per-key row number via the distributed two-pass rank
-   (range-partition on the full sort key -> local row_number ->
-   per-(key, physical-partition) counts -> broadcast offsets) — the
-   value_rank_profile pattern (relational.py:362-410);
+1. a global per-key row number via the distributed two-pass rank:
+   assign each row a DETERMINISTIC bucket id (see below), compute a
+   local row_number within (key, bucket), then broadcast the
+   per-(key, bucket) counts back as prefix offsets;
 2. fixed-size buckets of ``bucket_rows`` consecutive rows per key.
    Every bucket except a key's LAST is full by construction — the
    invariant that makes adjacent-bucket carries sufficient, which
@@ -30,6 +30,28 @@ This module implements the fully general decomposition:
    cardinality or time density — computing the caller's frame
    expressions; carried copies are dropped afterwards.
 
+**The deterministic bucket id (round 7).**  The round-6 form stamped
+``spark_partition_id()`` after a ``repartitionByRange`` and had to
+``localCheckpoint`` the stamped frame: the big side (local windows)
+and the tiny side (per-bucket counts) are separate plan branches, and
+without materialization AQE / range re-sampling could hand them
+DIFFERENT partition ids — 5,335/100,000 silently shifted rows at
+sf0.1 in the round-6 post-mortem.  Materializing was correct but
+wrote the full fact table to local disk once per operator call
+(+0.7..+1.6 s warm on every caller).  The two-pass rank's actual
+requirement is much weaker than range partitioning: the bucket id
+only has to be (a) a deterministic function of the row and (b)
+MONOTONE in the order columns within each key.  So round 7 samples
+quantile cutpoints of the FIRST order column ONCE, driver-side
+(``percentile_approx``, one bounded aggregate over a single pruned
+column), embeds them as literals, and computes the bucket id as a
+pure column expression — branch-consistent by construction, no
+materialization, no range shuffle (the (key, bucket) window's hash
+exchange is the only shuffle the big side pays).  Ties and NULLs
+share a bucket with their order-equal peers (monotone non-strict is
+sufficient: the within-bucket window orders by the FULL order-column
+list); heavy ties degrade parallelism, never correctness.
+
 The result is bit-identical to the single-window form whenever the
 frame aggregates are insensitive to intra-frame order (counts, decimal
 sums, min/max, collect_list normalized by array_sort): every surviving
@@ -43,6 +65,7 @@ equivalence on every run.
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
@@ -52,9 +75,16 @@ from pyspark.sql import functions as F
 #: carries rows) always fits one task comfortably.
 BUCKET_ROWS = 4096
 
-#: Width of the range shuffle for the rank pass.  On a real cluster
-#: this scales with input volume; AQE coalesces the tail at small SF.
+#: Number of quantile cutpoints sampled for the deterministic bucket
+#: id (so up to RANGE_PARTS buckets).  On a real cluster this scales
+#: with input volume; the per-(key, bucket) window only needs enough
+#: buckets that no single task funnels a whole key.
 RANGE_PARTS = 64
+
+#: percentile_approx accuracy for the cutpoint sample — boundaries
+#: only balance the buckets, they never affect correctness, so a
+#: coarse (cheap) sketch is plenty.
+_PCT_ACCURACY = 1000
 
 _PID = "_dw_pid"
 _LRN = "_dw_lrn"
@@ -62,6 +92,103 @@ _CNT = "_dw_cnt"
 _OFF = "_dw_off"
 _BKT = "_dw_bkt"
 _NATIVE = "_dw_native"
+
+#: (name, ascending) order spec — ``str`` alone means ascending.
+OrderSpec = "str | tuple[str, bool]"
+
+
+def _specs(order_by) -> list[tuple[str, bool]]:
+    return [(s, True) if isinstance(s, str) else (s[0], bool(s[1])) for s in order_by]
+
+
+def _order_cols(specs: list[tuple[str, bool]]) -> list[Column]:
+    return [F.col(n) if asc else F.col(n).desc() for n, asc in specs]
+
+
+def _probe(dtype: str):
+    """Order-preserving numeric probe for quantile sampling + bucket
+    comparison, or None when the dtype has no cheap quantile path
+    (the caller then falls back to the materialized-pid form).
+
+    Strings map to their first 7 UTF-8 bytes read big-endian as a
+    bigint (hex + right-pad-to-14 + base-16 conv): Spark's default
+    UTF8_BINARY collation compares byte-wise, so the projection is
+    monotone NON-STRICT in the string order — exactly the bucket-id
+    requirement (ties merge into one bucket; the within-bucket window
+    still orders by the full column list)."""
+    if dtype in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros
+    if dtype == "date":
+        return F.unix_date
+    if dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or dtype.startswith("decimal"):
+        return lambda c: c.cast("double")
+    if dtype == "string":
+        return lambda c: F.conv(
+            F.rpad(F.substring(F.hex(F.encode(c, "UTF-8")), 1, 14), 14, "0"),
+            16,
+            10,
+        ).cast("bigint")
+    return None
+
+
+def deterministic_bucket_id(
+    df: DataFrame, first_order: tuple[str, bool], parts: int
+) -> Column | None:
+    """Bucket-id column for the two-pass rank: ``#cutpoints passed``
+    along the order direction, from cutpoints sampled ONCE driver-side.
+
+    Returns None when the first order column's type has no numeric
+    probe; callers fall back to the materialized
+    ``spark_partition_id`` form.  NULL order values coalesce to the
+    first bucket of the order direction (Spark's ASC NULLS FIRST /
+    DESC NULLS LAST window default), keeping monotonicity.
+    """
+    name, asc = first_order
+    dtype = dict(df.dtypes).get(name)
+    probe = _probe(dtype) if dtype else None
+    if probe is None:
+        return None
+    qs = [i / parts for i in range(1, parts)]
+    row = df.select(
+        F.percentile_approx(
+            probe(F.col(name)), F.lit(qs), F.lit(_PCT_ACCURACY)
+        ).alias("q")
+    ).first()
+    cuts = sorted({v for v in (row["q"] or []) if v is not None})
+    if not cuts:
+        # empty / all-NULL / single-value input: one bucket
+        return F.lit(0)
+    c = probe(F.col(name))
+    if asc:
+        terms = [(c > F.lit(v)).cast("int") for v in cuts]
+        null_bucket = 0  # ASC NULLS FIRST
+    else:
+        terms = [(c < F.lit(v)).cast("int") for v in cuts]
+        null_bucket = len(cuts)  # DESC NULLS LAST
+    return F.coalesce(reduce(lambda a, b: a + b, terms), F.lit(null_bucket))
+
+
+def _attach_pid(
+    df: DataFrame, first_order: tuple[str, bool], parts: int
+) -> DataFrame:
+    """``df`` + the deterministic ``_dw_pid`` bucket column; falls
+    back to the round-6 materialized spark_partition_id form (range
+    shuffle + localCheckpoint — correct, just more expensive) for
+    order types without a quantile probe."""
+    bucket = deterministic_bucket_id(df, first_order, parts)
+    if bucket is not None:
+        return df.withColumn(_PID, bucket)
+    name, asc = first_order
+    ranged = df.repartitionByRange(
+        parts, F.col(name) if asc else F.col(name).desc()
+    )
+    # spark_partition_id is only meaningful for ONE physical
+    # execution; materialize so the window branch and the counts
+    # branch see the SAME ids (round-6 post-mortem in PERF.md).  At
+    # cluster scale swap for persist() to survive executor loss.
+    return ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
 
 
 def _join_back(
@@ -110,24 +237,11 @@ def attach_keyed_row_number(
     deterministic.  ``key_cols=[]`` gives a GLOBAL row number (still
     no single-task sort anywhere).
     """
-    sort_key = [F.col(c) for c in [*key_cols, *order_cols]]
-    ranged = df.repartitionByRange(range_parts, *sort_key)
-    # MATERIALIZE the pid-stamped frame: spark_partition_id is only
-    # meaningful for ONE physical execution, and the big side (the
-    # local windows) and the tiny side (the per-partition counts) are
-    # separate plan branches — without this, range-boundary
-    # re-sampling or AQE coalescing can hand the two branches
-    # DIFFERENT partition ids, silently corrupting the offsets
-    # (caught by the sf0.1 local-correctness sweep in round 6; the
-    # sf0.01 window was too small to split the branches).  At cluster
-    # scale swap for persist() to survive executor loss.
-    with_pid = ranged.withColumn(
-        _PID, F.spark_partition_id()
-    ).localCheckpoint(eager=True)
+    base = _attach_pid(df, (order_cols[0], True), range_parts)
     w_local = Window.partitionBy(*key_cols, _PID).orderBy(*order_cols)
-    local = with_pid.withColumn(_LRN, F.row_number().over(w_local))
+    local = base.withColumn(_LRN, F.row_number().over(w_local))
     # tiny table: #keys x range_parts rows
-    counts = local.groupBy(*key_cols, _PID).agg(
+    counts = base.groupBy(*key_cols, _PID).agg(
         F.count(F.lit(1)).alias(_CNT)
     )
     w_off = (
@@ -277,7 +391,7 @@ def trailing_frame_sums(
 def keyed_running_totals(
     df: DataFrame,
     key_cols: list[str],
-    order_exprs: list[Column],
+    order_by: list,
     weights: dict[str, str] | None = None,
     range_parts: int = RANGE_PARTS,
     rank_col: str = "_rank",
@@ -287,34 +401,30 @@ def keyed_running_totals(
 
     The prefix-aggregate sibling of :func:`bounded_frame_apply` for
     low-cardinality keys: running sums decompose into (local running
-    sum within a range partition) + (a broadcast offset of the
-    preceding partitions' totals), so no carries are needed at all —
-    the same two-pass shape as value_rank_profile (relational.py).
+    sum within a bucket) + (a broadcast offset of the preceding
+    buckets' totals), so no carries are needed at all.
 
-    ``order_exprs`` are Columns (``.desc()`` allowed) and must
-    totalize the order within a key.  ``weights`` maps output column
-    -> integer input column; each gets an INCLUSIVE running total.
-    Also emits ``rank_col`` (1-based per-key rank) and ``n_col`` (the
-    key's total row count).  All sums are plain integer arithmetic —
-    associative, so the totals are bit-identical to the single-window
-    spelling the oracles keep.
+    ``order_by`` entries are either a column name (ascending) or a
+    ``(name, ascending)`` tuple and must totalize the order within a
+    key — the structured spec (rather than Column exprs) is what lets
+    the deterministic bucket id know the first column's direction.
+    ``weights`` maps output column -> integer input column; each gets
+    an INCLUSIVE running total.  Also emits ``rank_col`` (1-based
+    per-key rank) and ``n_col`` (the key's total row count).  All
+    sums are plain integer arithmetic — associative, so the totals
+    are bit-identical to the single-window spelling the oracles keep.
     """
     weights = weights or {}
-    ranged = df.repartitionByRange(
-        range_parts, *[F.col(c) for c in key_cols], *order_exprs
-    )
-    # materialized for branch-consistent _PID (see
-    # attach_keyed_row_number)
-    with_pid = ranged.withColumn(
-        _PID, F.spark_partition_id()
-    ).localCheckpoint(eager=True)
+    specs = _specs(order_by)
+    order_exprs = _order_cols(specs)
+    base = _attach_pid(df, specs[0], range_parts)
     w_local = (
         Window.partitionBy(*key_cols, _PID)
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_rn = Window.partitionBy(*key_cols, _PID).orderBy(*order_exprs)
-    local = with_pid.select(
+    local = base.select(
         "*",
         F.row_number().over(w_rn).alias(_LRN),
         *[
@@ -322,7 +432,7 @@ def keyed_running_totals(
             for out, src in weights.items()
         ],
     )
-    counts = local.groupBy(*key_cols, _PID).agg(
+    counts = base.groupBy(*key_cols, _PID).agg(
         F.count(F.lit(1)).alias(_CNT),
         *[
             F.sum(src).alias(f"_dw_tw_{out}")
@@ -379,35 +489,28 @@ def keyed_prefix_last(
     — with no per-key sort.
 
     A "last non-null so far" prefix is associative: the global value
-    at any row is COALESCE(last non-null within this range partition
-    so far, last non-null of all PRECEDING partitions).  So the
-    decomposition is the keyed_running_totals two-pass with the sum
-    replaced by (a) a local running last(ignorenulls) and (b) a tiny
-    per-(key, partition) table holding each partition's final
-    non-null value — max_by over an order struct that is NULL on
-    null-valued rows, which max_by ignores — prefixed per key with a
-    last(ignorenulls) over partition ids and broadcast back.
+    at any row is COALESCE(last non-null within this bucket so far,
+    last non-null of all PRECEDING buckets).  So the decomposition is
+    the keyed_running_totals two-pass with the sum replaced by (a) a
+    local running last(ignorenulls) and (b) a tiny per-(key, bucket)
+    table holding each bucket's final non-null value — max_by over an
+    order struct that is NULL on null-valued rows, which max_by
+    ignores — prefixed per key with a last(ignorenulls) over bucket
+    ids and broadcast back.
     """
-    ranged = df.repartitionByRange(
-        range_parts, *[F.col(c) for c in [*key_cols, *order_cols]]
-    )
-    # materialized for branch-consistent _PID (see
-    # attach_keyed_row_number)
-    with_pid = ranged.withColumn(
-        _PID, F.spark_partition_id()
-    ).localCheckpoint(eager=True)
+    base = _attach_pid(df, (order_cols[0], True), range_parts)
     w_local = (
         Window.partitionBy(*key_cols, _PID)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = with_pid.withColumn(
+    local = base.withColumn(
         "_dw_loc", F.last(value_col, ignorenulls=True).over(w_local)
     )
     ord_struct = F.when(
         F.col(value_col).isNotNull(), F.struct(*[F.col(c) for c in order_cols])
     )
-    finals = with_pid.groupBy(*key_cols, _PID).agg(
+    finals = base.groupBy(*key_cols, _PID).agg(
         F.max_by(value_col, ord_struct).alias("_dw_fin")
     )
     w_prev = (

@@ -642,12 +642,16 @@ def ks_drift(events: DataFrame, split_ts: str = PSI_SPLIT) -> DataFrame:
     cum = keyed_running_totals(
         per_value,
         ["event_type"],
-        [F.col("value")],
+        ["value"],
         weights={"cum_ref": "_r", "cum_cur": "_c"},
     )
+    # KS is undefined against an empty sample: a type present in only
+    # one window would divide by n=0 (Spark NULL vs DuckDB IEEE inf —
+    # engine parity breaks either way), so ABSTAIN on those types; the
+    # inner join below drops their rows entirely.
     totals = per_value.groupBy("event_type").agg(
         F.sum("_r").alias("n_ref"), F.sum("_c").alias("n_cur")
-    )
+    ).filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
     gap = cum.join(F.broadcast(totals), "event_type").select(
         "event_type",
         "n_ref",
@@ -985,6 +989,7 @@ totals AS (
   SELECT event_type, CAST(SUM(r) AS BIGINT) AS n_ref,
          CAST(SUM(c) AS BIGINT) AS n_cur
   FROM per_value GROUP BY 1
+  HAVING SUM(r) > 0 AND SUM(c) > 0
 ),
 gap AS (
   SELECT cum.event_type, n_ref, n_cur,

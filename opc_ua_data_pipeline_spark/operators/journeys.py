@@ -237,21 +237,21 @@ def rfm_segments(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
     t = keyed_running_totals(
         per_user,
         [],
-        [F.col("recency_days"), F.col("user_id")],
+        ["recency_days", "user_id"],
         rank_col="_r_rank",
         n_col="_r_n",
     )
     t = keyed_running_totals(
         t,
         [],
-        [F.col("frequency").desc(), F.col("user_id")],
+        [("frequency", False), "user_id"],
         rank_col="_f_rank",
         n_col="_f_n",
     )
     t = keyed_running_totals(
         t,
         [],
-        [F.col("_mon").desc(), F.col("user_id")],
+        [("_mon", False), "user_id"],
         rank_col="_m_rank",
         n_col="_m_n",
     )
@@ -318,7 +318,7 @@ def conversion_latency_quantiles(events: DataFrame) -> DataFrame:
     ranked = keyed_running_totals(
         lat,
         [],
-        [F.col("latency_us"), F.col("user_id")],
+        ["latency_us", "user_id"],
         rank_col="_rank",
         n_col="_n",
     )

@@ -366,70 +366,32 @@ def value_rank_profile(events: DataFrame) -> DataFrame:
 
     NOT a single ``Window.partitionBy(event_type)`` — event_type has
     ~5 distinct values, so that window funnels ~1/5 of the fact table
-    through one task's sort at any scale.  Instead the classic
-    distributed two-pass rank:
-
-    1. range-partition on the full sort key (event_type, value,
-       event_id) — each physical partition holds a contiguous key
-       range sized by data volume, not by key cardinality;
-    2. local row_number within (event_type, physical partition);
-    3. merge: per-(event_type, partition) counts (a tiny table —
-       #keys x #partitions rows) give each partition's global offset
-       via a cumulative sum, plus the per-key total n;
-    4. rank = offset + local row_number; percent_rank and ntile are
-       then closed-form in (rank, n).
+    through one task's sort at any scale.  Instead the distributed
+    two-pass rank via :func:`distwindow.keyed_running_totals`
+    (deterministic sampled-boundary buckets, local row_number, tiny
+    broadcast offset table); percent_rank and ntile are then
+    closed-form in (rank, n).
 
     The ordering key includes the unique event_id tiebreak, so ranks
     are total and the result is bit-identical to the single-window
-    formulation (and invariant to where the range boundaries fall).
-    ntile(k) closed form: the first n%k buckets take ceil(n/k) rows,
-    the rest floor(n/k) — exactly Spark's/DuckDB's NTILE definition.
+    formulation (and invariant to where the bucket boundaries fall).
     """
-    from pyspark.sql import Window
+    from .distwindow import keyed_running_totals, ntile_expr
 
-    ranged = events.select("event_id", "event_type", "value").repartitionByRange(
-        64, "event_type", "value", "event_id"
+    ranked = keyed_running_totals(
+        events.select("event_id", "event_type", "value"),
+        ["event_type"],
+        ["value", "event_id"],
     )
-    # materialized: branch-inconsistent partition ids corrupt the
-    # offsets (distwindow.attach_keyed_row_number rationale)
-    with_pid = ranged.withColumn(
-        "_pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
-    w_local = Window.partitionBy("event_type", "_pid").orderBy("value", "event_id")
-    local = with_pid.withColumn("_rn", F.row_number().over(w_local))
-
-    counts = local.groupBy("event_type", "_pid").agg(F.count("*").alias("_cnt"))
-    w_off = (
-        Window.partitionBy("event_type")
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_tot = Window.partitionBy("event_type")
-    offsets = counts.select(
+    rank, n = F.col("_rank"), F.col("_n")
+    return ranked.select(
+        "event_id",
         "event_type",
-        "_pid",
-        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
-        F.sum("_cnt").over(w_tot).alias("_n"),
-    )
-
-    rank = F.col("_off") + F.col("_rn")
-    n = F.col("_n")
-    q, rem = (n / 4).cast("long"), n % 4
-    big = rem * (q + 1)  # rows living in the first `rem` (larger) buckets
-    quartile = F.when(
-        rank <= big, ((rank - 1) / (q + 1)).cast("long") + 1
-    ).otherwise(rem + ((rank - big - 1) / q).cast("long") + 1)
-    return (
-        local.join(F.broadcast(offsets), ["event_type", "_pid"])
-        .select(
-            "event_id",
-            "event_type",
-            "value",
-            F.when(n > 1, (rank - 1).cast("double") / (n - 1))
-            .otherwise(F.lit(0.0))
-            .alias("pct_rank"),
-            quartile.cast("int").alias("quartile"),
-        )
+        "value",
+        F.when(n > 1, (rank - 1).cast("double") / (n - 1))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        ntile_expr(rank, n, 4).alias("quartile"),
     )
 
 
@@ -970,7 +932,7 @@ def revenue_gini(orders: DataFrame) -> DataFrame:
     ranked = keyed_running_totals(
         per_cust,
         [],
-        [F.col("_rev"), F.col("o_custkey")],
+        ["_rev", "o_custkey"],
         rank_col="_i",
         n_col="_n",
     )

@@ -180,14 +180,13 @@ def vocab_stats(df: DataFrame) -> DataFrame:
     The vocabulary itself grows with the corpus (Heaps' law — 10^7-10^8
     terms at 100 TB), so the global rank is NOT a bare
     ``Window.orderBy`` (single-task sort over the whole vocab): it is
-    the same distributed two-pass rank as
-    ``relational.value_rank_profile`` — range-partition on the sort
-    key, local row_number + local running sum per partition, then a
-    tiny per-partition (count, sum) offset table merged back.  Rank
-    and cumulative sums are integer arithmetic, so the result is
+    the distributed two-pass rank of
+    :func:`distwindow.keyed_running_totals` (deterministic
+    sampled-boundary buckets + broadcast offset table).  Rank and
+    cumulative sums are integer arithmetic, so the result is
     bit-identical to the single-window form; shares are BIGINT/BIGINT
     divisions — bit-exact across engines."""
-    from pyspark.sql import Window
+    from .distwindow import keyed_running_totals
 
     tf = (
         df.select("doc_id", F.explode(_toks()).alias("term"))
@@ -198,65 +197,19 @@ def vocab_stats(df: DataFrame) -> DataFrame:
         )
     )
     total = tf.agg(F.sum("n_occurrences").alias("total_occ"))
-
-    # materialized: branch-inconsistent partition ids corrupt the
-    # offsets (distwindow.attach_keyed_row_number rationale)
-    ranged = (
-        tf.repartitionByRange(
-            32, F.col("n_occurrences").desc(), F.col("term").asc()
-        )
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    ranked = keyed_running_totals(
+        tf,
+        [],
+        [("n_occurrences", False), "term"],
+        weights={"_cum": "n_occurrences"},
+        range_parts=32,
     )
-    w_local = Window.partitionBy("_pid").orderBy(
-        F.col("n_occurrences").desc(), F.col("term").asc()
-    )
-    local = ranged.select(
+    return ranked.crossJoin(F.broadcast(total)).select(
         "term",
         "n_occurrences",
         "n_docs",
-        "_pid",
-        F.row_number().over(w_local).alias("_rn"),
-        F.sum("n_occurrences")
-        .over(w_local.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("_cum_local"),
-    )
-
-    # Exclusive prefix totals over the #range-partitions-row table
-    # (bounded, tiny) via a broadcast inequality self-join — the
-    # Window-free spelling (same rationale as functions/ranking.py):
-    # a partition-less window here would log the WindowExec warning
-    # that must stay reserved for real unbounded-frame regressions.
-    per = local.groupBy("_pid").agg(
-        F.count("*").alias("_cnt"),
-        F.sum("n_occurrences").alias("_sum"),
-    )
-    prev = per.select(
-        F.col("_pid").alias("_pid2"), "_cnt", "_sum"
-    )
-    offsets = (
-        per.select("_pid")
-        .join(F.broadcast(prev), F.col("_pid2") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(
-            F.coalesce(F.sum("_cnt"), F.lit(0)).alias("_rn_off"),
-            F.coalesce(F.sum("_sum"), F.lit(0)).alias("_cum_off"),
-        )
-    )
-
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "term",
-            "n_occurrences",
-            "n_docs",
-            (F.col("_rn_off") + F.col("_rn")).cast("int").alias("rank"),
-            (
-                (F.col("_cum_off") + F.col("_cum_local"))
-                / F.col("total_occ")
-            ).alias("cum_share"),
-        )
+        F.col("_rank").cast("int").alias("rank"),
+        (F.col("_cum") / F.col("total_occ")).alias("cum_share"),
     )
 
 

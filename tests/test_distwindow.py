@@ -87,7 +87,7 @@ def test_keyed_running_totals_matches_bare_window(spark):
     got = keyed_running_totals(
         df,
         key_cols=["key"],
-        order_exprs=[F.col("ord").desc(), F.col("id")],
+        order_by=[("ord", False), "id"],
         weights={"cum_w": "w"},
         range_parts=7,
     )
@@ -143,7 +143,7 @@ def test_ntile_expr_matches_builtin(spark):
             "id", F.ntile(k).over(w).alias("stage")
         )
         ranked = keyed_running_totals(
-            df, ["key"], [F.col("ord"), F.col("id")], range_parts=7
+            df, ["key"], ["ord", "id"], range_parts=7
         )
         got = ranked.select(
             "id",

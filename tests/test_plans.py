@@ -145,13 +145,18 @@ def test_two_pass_windows_have_no_global_window(spark):
     present."""
     for name in ["text_vocab_stats", "value_rank_profile"]:
         plan = formatted_plan(Q[name](spark, SF))
-        # the range-partition first pass now materializes behind a
-        # localCheckpoint (branch-consistent partition ids — see the
-        # round-6 post-mortem in PERF.md), so the downstream plan
-        # shows the checkpointed scan instead of the exchange
-        assert (
-            "rangepartitioning(" in plan or "ExistingRDD" in plan
-        ), name
+        # round 7: the two-pass rank's bucket id is a deterministic
+        # column expression (distwindow.deterministic_bucket_id), so
+        # the plan must show NEITHER a materialized checkpoint scan
+        # (ExistingRDD — the round-6 localCheckpoint form this
+        # replaced) NOR a range exchange; the only evidence of the
+        # de-skew is the _dw_pid bucket in every fact-ordered window,
+        # asserted below.  (The round-6 'rangepartitioning OR
+        # ExistingRDD' spelling was near-vacuous — any localCheckpoint
+        # produces ExistingRDD — per the round-6 advice.)
+        assert "ExistingRDD" not in plan, name
+        assert "rangepartitioning(" not in plan, name
+        assert "_dw_pid" in plan, name
         for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
             spec = m.group(1)
             # a global window's spec starts directly with the ORDER BY

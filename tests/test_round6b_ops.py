@@ -125,6 +125,28 @@ def test_mg_heavy_hitters_match_brute_force_under_tiny_k(spark):
     assert "a b" in out  # the designed heavy hitter survived
 
 
+def test_mg_degenerate_docs(spark):
+    # round-6 advice: single-token docs crashed the transform(sequence)
+    # bigram spelling (INVALID_ARRAY_INDEX_IN_ELEMENT_AT) and NULL
+    # texts crashed the MG pass (AttributeError on .split) — both
+    # input classes must flow through and contribute no bigrams,
+    # matching the SQL counting side's domain.
+    texts = ["solo", "", "a  b", "x y x y x y"]
+    docs = _docs(spark, texts)
+    docs = docs.union(
+        spark.createDataFrame(
+            [Row(doc_id=99, text=None)], "doc_id long, text string"
+        )
+    ).repartition(3)
+    out = {
+        r.bigram: r.n_occurrences
+        for r in heavy_hitter_bigrams(docs, phi=0.2, k=16).collect()
+    }
+    # 'a  b' double space still yields 'a b' (empty tokens filtered
+    # BEFORE pairing on both the Spark and sketch sides)
+    assert out == {"x y": 3, "y x": 2}  # 4 total bigrams incl. 'a b'
+
+
 def test_mg_no_false_negatives_across_partitions(spark):
     # the hitter is heavy globally but diluted in every partition
     texts = ["x y " * 5 + " ".join(f"n{i}_{j}" for j in range(10)) for i in range(16)]
@@ -482,6 +504,23 @@ def test_ks_detects_shift_and_passes_identical(spark):
     out = {r.event_type: r for r in ks_drift(ev).collect()}
     assert out["stable"].ks_stat == 0.0 and not out["stable"].drifted
     assert out["shifted"].ks_stat == 1.0 and out["shifted"].drifted
+
+
+def test_ks_abstains_on_one_window_types(spark):
+    # round-6 advice: a type present in only ONE window used to divide
+    # by n=0 (Spark NULL vs DuckDB inf) — the operator now abstains on
+    # those types instead of emitting an engine-dependent row.
+    from opc_ua_data_pipeline_spark.operators.dq import ks_drift
+
+    rows = []
+    for i in range(10):
+        rows.append((i, i, "ref_only", float(i)))          # day 0 only
+        rows.append((20 * 86400 + i, i, "cur_only", float(i)))
+        rows.append((i, i, "both", float(i)))
+        rows.append((20 * 86400 + i, i, "both", float(i)))
+    out = {r.event_type: r for r in ks_drift(_events_tbl(spark, rows)).collect()}
+    assert set(out) == {"both"}
+    assert out["both"].ks_stat == 0.0 and not out["both"].drifted
 
 
 def test_gini_extremes(spark):
