@@ -147,6 +147,7 @@ _PRIORITY = [
     "lttb_downsample",
     "prefix_jaccard_pairs",
     # (c) brand-new in round 7 (inserted as they land)
+    "lttb_time_bucketed",
     # (d) reference-surface + rotation re-checks
     "latest_value",
     "latest_per_metric",

@@ -44,6 +44,46 @@ def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", F.explode(toks).alias("tok"))
 
 
+#: Deterministic expanded-vocabulary view of ``documents``: token t in
+#: doc d becomes ``t || '_' || (d DIV 37) % (ascii(t) % 23 + 1)``.
+#: Docs in the same 37-doc block keep their exact base similarity
+#: (identical variant mapping); across blocks, each base token splits
+#: into 1..23 variants depending on its first letter, so document
+#: frequency spreads from corpus-wide (modulus 1) down to ~n/23 —
+#: the Zipf-like spread prefix filtering needs to prune (the raw
+#: fixture's 31-word vocabulary puts shared tokens in EVERY prefix).
+#: The expression is engine-portable: the DuckDB twin is
+#: ``_EXPAND_SQL`` below, used verbatim in the oracle.
+_EXPAND_EXPR = (
+    "array_join(transform(filter(split(text, ' '), t -> t <> ''),"
+    " t -> concat(t, '_', CAST((doc_id DIV 37) % (ascii(t) % 23 + 1)"
+    " AS STRING))), ' ')"
+)
+
+_EXPAND_SQL = """
+  SELECT doc_id,
+         array_to_string(list_transform(
+           list_filter(string_split(text, ' '), t -> t <> ''),
+           t -> t || '_' ||
+                CAST((doc_id // 37) % (ascii(t) % 23 + 1) AS VARCHAR)),
+           ' ') AS text
+  FROM documents
+"""
+
+
+def expanded_vocab_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) under the expanded-vocabulary remap above."""
+    return docs.select("doc_id", F.expr(_EXPAND_EXPR).alias("text"))
+
+
+#: Contract threshold for the exact prefix-filter join: 0.8 is the
+#: standard near-dup setting AND the regime the algorithm exists for —
+#: prefix length is |x| - ceil(t*|x|) + 1, so t = 0.5 keeps over half
+#:  of every doc in its prefix (weak pruning by construction) while
+#: t = 0.8 keeps ~20%: the rarest fifth of each doc's tokens.
+PJ_THRESHOLD = 0.8
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: md5 digest groupBy; emits one row per distinct
     content with the surviving doc and the duplicate count."""
@@ -116,15 +156,16 @@ def prefix_filter_jaccard_pairs(
     join — is bounded by prefix-list lengths; verification joins the
     token index against the (already small) candidate set twice.
 
-    Fixture caveat (why this is not a bench headliner): prefix
-    filtering prunes in proportion to vocabulary size, and the
-    driver fixture's 31-word vocabulary puts shared tokens in every
-    prefix — the join degenerates toward the quadratic baseline
-    there (~115 s at sf0.1).  On a natural-language corpus (Zipfian
-    vocabulary in the millions) prefixes are dominated by rare
-    tokens and candidate volume collapses; the pruning mechanism is
-    pinned by tests/test_round6b_ops.py::test_prefix_filter_prunes_
-    candidates.
+    Fixture caveat: prefix filtering prunes in proportion to
+    vocabulary size, and the RAW driver fixture's 31-word vocabulary
+    puts shared tokens in every prefix — the join degenerates toward
+    the quadratic baseline there (~115 s at sf0.1).  The contract
+    therefore runs over :func:`expanded_vocab_docs` (a deterministic
+    per-block token remap giving a Zipf-like document-frequency
+    spread) at the standard 0.8 near-dup threshold, where the
+    rare-first prefix prunes the way it does on natural-language
+    corpora; the pruning mechanism is pinned by
+    tests/test_round6b_ops.py::test_prefix_filter_prunes_candidates.
     """
     toks = tokens(df)
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
@@ -710,16 +751,18 @@ QUERIES = {
     "editdist_near_dup_pairs": lambda spark, sf: editdist_near_dup_pairs(
         load_table(spark, sf, "documents")
     ),
-    # contract runs on a deterministic 20% doc sample: the fixture's
-    # 31-word vocabulary defeats prefix pruning (every prefix holds
-    # shared tokens), so at sf0.1 the full-corpus join degenerates to
-    # a skewed single-token task (~1 h in local_correctness) while
-    # proving nothing beyond what the sample proves — the mechanism
-    # and its exactness are identical on the sample, and the full-
-    # corpus equivalence is pinned at sf0.01 scale by
+    # contract runs on the FULL corpus through the deterministic
+    # expanded-vocabulary view (round 7): the raw fixture's 31-word
+    # vocabulary defeats prefix pruning (every prefix holds shared
+    # tokens — the round-6 contract had to sample 20% of docs), so
+    # the view remaps each token to a per-block variant, giving a
+    # realistic document-frequency spread on which the rare-first
+    # prefix actually prunes.  Raw-fixture equivalence to the
+    # quadratic join is still pinned by
     # tests/test_round6b_ops.py::test_prefix_filter_equals_quadratic.
     "prefix_jaccard_pairs": lambda spark, sf: prefix_filter_jaccard_pairs(
-        load_table(spark, sf, "documents").filter("doc_id % 5 = 0")
+        expanded_vocab_docs(load_table(spark, sf, "documents")),
+        threshold=PJ_THRESHOLD,
     ),
 }
 
@@ -1311,11 +1354,11 @@ WHERE {_EDIT_SIM_SQL} >= {EDIT_SIM_THRESHOLD}
 
 # prefix_filter_jaccard_pairs is answer-identical to the quadratic
 # inverted-index spelling by the AllPairs prefix theorem — the oracle
-# IS that naive spelling (over the same 20% doc sample as the query;
-# see the QUERIES comment), so the driver's hash compare re-proves
-# the candidate pruning lossless on every run.
-ORACLES["prefix_jaccard_pairs"] = """
-WITH docs AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+# IS that naive spelling (over the same expanded-vocabulary view as
+# the query; see the QUERIES comment), so the driver's hash compare
+# re-proves the candidate pruning lossless on every run.
+ORACLES["prefix_jaccard_pairs"] = f"""
+WITH docs AS ({_EXPAND_SQL}),
 toks AS (
   SELECT DISTINCT doc_id, tok
   FROM docs, UNNEST(string_split(text, ' ')) AS t(tok)
@@ -1332,5 +1375,6 @@ SELECT doc_a, doc_b,
 FROM common
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
-WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+      >= {PJ_THRESHOLD}
 """

@@ -738,6 +738,114 @@ def lttb_downsample(tel: DataFrame, n_out: int = LTTB_N_OUT) -> DataFrame:
     return small.unionByName(ends).unionByName(selected)
 
 
+#: Bucket width for the TIME-bucketed LTTB variant (the streamable
+#: form: bucket membership is a pure function of the row, unlike the
+#: equal-count buckets above, whose index needs the final series
+#: length).
+LTTB_TB_BUCKET_SEC = 3600
+
+
+def lttb_time_bucketed(
+    tel: DataFrame, bucket_sec: int = LTTB_TB_BUCKET_SEC
+) -> DataFrame:
+    """Largest-Triangle downsampling over fixed TIME buckets — one
+    representative point per (metric, hour): the anchor is the
+    nearest PRECEDING non-empty bucket's average and the reference
+    the nearest FOLLOWING one's (the parallel-anchor scheme of
+    :func:`lttb_downsample`, robust to gap hours); a metric's first
+    bucket keeps its first sample and its last bucket its last sample
+    (strict LTTB's singleton end buckets).
+
+    This is the STREAMABLE spelling: count buckets need the final
+    series length, time buckets don't, so per-bucket (sum, count,
+    points) state closes monotonically under a watermark —
+    ``streaming.hyperfunctions.lttb_stream`` is the twin, emitting a
+    bucket the moment its successor closes (batch ≡ stream on every
+    emitted bucket, pinned by tests/test_streaming_hyperfunctions).
+
+    Scale: the raw scan collapses to per-(metric, bucket) partials in
+    one map-side-combinable shuffle; neighbor averages come from lag/
+    lead over the BUCKET SPINE (#metrics x #hours rows — rollup-sized,
+    the module's standard spine window); selection is MAX(area) +
+    equality + min-okey tiebreak, all on exact inputs (integer micros
+    sums, DECIMAL(28,6) value sums), so the DuckDB oracle's argmax
+    agrees bit-for-bit.
+    """
+    step = bucket_sec * 1_000_000
+    pts = (
+        tel.filter(F.col("value_num").isNotNull())
+        .select("metric", "time", "event_id", "value_num")
+        .withColumn("x_us", F.unix_micros(F.col("time")))
+        .withColumn("bkt", F.expr(f"unix_micros(time) DIV {step}"))
+    )
+    bavg = pts.groupBy("metric", "bkt").agg(
+        F.expr(
+            "CAST(SUM(CAST(x_us AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)"
+        ).alias("ax"),
+        F.expr(
+            "CAST(SUM(CAST(value_num AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)"
+        ).alias("ay"),
+    )
+    w = Window.partitionBy("metric").orderBy("bkt")
+    nb = bavg.select(
+        "metric",
+        "bkt",
+        F.lag("ax").over(w).alias("xa"),
+        F.lag("ay").over(w).alias("ya"),
+        F.lead("ax").over(w).alias("xn"),
+        F.lead("ay").over(w).alias("yn"),
+    )
+    joined = pts.join(F.broadcast(nb), ["metric", "bkt"]).withColumn(
+        "okey", _order_key()
+    )
+    mids = joined.filter(
+        F.col("xa").isNotNull() & F.col("xn").isNotNull()
+    ).withColumn(
+        "area",
+        F.expr(
+            "abs((xa - xn) * (value_num - ya)"
+            " - (xa - CAST(x_us AS DOUBLE)) * (yn - ya))"
+        ),
+    )
+    amax = mids.groupBy("metric", "bkt").agg(F.max("area").alias("amax"))
+    selected = (
+        mids.join(F.broadcast(amax), ["metric", "bkt"])
+        .filter(F.col("area") == F.col("amax"))
+        .groupBy("metric", "bkt")
+        .agg(
+            F.min_by("time", F.col("okey")).alias("time"),
+            F.min_by("value_num", F.col("okey")).alias("value"),
+        )
+    )
+    firsts = (
+        joined.filter(F.col("xa").isNull())
+        .groupBy("metric", "bkt")
+        .agg(
+            F.min_by("time", F.col("okey")).alias("time"),
+            F.min_by("value_num", F.col("okey")).alias("value"),
+        )
+    )
+    lasts = (
+        joined.filter(F.col("xn").isNull())
+        .groupBy("metric", "bkt")
+        .agg(
+            F.max_by("time", F.col("okey")).alias("time"),
+            F.max_by("value_num", F.col("okey")).alias("value"),
+        )
+    )
+    return (
+        selected.unionByName(firsts)
+        .unionByName(lasts)
+        .distinct()  # a single-bucket metric's first point == last point
+        .select(
+            "metric",
+            F.timestamp_seconds(F.col("bkt") * bucket_sec).alias("bucket"),
+            "time",
+            "value",
+        )
+    )
+
+
 def metric_pair_correlation(tel: DataFrame, grain: str = "hour") -> DataFrame:
     """Pearson correlation of per-minute activity between every metric
     pair — the 2-D ``stats_agg`` analog: which sensors move together
@@ -930,6 +1038,10 @@ def q_metric_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb_downsample(telemetry(spark, sf_dir))
+
+
+def q_lttb_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lttb_time_bucketed(telemetry(spark, sf_dir))
 
 
 def theil_sen_trend(tel: DataFrame) -> DataFrame:
@@ -1163,6 +1275,7 @@ QUERIES = {
         telemetry(spark, sf)
     ),
     "lttb_downsample": q_lttb,
+    "lttb_time_bucketed": q_lttb_time_bucketed,
 }
 
 ORACLES = {
@@ -1518,6 +1631,77 @@ SELECT metric, bucket,
 FROM anchored
 """,
 }
+
+# Same exactness contract as lttb_downsample's oracle (integer micros
+# sums, DECIMAL(28,6) value sums, pinned-order IEEE area, arg_min
+# tiebreak); UNION (distinct) mirrors the Spark .distinct() for the
+# single-bucket first==last case.
+ORACLES["lttb_time_bucketed"] = f"""
+WITH telemetry AS ({{TELEMETRY_SQL}}),
+p AS (
+  SELECT metric, "time", event_id, value_num,
+         epoch_us("time") AS x_us,
+         epoch_us("time") // {{LTTB_TB_STEP}} AS bkt,
+         lpad(CAST(epoch_us("time") AS VARCHAR), 20, '0') || '-'
+           || lpad(CAST(event_id AS VARCHAR), 20, '0') AS okey
+  FROM telemetry WHERE value_num IS NOT NULL
+),
+bavg AS (
+  SELECT metric, bkt,
+         CAST(SUM(CAST(x_us AS HUGEINT)) AS DOUBLE) / COUNT(*) AS ax,
+         CAST(SUM(CAST(value_num AS DECIMAL(28,6))) AS DOUBLE)
+           / COUNT(*) AS ay
+  FROM p GROUP BY 1, 2
+),
+nb AS (
+  SELECT metric, bkt,
+         lag(ax) OVER w AS xa, lag(ay) OVER w AS ya,
+         lead(ax) OVER w AS xn, lead(ay) OVER w AS yn
+  FROM bavg WINDOW w AS (PARTITION BY metric ORDER BY bkt)
+),
+j AS (
+  SELECT p.*, nb.xa, nb.ya, nb.xn, nb.yn
+  FROM p JOIN nb USING (metric, bkt)
+),
+mids AS (
+  SELECT metric, bkt, "time", value_num, okey,
+         abs((xa - xn) * (value_num - ya)
+             - (xa - CAST(x_us AS DOUBLE)) * (yn - ya)) AS area
+  FROM j WHERE xa IS NOT NULL AND xn IS NOT NULL
+),
+amax AS (SELECT metric, bkt, MAX(area) AS amax FROM mids GROUP BY 1, 2),
+sel AS (
+  SELECT m.metric, m.bkt, arg_min(m."time", m.okey) AS "time",
+         arg_min(m.value_num, m.okey) AS value
+  FROM mids m
+  JOIN amax x ON x.metric = m.metric AND x.bkt = m.bkt
+             AND m.area = x.amax
+  GROUP BY 1, 2
+),
+firsts AS (
+  SELECT metric, bkt, arg_min("time", okey) AS "time",
+         arg_min(value_num, okey) AS value
+  FROM j WHERE xa IS NULL GROUP BY 1, 2
+),
+lasts AS (
+  SELECT metric, bkt, arg_max("time", okey) AS "time",
+         arg_max(value_num, okey) AS value
+  FROM j WHERE xn IS NULL GROUP BY 1, 2
+),
+u AS (
+  SELECT * FROM sel
+  UNION SELECT * FROM firsts
+  UNION SELECT * FROM lasts
+)
+SELECT metric,
+       CAST(to_timestamp(bkt * {{LTTB_TB_SEC}}) AS TIMESTAMP) AS bucket,
+       "time", value
+FROM u
+""".format(
+    TELEMETRY_SQL=TELEMETRY_SQL,
+    LTTB_TB_STEP=LTTB_TB_BUCKET_SEC * 1_000_000,
+    LTTB_TB_SEC=LTTB_TB_BUCKET_SEC,
+)
 
 ORACLES["theil_sen_trend"] = f"""
 WITH telemetry AS ({TELEMETRY_SQL}),

@@ -848,3 +848,207 @@ def trend_slope_stream(telemetry: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# lttb_time_bucketed streaming twin — the last hyperfunction twin
+# ---------------------------------------------------------------------------
+
+LTTB_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("metric", T.StringType()),
+        T.StructField("bucket", T.TimestampType()),
+        T.StructField("time", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+#: pending bucket = closed, awaiting its successor's average; open
+#: bucket = still receiving rows.  Point arrays are bounded by one
+#: bucket's row count (the same per-bucket state bound as the gapfill
+#: twins' per-bucket sums, plus the points LTTB selection inherently
+#: needs).
+LTTB_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("anchor_ax", T.DoubleType()),
+        T.StructField("anchor_ay", T.DoubleType()),
+        T.StructField("pend_bkt", T.LongType()),
+        T.StructField("pend_ax", T.DoubleType()),
+        T.StructField("pend_ay", T.DoubleType()),
+        T.StructField("pend_xs", T.ArrayType(T.LongType())),
+        T.StructField("pend_vs", T.ArrayType(T.DoubleType())),
+        T.StructField("pend_keys", T.ArrayType(T.StringType())),
+        T.StructField("open_bkt", T.LongType()),
+        T.StructField("open_xs", T.ArrayType(T.LongType())),
+        T.StructField("open_vs", T.ArrayType(T.DoubleType())),
+        T.StructField("open_keys", T.ArrayType(T.StringType())),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_disordered", T.LongType()),
+    ]
+)
+
+_LTTB_STEP_US = 3600 * 1_000_000  # = hyperfunctions.LTTB_TB_BUCKET_SEC
+
+
+def _lttb_avg(xs: list, vs: list) -> tuple:
+    """Mirror the batch averages exactly: exact integer micros sum and
+    exact DECIMAL(28,6) value sum, each cast to double then divided by
+    the count (CAST(SUM(..) AS DOUBLE) / COUNT(*))."""
+    ax = float(sum(xs)) / len(xs)
+    s = decimal.Decimal(0)
+    for v in vs:
+        s += _dec(v)
+    return ax, float(s) / len(vs)
+
+
+def _lttb_okey(x_us: int, event_id: int) -> str:
+    return f"{x_us:020d}-{event_id:020d}"
+
+
+def _lttb_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """lttb_time_bucketed streaming twin: a bucket CLOSES when a row
+    from a later bucket arrives, but is EMITTED only when its
+    SUCCESSOR closes — selection needs the next non-empty bucket's
+    average (the reference point), which is final exactly then.  A
+    metric's first bucket needs no selection (strict LTTB keeps its
+    first sample) and is emitted at its own close.  The emitted
+    prefix equals the batch operator on every bucket whose successor
+    has closed; the open tail + the pending bucket stay in state
+    (append semantics, the gapfill twins' contract).
+
+    Area/average arithmetic mirrors the batch expressions op-for-op
+    in IEEE double (same order), on the same exact inputs — so the
+    twin is bit-identical, not approximately equal.
+    """
+    (metric,) = key
+    if state.exists:
+        (
+            a_ax,
+            a_ay,
+            p_bkt,
+            p_ax,
+            p_ay,
+            p_xs,
+            p_vs,
+            p_keys,
+            o_bkt,
+            o_xs,
+            o_vs,
+            o_keys,
+            last_us,
+            n_dis,
+        ) = state.get
+        p_xs, p_vs, p_keys = list(p_xs or []), list(p_vs or []), list(p_keys or [])
+        o_xs, o_vs, o_keys = list(o_xs or []), list(o_vs or []), list(o_keys or [])
+    else:
+        a_ax = a_ay = p_bkt = p_ax = p_ay = o_bkt = last_us = None
+        p_xs, p_vs, p_keys = [], [], []
+        o_xs, o_vs, o_keys = [], [], []
+        n_dis = 0
+    out: list[tuple] = []
+
+    def emit(bkt: int, x_us: int, v: float) -> None:
+        out.append((metric, bkt, x_us, v))
+
+    def select_pending(xn: float, yn: float) -> None:
+        """Largest triangle vs (anchor, next avg), min-okey tiebreak —
+        the batch MAX(area) + equality + min_by(okey) spelling."""
+        best = None
+        for x, v, okey in zip(p_xs, p_vs, p_keys):
+            area = abs(
+                (a_ax - xn) * (v - a_ay) - (a_ax - float(x)) * (yn - a_ay)
+            )
+            if (
+                best is None
+                or area > best[0]
+                or (area == best[0] and okey < best[1])
+            ):
+                best = (area, okey, x, v)
+        emit(p_bkt, best[2], best[3])
+
+    def close_open(new_bkt: int) -> None:
+        nonlocal a_ax, a_ay, p_bkt, p_ax, p_ay, p_xs, p_vs, p_keys
+        nonlocal o_bkt, o_xs, o_vs, o_keys
+        ax, ay = _lttb_avg(o_xs, o_vs)
+        if p_bkt is not None:
+            select_pending(ax, ay)
+            a_ax, a_ay = p_ax, p_ay
+            p_bkt, p_ax, p_ay = o_bkt, ax, ay
+            p_xs, p_vs, p_keys = o_xs, o_vs, o_keys
+        elif a_ax is None:
+            # the metric's FIRST bucket: strict LTTB keeps its first
+            # sample; it then serves as the next bucket's anchor
+            emit(o_bkt, o_xs[0], o_vs[0])
+            a_ax, a_ay = ax, ay
+        else:
+            p_bkt, p_ax, p_ay = o_bkt, ax, ay
+            p_xs, p_vs, p_keys = o_xs, o_vs, o_keys
+        o_bkt, o_xs, o_vs, o_keys = new_bkt, [], [], []
+
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["time", "event_id"])
+        for row in pdf.itertuples():
+            v = row.value_num
+            if v is None or pd.isna(v):
+                continue
+            t_us = row.time.value // 1000
+            if last_us is not None and t_us < last_us:
+                n_dis += 1
+                continue
+            last_us = t_us
+            b = t_us // _LTTB_STEP_US
+            if o_bkt is None:
+                o_bkt = b
+            elif b > o_bkt:
+                close_open(b)
+            o_xs.append(t_us)
+            o_vs.append(float(v))
+            o_keys.append(_lttb_okey(t_us, int(row.event_id)))
+    state.update(
+        (
+            a_ax,
+            a_ay,
+            p_bkt,
+            p_ax,
+            p_ay,
+            p_xs,
+            p_vs,
+            p_keys,
+            o_bkt,
+            o_xs,
+            o_vs,
+            o_keys,
+            last_us,
+            n_dis,
+        )
+    )
+    if out:
+        yield pd.DataFrame(
+            [
+                (
+                    m,
+                    pd.Timestamp(bkt * _LTTB_STEP_US * 1000),
+                    pd.Timestamp(x_us * 1000),
+                    v,
+                )
+                for m, bkt, x_us, v in out
+            ],
+            columns=["metric", "bucket", "time", "value"],
+        )
+
+
+def lttb_stream(telemetry: DataFrame) -> DataFrame:
+    return (
+        telemetry.filter("value_num IS NOT NULL")
+        .groupBy("metric")
+        .applyInPandasWithState(
+            _lttb_fn,
+            LTTB_OUTPUT_SCHEMA,
+            LTTB_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -362,3 +362,41 @@ def test_trend_stream_matches_batch(spark, replay_dir):
             b["n_samples"],
         ), m
         assert s["n_disordered"] == 0
+
+
+def test_lttb_stream_matches_batch(spark, replay_dir):
+    """Closed-and-emitted LTTB buckets equal the batch time-bucketed
+    operator bit-for-bit (values, selected sample times, buckets);
+    only each metric's tail (the open bucket + the pending bucket
+    still awaiting its successor's average) may be missing."""
+    from opc_ua_data_pipeline_spark.operators.hyperfunctions import (
+        lttb_time_bucketed,
+    )
+    from opc_ua_data_pipeline_spark.streaming.hyperfunctions import (
+        lttb_stream,
+    )
+
+    out = _run_stream(
+        spark,
+        lttb_stream(telemetry_transform(file_stream(spark, replay_dir))),
+        "lttb_stream",
+    )
+    got = {
+        (r["metric"], r["bucket"]): (r["time"], r["value"])
+        for r in out.collect()
+    }
+    assert got, "expected some closed buckets"
+    batch = {
+        (r["metric"], r["bucket"]): (r["time"], r["value"])
+        for r in lttb_time_bucketed(telemetry(spark, SF_DIR)).collect()
+    }
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch.get(k))
+    # nothing but the per-metric tail is missing
+    last_emitted = {}
+    for (m, b) in got:
+        if m not in last_emitted or b > last_emitted[m]:
+            last_emitted[m] = b
+    for (m, b) in batch:
+        if (m, b) not in got:
+            assert m not in last_emitted or b > last_emitted[m], (m, b)
