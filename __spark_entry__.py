@@ -146,8 +146,12 @@ _PRIORITY = [
     "value_rank_profile",
     "lttb_downsample",
     "prefix_jaccard_pairs",
-    # (c) brand-new in round 7 (inserted as they land)
+    # (c) brand-new in round 7
     "lttb_time_bucketed",
+    "dup_span_stats",
+    "classifier_auc",
+    "quantile_normalized_scores",
+    "metric_operator_chi2",
     # (d) reference-surface + rotation re-checks
     "latest_value",
     "latest_per_metric",

@@ -619,6 +619,126 @@ def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(load_table(spark, sf_dir, "documents"))
 
 
+def classifier_auc(docs: DataFrame, pos_lang: str = "en") -> DataFrame:
+    """ROC-AUC of the quality classifier's score as a predictor of a
+    binary document label (default: lang == 'en') — the evaluation a
+    curation pipeline publishes next to the classifier itself
+    (filter-vs-filter agreement; Mann-Whitney U ≡ AUC).
+
+    Exactness: AUC is computed from the rank-sum with MID-RANK tie
+    handling — per distinct (already DECIMAL(18,9)-collapsed) score,
+    (count, positives) aggregate first, then the cumulative count
+    runs over the distinct-score spine via
+    :func:`distwindow.keyed_running_totals` (never a global sort).
+    Doubled average rank ``2*cum - c + 1`` keeps everything integer;
+    the rank-sum accumulates in DECIMAL(38,0) (HUGEINT in the oracle
+    — at 10^10 docs the sum reaches ~2N², past int64), and the only
+    float op is the final one division of exact operands.  Output is
+    one row: (n_pos, n_neg, auc).
+    """
+    from .distwindow import keyed_running_totals
+
+    per = (
+        docs.select(
+            quality_score_col().alias("s"),
+            (F.col("lang") == pos_lang).cast("long").alias("p"),
+        )
+        .filter(F.col("s").isNotNull())
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("p").alias("np"))
+    )
+    cum = keyed_running_totals(per, [], ["s"], weights={"cumc": "c"})
+    r2 = 2 * F.col("cumc") - F.col("c") + 1
+    agg = cum.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("c") - F.col("np")).alias("n_neg"),
+        F.sum((F.col("np") * r2).cast("decimal(38,0)")).alias("rsum2"),
+    )
+    num = F.col("rsum2") - (
+        F.col("n_pos").cast("decimal(38,0)") * (F.col("n_pos") + 1)
+    )
+    den = (
+        F.lit(2).cast("decimal(38,0)")
+        * F.col("n_pos")
+        * F.col("n_neg")
+    )
+    return agg.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.try_divide(num.cast("double"), den.cast("double")).alias("auc"),
+    )
+
+
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classifier_auc(load_table(spark, sf_dir, "documents"))
+
+
+def quantile_normalize_scores(docs: DataFrame) -> DataFrame:
+    """Cross-source score calibration by quantile normalization: map
+    each document's per-source score quantile onto the GLOBAL score
+    distribution (the value at the same quantile position), so
+    per-source classifier bias stops skewing downstream budget trims
+    and curriculum stages — the calibration step a multi-source
+    curation pipeline runs before comparing scores across domains.
+
+    Exact-arithmetic formulation (no interpolation, no parity risk):
+    with per-source rank r_s of n_s and global size N, the target
+    global rank is ``g = 1 + ((r_s - 1) * (N - 1)) DIV (n_s - 1)``
+    (single-doc sources map to the global median rank) — all integer;
+    norm_score is then the ACTUAL global score at rank g, fetched by
+    an integer equi-join against the globally ranked frame.  Both
+    rank passes are :func:`distwindow.keyed_running_totals`
+    (deterministic buckets, no per-source or global sort task); the
+    rank join shuffles on uniform integers.
+    """
+    from .distwindow import keyed_running_totals
+
+    scored = docs.select(
+        "doc_id", "source", quality_score_col().alias("quality_score")
+    ).filter(F.col("quality_score").isNotNull())
+    per_src = keyed_running_totals(
+        scored,
+        ["source"],
+        ["quality_score", "doc_id"],
+        rank_col="_rs",
+        n_col="_ns",
+    )
+    glob = keyed_running_totals(
+        scored,
+        [],
+        ["quality_score", "doc_id"],
+        rank_col="_rg",
+        n_col="_n",
+    )
+    # integer target rank: 1 + ((rs-1)*(N-1)) DIV (ns-1) — DECIMAL(38,0)
+    # product (past int64 at 10^10 rows), integral DIV (== floor on
+    # positives, DuckDB's // twin), no float anywhere
+    g = F.expr(
+        "CASE WHEN _ns > 1 THEN"
+        " 1 + CAST((CAST(_rs - 1 AS DECIMAL(38,0)) * (_n - 1))"
+        " DIV (_ns - 1) AS BIGINT)"
+        " ELSE 1 + (_n - 1) DIV 2 END"
+    )
+    mapped = per_src.crossJoin(
+        F.broadcast(glob.agg(F.max("_n").alias("_n")))
+    ).select(
+        "doc_id",
+        "source",
+        "quality_score",
+        g.alias("_g"),
+    )
+    lookup = glob.select(
+        F.col("_rg").alias("_g"), F.col("quality_score").alias("norm_score")
+    )
+    return mapped.join(lookup, "_g").select(
+        "doc_id", "source", "quality_score", "norm_score"
+    )
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantile_normalize_scores(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dsir_importance": q_dsir,
     "quality_classifier": q_quality_classifier,
@@ -629,6 +749,8 @@ QUERIES = {
     "corpus_report": q_corpus_report,
     "gopher_quality_flags": q_gopher,
     "score_decile_profile": q_score_deciles,
+    "classifier_auc": q_classifier_auc,
+    "quantile_normalized_scores": q_quantile_normalize,
 }
 
 # z written in the same textual order as the Column expression above
@@ -875,6 +997,63 @@ FROM documents d LEFT JOIN assembled a ON d.doc_id = a.doc_id
 
 # the oracle is the naive unpartitioned-NTILE spelling
 # score_decile_profile exists to avoid (rfm_segments precedent)
+ORACLES["classifier_auc"] = f"""
+WITH scored AS (
+  SELECT {_SCORE_SQL} AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+  FROM documents
+),
+per AS (
+  SELECT s, COUNT(*) AS c, SUM(p) AS np
+  FROM scored WHERE s IS NOT NULL GROUP BY 1
+),
+cum AS (
+  SELECT s, c, np,
+         SUM(c) OVER (ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumc
+  FROM per
+),
+agg AS (
+  SELECT SUM(np) AS n_pos, SUM(c - np) AS n_neg,
+         SUM(CAST(np AS HUGEINT) * (2 * cumc - c + 1)) AS rsum2
+  FROM cum
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(rsum2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+         / CAST(2 * CAST(n_pos AS HUGEINT) * n_neg AS DOUBLE) AS auc
+FROM agg
+"""
+
+ORACLES["quantile_normalized_scores"] = f"""
+WITH scored AS (
+  SELECT doc_id, source, {_SCORE_SQL} AS quality_score
+  FROM documents
+  WHERE {_SCORE_SQL} IS NOT NULL
+),
+r AS (
+  SELECT doc_id, source, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality_score, doc_id) AS rs,
+         COUNT(*) OVER (PARTITION BY source) AS ns,
+         ROW_NUMBER() OVER (ORDER BY quality_score, doc_id) AS rg,
+         COUNT(*) OVER () AS n
+  FROM scored
+),
+m AS (
+  SELECT doc_id, source, quality_score,
+         CASE WHEN ns > 1 THEN
+           1 + CAST((CAST(rs - 1 AS HUGEINT) * (n - 1)) // (ns - 1)
+                    AS BIGINT)
+         ELSE 1 + (n - 1) // 2 END AS g
+  FROM r
+)
+SELECT m.doc_id, m.source, m.quality_score,
+       t.quality_score AS norm_score
+FROM m JOIN r t ON t.rg = m.g
+"""
+
 ORACLES["score_decile_profile"] = f"""
 WITH scored AS ({_CLF_SQL}),
 dec AS (

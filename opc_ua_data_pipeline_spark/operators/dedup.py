@@ -697,6 +697,68 @@ def passage_dedup(df: DataFrame, chunk: int = PASSAGE_TOKENS) -> DataFrame:
     )
 
 
+#: Sliding-span width for the cross-document substring-duplication
+#: audit (Lee et al. 2022, "Deduplicating Training Data Makes
+#: Language Models Better" measures 50-token spans; 8 fits the
+#: fixture's ~54-token docs while keeping the mechanism identical).
+DUP_SPAN_W = 8
+
+
+def dup_span_stats(df: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+    """Per-document duplicated-substring statistics: how many of a
+    doc's sliding ``w``-token spans occur MORE THAN ONCE anywhere in
+    the corpus (including elsewhere in the same doc) — the
+    measurement behind substring-level training-data dedup (Lee et
+    al. 2022: duplicated spans are memorization fuel; passage_dedup
+    above is the REMOVAL form, this is the per-doc audit that decides
+    what to remove).
+
+    Plan shape at 100 TB: one narrow span-explode (rows x ~tokens,
+    but each row is a fixed 32-hex md5, never the raw span text), one
+    map-side-combinable groupBy on the span hash for global counts,
+    one hash join of the spans back to the >=2 posting list (both
+    sides corpus-scale: a plain shuffle join, AQE-planned — the
+    posting side is NOT broadcast on purpose), one groupBy(doc_id).
+    No windows, no skew key: span hashes are uniform.
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    base = df.select("doc_id", toks.alias("__toks"))
+    spans = base.filter(F.size("__toks") >= w).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - w + 1),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("__toks"), i, w), " ")
+                ),
+            )
+        ).alias("h"),
+    )
+    posts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("_n"))
+    per_doc = (
+        spans.join(posts.filter(F.col("_n") >= 2), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    n_spans = F.greatest(F.size("__toks") - w + 1, F.lit(0)).cast("long")
+    return (
+        base.select("doc_id", n_spans.alias("n_spans"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("n_dup_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.when(
+                F.col("n_spans") > 0,
+                F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("double")
+                / F.col("n_spans"),
+            ).alias("dup_ratio"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries
 # ---------------------------------------------------------------------------
@@ -763,6 +825,9 @@ QUERIES = {
     "prefix_jaccard_pairs": lambda spark, sf: prefix_filter_jaccard_pairs(
         expanded_vocab_docs(load_table(spark, sf, "documents")),
         threshold=PJ_THRESHOLD,
+    ),
+    "dup_span_stats": lambda spark, sf: dup_span_stats(
+        load_table(spark, sf, "documents")
     ),
 }
 
@@ -1377,4 +1442,32 @@ JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
       >= {PJ_THRESHOLD}
+"""
+
+ORACLES["dup_span_stats"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         md5(array_to_string(ts[i:i+{DUP_SPAN_W - 1}], ' ')) AS h
+  FROM t, UNNEST(generate_series(1, len(ts) - {DUP_SPAN_W} + 1)) AS r(i)
+  WHERE len(ts) >= {DUP_SPAN_W}
+),
+posts AS (SELECT h, COUNT(*) AS n FROM s GROUP BY 1),
+perdoc AS (
+  SELECT s.doc_id, COUNT(*) AS n_dup
+  FROM s JOIN posts USING (h)
+  WHERE posts.n >= 2
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(greatest(len(ts) - {DUP_SPAN_W} + 1, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN len(ts) >= {DUP_SPAN_W}
+            THEN CAST(COALESCE(n_dup, 0) AS DOUBLE)
+                 / (len(ts) - {DUP_SPAN_W} + 1) END AS dup_ratio
+FROM t LEFT JOIN perdoc ON t.doc_id = perdoc.doc_id
 """

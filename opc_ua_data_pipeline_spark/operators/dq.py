@@ -495,6 +495,74 @@ def metric_operator_mi(tel: DataFrame) -> DataFrame:
     )
 
 
+def metric_operator_chi2(tel: DataFrame) -> DataFrame:
+    """Pearson chi-square test of independence over the same
+    metric x operator contingency table as :func:`metric_operator_mi`
+    — the significance-test companion of the MI effect size (chi2,
+    dof, and Cramér's V; the p-value needs the incomplete gamma,
+    which belongs in the caller's stats layer, so the operator
+    publishes the statistic and dof a table lookup consumes).
+
+    Unlike MI (whose zero cells contribute 0), chi-square sums over
+    the FULL grid — empty cells contribute their expectation — so the
+    table is the margins' cross join (spine-sized: #metrics x
+    #operators) LEFT-joined to the observed cells.  Expectation and
+    each (o-e)^2/e term are pinned-order IEEE doubles over exact
+    integer margins, DECIMAL(18,9)-collapsed per cell (the MI/PSI
+    precedent) and summed exactly; Cramér's V takes the one sqrt
+    under the same collapse.
+    """
+    cells = (
+        tel.filter(F.col("operator").isNotNull())
+        .groupBy("metric", "operator")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    cx = cells.groupBy("metric").agg(F.sum("c_xy").alias("c_x"))
+    cy = cells.groupBy("operator").agg(F.sum("c_xy").alias("c_y"))
+    tot = cells.agg(
+        F.sum("c_xy").alias("n"),
+        F.count_distinct("metric").alias("nx"),
+        F.count_distinct("operator").alias("ny"),
+    )
+    grid = (
+        cx.crossJoin(F.broadcast(cy))
+        .join(cells, ["metric", "operator"], "left")
+        .select(
+            "metric",
+            "operator",
+            "c_x",
+            "c_y",
+            F.coalesce(F.col("c_xy"), F.lit(0)).alias("o"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    staged = grid.selectExpr(
+        "o", "n", "nx", "ny",
+        "CAST(c_x AS DOUBLE) * c_y / n AS e",
+    ).selectExpr(
+        "n", "nx", "ny",
+        "CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e"
+        " AS DECIMAL(18,9)) AS _t",
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").alias("n_events"),
+        ((F.max("nx") - 1) * (F.max("ny") - 1)).cast("long").alias("dof"),
+        F.sum("_t").cast("double").alias("chi2"),
+        F.expr(
+            "CAST(CAST(sqrt(CAST(SUM(_t) AS DOUBLE)"
+            " / (MAX(n) * least(MAX(nx) - 1, MAX(ny) - 1)))"
+            " AS DECIMAL(18,9)) AS DOUBLE)"
+        ).alias("cramers_v"),
+    )
+
+
+def q_metric_operator_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ingest import telemetry
+
+    return metric_operator_chi2(telemetry(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Column profiler (the Deequ/GE "profile" sibling of dq_report)
 # ---------------------------------------------------------------------------
@@ -711,6 +779,7 @@ QUERIES = {
     ),
     "operator_error_ztest": q_operator_error_ztest,
     "metric_operator_mi": q_metric_operator_mi,
+    "metric_operator_chi2": q_metric_operator_chi2,
     "table_profile": q_table_profile,
     "ks_drift": q_ks_drift,
 }
@@ -962,6 +1031,56 @@ FROM j
 
 
 ORACLES["metric_operator_mi"] = _mi_oracle()
+
+def _chi2_oracle() -> str:
+    from .ingest import TELEMETRY_SQL
+
+    return f"""
+WITH telemetry AS ({TELEMETRY_SQL}),
+cells AS (
+  SELECT metric, operator, COUNT(*) AS c_xy
+  FROM telemetry WHERE operator IS NOT NULL
+  GROUP BY 1, 2
+),
+cx AS (SELECT metric, CAST(SUM(c_xy) AS BIGINT) AS c_x
+       FROM cells GROUP BY 1),
+cy AS (SELECT operator, CAST(SUM(c_xy) AS BIGINT) AS c_y
+       FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n,
+               COUNT(DISTINCT metric) AS nx,
+               COUNT(DISTINCT operator) AS ny
+        FROM cells),
+grid AS (
+  SELECT cx.metric, cy.operator, c_x, c_y,
+         COALESCE(c_xy, 0) AS o, n, nx, ny
+  FROM cx CROSS JOIN cy
+  LEFT JOIN cells ON cells.metric = cx.metric
+                 AND cells.operator = cy.operator
+  CROSS JOIN tot
+),
+staged AS (
+  SELECT o, n, nx, ny, CAST(c_x AS DOUBLE) * c_y / n AS e
+  FROM grid
+),
+terms AS (
+  SELECT n, nx, ny,
+         CAST((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+              AS DECIMAL(18,9)) AS t
+  FROM staged
+)
+SELECT COUNT(*) AS n_cells,
+       MAX(n) AS n_events,
+       CAST((MAX(nx) - 1) * (MAX(ny) - 1) AS BIGINT) AS dof,
+       CAST(SUM(t) AS DOUBLE) AS chi2,
+       CAST(CAST(sqrt(CAST(SUM(t) AS DOUBLE)
+            / (MAX(n) * least(MAX(nx) - 1, MAX(ny) - 1)))
+            AS DECIMAL(18,9)) AS DOUBLE) AS cramers_v
+FROM terms
+"""
+
+
+ORACLES["metric_operator_chi2"] = _chi2_oracle()
+
 
 ORACLES["table_profile"] = _profile_oracle()
 
