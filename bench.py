@@ -121,11 +121,15 @@ HEADLINE = [
     "score_decile_profile",  # de-skewed global decile cut
     "conversion_latency_quantiles",  # exact p50/p90/p95 via 2-pass rank
     "metric_operator_mi",    # contingency-table MI, one fact shuffle
-    # prefix_jaccard_pairs deliberately NOT a headliner: on the
-    # 31-word fixture vocabulary every prefix contains shared tokens,
-    # so the join degenerates toward the quadratic baseline it exists
-    # to avoid (same exclusion rationale as dedup_jaccard_pairs and
-    # editdist_near_dup_pairs — verification baselines, not races)
+    # round-7 additions:
+    "prefix_jaccard_pairs",  # exact AllPairs prefix join — races on
+                             # the expanded-vocab view since round 7
+                             # (the raw 31-word fixture degenerated it)
+    "lttb_time_bucketed",    # streamable LTTB, bucket-spine neighbors
+    "dup_span_stats",        # cross-doc duplicated-span audit
+    "classifier_auc",        # rank-sum AUC on the score spine
+    "quantile_normalized_scores",  # two-rank global quantile remap
+    "metric_operator_chi2",  # full-grid chi-square + Cramér's V
 ]
 
 

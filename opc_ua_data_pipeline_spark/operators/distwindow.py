@@ -261,6 +261,47 @@ def attach_keyed_row_number(
     )
 
 
+def _explode_bucket_assignments(
+    base: DataFrame, bucket_rows: int, before: int, after: int
+) -> DataFrame:
+    """``base`` (carrying ``_rn``) -> one row per (row, bucket)
+    assignment with ``_dw_bkt``/``_dw_native`` set: its own bucket
+    (native), plus carry copies into the next bucket (last ``before``
+    rows) and the previous one (first ``after`` rows).
+
+    ONE pass: each row emits its 1-3 assignments through an
+    array-explode.  The round-6 spelling unioned three FILTERED COPIES
+    of ``base``, which re-executed the whole rank pipeline (scan +
+    window + broadcast join) once per branch — the union was 3x the
+    work of the plan it assembled (measured on deviation_alarms after
+    the checkpoint that used to hide it was removed).
+    """
+    li = F.expr(f"(_rn - 1) % {bucket_rows}")
+    bkt = F.expr(f"(_rn - 1) DIV {bucket_rows}")
+    assigns = [F.struct(bkt.alias("b"), F.lit(True).alias("n"))]
+    if before > 0:
+        assigns.append(
+            F.when(
+                li >= bucket_rows - before,
+                F.struct((bkt + 1).alias("b"), F.lit(False).alias("n")),
+            )
+        )
+    if after > 0:
+        assigns.append(
+            F.when(
+                (li < after) & (bkt > 0),
+                F.struct((bkt - 1).alias("b"), F.lit(False).alias("n")),
+            )
+        )
+    arr = F.filter(F.array(*assigns), lambda x: x.isNotNull())
+    return (
+        base.withColumn("_dw_a", F.explode(arr))
+        .withColumn(_BKT, F.col("_dw_a.b"))
+        .withColumn(_NATIVE, F.col("_dw_a.n"))
+        .drop("_dw_a")
+    )
+
+
 def bounded_frame_apply(
     df: DataFrame,
     key_cols: list[str],
@@ -288,24 +329,7 @@ def bounded_frame_apply(
             f"(before={before}, after={after})"
         )
     base = attach_keyed_row_number(df, key_cols, order_cols, range_parts)
-    li = F.expr(f"(_rn - 1) % {bucket_rows}")  # 0-based index in bucket
-    base = base.withColumn(_BKT, F.expr(f"(_rn - 1) DIV {bucket_rows}"))
-    parts = [base.withColumn(_NATIVE, F.lit(True))]
-    if before > 0:
-        parts.append(
-            base.filter(li >= bucket_rows - before)
-            .withColumn(_BKT, F.col(_BKT) + 1)
-            .withColumn(_NATIVE, F.lit(False))
-        )
-    if after > 0:
-        parts.append(
-            base.filter((li < after) & (F.col(_BKT) > 0))
-            .withColumn(_BKT, F.col(_BKT) - 1)
-            .withColumn(_NATIVE, F.lit(False))
-        )
-    unioned = parts[0]
-    for p in parts[1:]:
-        unioned = unioned.unionByName(p)
+    unioned = _explode_bucket_assignments(base, bucket_rows, before, after)
     w = (
         Window.partitionBy(*key_cols, _BKT)
         .orderBy("_rn")
@@ -352,14 +376,7 @@ def trailing_frame_sums(
             f"bucket_rows={bucket_rows} must cover n_prev={n_prev}"
         )
     base = attach_keyed_row_number(df, key_cols, order_cols, range_parts)
-    li = F.expr(f"(_rn - 1) % {bucket_rows}")
-    base = base.withColumn(_BKT, F.expr(f"(_rn - 1) DIV {bucket_rows}"))
-    carries = (
-        base.filter(li >= bucket_rows - before)
-        .withColumn(_BKT, F.col(_BKT) + 1)
-        .withColumn(_NATIVE, F.lit(False))
-    )
-    unioned = base.withColumn(_NATIVE, F.lit(True)).unionByName(carries)
+    unioned = _explode_bucket_assignments(base, bucket_rows, before, 0)
     wp = Window.partitionBy(*key_cols, _BKT).orderBy("_rn")
     wcum = wp.rowsBetween(Window.unboundedPreceding, 0)
     prefix_exprs = {"_tp_cnt": F.count(F.lit(1)).over(wcum)}

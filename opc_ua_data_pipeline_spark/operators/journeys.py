@@ -234,6 +234,11 @@ def rfm_segments(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
             " DIV 86400000000 AS INT)"
         ),
     )
+    # materialize the per-user aggregate ONCE: three chained rank
+    # passes (each = quantile sample + window branch + counts branch)
+    # would otherwise re-run the fact-table groupBy ~9x.  Narrow,
+    # user-table-sized — persist() at cluster scale.
+    per_user = per_user.localCheckpoint(eager=True)
     t = keyed_running_totals(
         per_user,
         [],
