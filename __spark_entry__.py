@@ -152,6 +152,13 @@ _PRIORITY = [
     "classifier_auc",
     "quantile_normalized_scores",
     "metric_operator_chi2",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    "multiset_containment_pairs",
+    "classifier_calibration",
+    "brier_decomposition",
+    "zipf_slope",
+    "event_burstiness",
     # (d) reference-surface + rotation re-checks
     "latest_value",
     "latest_per_metric",

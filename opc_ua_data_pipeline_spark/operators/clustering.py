@@ -590,3 +590,110 @@ ORACLES = {
     "ann_ivfpq_topk": _pq_adc_oracle(route_by_label=True),
     "ann_ivfpq_recall": _ivfpq_recall_oracle(),
 }
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette (round 7b)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_silhouette(
+    corpus: DataFrame, k: int = K_CLUSTERS, n_iter: int = KMEANS_ITERS
+) -> DataFrame:
+    """Per-cluster simplified silhouette of the trained k-means model:
+    ``s(i) = (b_i - a_i) / max(a_i, b_i)`` with ``a_i`` the euclidean
+    distance to the OWN (nearest) final centroid and ``b_i`` to the
+    second-nearest — the centroid-based silhouette (Hruschka et al.),
+    which is the only form that scales: exact silhouette is O(n^2)
+    pairwise, this is O(n*k) against a broadcast codebook, one scan.
+
+    Exactness: squared distances fold sequentially per row (the same
+    deterministic list_reduce shape the assignment path uses), sqrt
+    is IEEE on both engines, each vector's silhouette collapses at
+    DECIMAL(18,9) BEFORE the per-cluster mean, so no float sum ever
+    depends on row order.
+    """
+    _, cent = _kmeans_loop(corpus, k, n_iter)
+    sq = F.zip_with(
+        F.col("embedding"),
+        F.col("centroid"),
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    dist = F.aggregate(sq, F.lit(0.0), lambda acc, d: acc + d)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("cluster").asc()
+    )
+    two = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cluster", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+    )
+    per_vec = two.groupBy("vec_id").agg(
+        F.min(F.when(F.col("rank") == 1, F.col("cluster"))).alias("own"),
+        F.min(F.when(F.col("rank") == 1, F.col("dist"))).alias("da"),
+        F.min(F.when(F.col("rank") == 2, F.col("dist"))).alias("db"),
+    )
+    sil = per_vec.selectExpr(
+        "own AS cluster",
+        "CAST(COALESCE(try_divide(sqrt(db) - sqrt(da),"
+        " greatest(sqrt(da), sqrt(db))), 0.0)"
+        " AS DECIMAL(18,9)) AS s",
+    )
+    return (
+        sil.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("s").alias("ssum"))
+        .selectExpr(
+            "CAST(cluster AS INT) AS cluster",
+            "CAST(n_vecs AS BIGINT) AS n_vecs",
+            "CAST(CAST(CAST(ssum AS DOUBLE) / n_vecs AS DECIMAL(18,9))"
+            " AS DOUBLE) AS mean_silhouette",
+        )
+    )
+
+
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_silhouette(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES["kmeans_silhouette"] = q_kmeans_silhouette
+
+
+def _silhouette_oracle(
+    k: int = K_CLUSTERS, n_iter: int = KMEANS_ITERS
+) -> str:
+    body, _ = _kmeans_ctes(k, n_iter)
+    final_cent = f"cent{n_iter - 2}" if n_iter >= 2 else "seeds"
+    return f"""
+WITH {body},
+two AS (
+  SELECT vec_id, cluster, dist, rank FROM (
+    SELECT e.vec_id, c.cluster, {_DIST} AS dist,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DIST} ASC, c.cluster ASC) AS rank
+    FROM embeddings e CROSS JOIN {final_cent} c
+  ) WHERE rank <= 2
+),
+per_vec AS (
+  SELECT vec_id,
+         MIN(CASE WHEN rank = 1 THEN cluster END) AS own,
+         MIN(CASE WHEN rank = 1 THEN dist END) AS da,
+         MIN(CASE WHEN rank = 2 THEN dist END) AS db
+  FROM two GROUP BY 1
+),
+sil AS (
+  SELECT own AS cluster,
+         CAST(COALESCE((sqrt(db) - sqrt(da))
+              / NULLIF(greatest(sqrt(da), sqrt(db)), 0), 0.0)
+              AS DECIMAL(18,9)) AS s
+  FROM per_vec
+)
+SELECT CAST(cluster AS INT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(CAST(CAST(SUM(s) AS DOUBLE) / COUNT(*) AS DECIMAL(18,9))
+            AS DOUBLE) AS mean_silhouette
+FROM sil GROUP BY 1
+"""
+
+
+ORACLES["kmeans_silhouette"] = _silhouette_oracle()

@@ -1080,3 +1080,217 @@ SELECT CAST(decile AS INT) AS decile,
 FROM dec
 GROUP BY decile
 """
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration: reliability bins + Brier decomposition (round 7b)
+# ---------------------------------------------------------------------------
+
+#: number of equal-width reliability bins over the [0,1] score range.
+CAL_BINS = 10
+
+
+def _cal_binned(docs: DataFrame, pos_lang: str, nbins: int) -> DataFrame:
+    """Per-bin exact aggregates shared by both calibration queries:
+    (bin, n_docs, npos, ssum DECIMAL, t2sum DECIMAL) where t2 is the
+    per-row squared error (s - y)^2 collapsed at DECIMAL(33,15)."""
+    base = docs.select(
+        quality_score_col().alias("s"),
+        (F.col("lang") == pos_lang).cast("long").alias("y"),
+    ).filter(F.col("s").isNotNull())
+    return (
+        base.selectExpr(
+            f"LEAST(CAST(FLOOR(CAST(s AS DECIMAL(18,9)) * {nbins})"
+            f" AS INT), {nbins - 1}) AS bin",
+            "CAST(s AS DECIMAL(18,9)) AS sd",
+            "y",
+            "CAST((s - CAST(y AS DOUBLE)) * (s - CAST(y AS DOUBLE))"
+            " AS DECIMAL(33,15)) AS t2",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").alias("npos"),
+            F.sum("sd").alias("ssum"),
+            F.sum("t2").alias("t2sum"),
+        )
+    )
+
+
+def classifier_calibration(
+    docs: DataFrame, pos_lang: str = "en", nbins: int = CAL_BINS
+) -> DataFrame:
+    """Reliability diagram for the quality classifier: equal-width
+    score bins with exact counts, mean predicted score, and the
+    empirical positive rate (label: lang == pos_lang, the same proxy
+    classifier_auc evaluates).  A well-calibrated filter has
+    mean_score ~ frac_pos per bin; the gap is what
+    :func:`brier_decomposition` charges as reliability.
+
+    Exactness: scores are already DECIMAL(18,9)-collapsed doubles;
+    binning multiplies IN DECIMAL (no float-edge bin flips), sums
+    accumulate in DECIMAL, and the two output ratios are single
+    divides of exact operands, ulp-collapsed.  One map-side-
+    combinable groupBy on a <= nbins key space — scan-bound at any
+    scale.
+    """
+    return (
+        _cal_binned(docs, pos_lang, nbins)
+        .selectExpr(
+            "bin",
+            "n_docs",
+            "CAST(npos AS BIGINT) AS n_pos",
+            "CAST(CAST(CAST(ssum AS DOUBLE) / n_docs AS DECIMAL(18,9))"
+            " AS DOUBLE) AS mean_score",
+            "CAST(CAST(CAST(npos AS DOUBLE) / n_docs AS DECIMAL(18,9))"
+            " AS DOUBLE) AS frac_pos",
+        )
+    )
+
+
+def brier_decomposition(
+    docs: DataFrame, pos_lang: str = "en", nbins: int = CAL_BINS
+) -> DataFrame:
+    """Murphy (1973) decomposition of the classifier's Brier score
+    over the reliability bins: BRIER = RELIABILITY - RESOLUTION +
+    UNCERTAINTY (exact for bin-conditional means; with fixed-width
+    bins the identity holds up to within-bin score variance, which
+    the separately-summed brier column exposes).  One row:
+    (n_docs, brier, reliability, resolution, uncertainty).
+
+    Exactness: every sum is DECIMAL (per-row squared errors collapsed
+    at DECIMAL(33,15) — deterministic in both engines); per-bin
+    means collapse at DECIMAL(18,9) before the squared-gap terms,
+    which collapse again before the final <= nbins-row DECIMAL sum,
+    so no float addition ever depends on row order.
+    """
+    per = _cal_binned(docs, pos_lang, nbins)
+    glob = per.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum("npos").alias("p_total"),
+        F.sum("t2sum").alias("b_total"),
+    ).selectExpr(
+        "n_total",
+        "b_total",
+        "CAST(CAST(CAST(p_total AS DOUBLE) / n_total AS DECIMAL(18,9))"
+        " AS DOUBLE) AS ybar",
+    )
+    terms = per.crossJoin(F.broadcast(glob)).selectExpr(
+        "n_total",
+        "b_total",
+        "ybar",
+        "CAST(CAST(CAST(ssum AS DOUBLE) / n_docs AS DECIMAL(18,9))"
+        " AS DOUBLE) AS sbar_k",
+        "CAST(CAST(CAST(npos AS DOUBLE) / n_docs AS DECIMAL(18,9))"
+        " AS DOUBLE) AS ybar_k",
+        "n_docs",
+    )
+    return (
+        terms.selectExpr(
+            "n_total",
+            "b_total",
+            "ybar",
+            "CAST(n_docs * (sbar_k - ybar_k) * (sbar_k - ybar_k)"
+            " AS DECIMAL(33,15)) AS rel_t",
+            "CAST(n_docs * (ybar_k - ybar) * (ybar_k - ybar)"
+            " AS DECIMAL(33,15)) AS res_t",
+        )
+        .groupBy("n_total", "b_total", "ybar")
+        .agg(F.sum("rel_t").alias("rel"), F.sum("res_t").alias("res"))
+        .selectExpr(
+            "CAST(n_total AS BIGINT) AS n_docs",
+            "CAST(CAST(CAST(b_total AS DOUBLE) / n_total"
+            " AS DECIMAL(18,9)) AS DOUBLE) AS brier",
+            "CAST(CAST(CAST(rel AS DOUBLE) / n_total AS DECIMAL(18,9))"
+            " AS DOUBLE) AS reliability",
+            "CAST(CAST(CAST(res AS DOUBLE) / n_total AS DECIMAL(18,9))"
+            " AS DOUBLE) AS resolution",
+            "CAST(CAST(ybar * (1.0 - ybar) AS DECIMAL(18,9)) AS DOUBLE)"
+            " AS uncertainty",
+        )
+    )
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classifier_calibration(load_table(spark, sf_dir, "documents"))
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brier_decomposition(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["classifier_calibration"] = q_classifier_calibration
+QUERIES["brier_decomposition"] = q_brier_decomposition
+
+_CAL_BASE_SQL = f"""
+base AS (
+  SELECT {_SCORE_SQL} AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+  WHERE {_SCORE_SQL} IS NOT NULL
+),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(CAST(s AS DECIMAL(18,9)) * {CAL_BINS})
+               AS INT), {CAL_BINS - 1}) AS bin,
+         CAST(s AS DECIMAL(18,9)) AS sd,
+         y,
+         CAST((s - CAST(y AS DOUBLE)) * (s - CAST(y AS DOUBLE))
+              AS DECIMAL(33,15)) AS t2
+  FROM base
+),
+per AS (
+  SELECT bin, COUNT(*) AS n_docs, SUM(y) AS npos,
+         SUM(sd) AS ssum, SUM(t2) AS t2sum
+  FROM binned GROUP BY 1
+)"""
+
+ORACLES["classifier_calibration"] = f"""
+WITH {_CAL_BASE_SQL}
+SELECT bin,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(npos AS BIGINT) AS n_pos,
+       CAST(CAST(CAST(ssum AS DOUBLE) / n_docs AS DECIMAL(18,9))
+            AS DOUBLE) AS mean_score,
+       CAST(CAST(CAST(npos AS DOUBLE) / n_docs AS DECIMAL(18,9))
+            AS DOUBLE) AS frac_pos
+FROM per
+"""
+
+ORACLES["brier_decomposition"] = f"""
+WITH {_CAL_BASE_SQL},
+gtot AS (
+  SELECT SUM(n_docs) AS n_total, SUM(t2sum) AS b_total,
+         CAST(CAST(CAST(SUM(npos) AS DOUBLE) / SUM(n_docs)
+              AS DECIMAL(18,9)) AS DOUBLE) AS ybar
+  FROM per
+),
+terms AS (
+  SELECT n_total, b_total, ybar,
+         CAST(n_docs * (CAST(CAST(CAST(ssum AS DOUBLE) / n_docs
+                AS DECIMAL(18,9)) AS DOUBLE)
+              - CAST(CAST(CAST(npos AS DOUBLE) / n_docs
+                AS DECIMAL(18,9)) AS DOUBLE))
+            * (CAST(CAST(CAST(ssum AS DOUBLE) / n_docs
+                AS DECIMAL(18,9)) AS DOUBLE)
+              - CAST(CAST(CAST(npos AS DOUBLE) / n_docs
+                AS DECIMAL(18,9)) AS DOUBLE))
+              AS DECIMAL(33,15)) AS rel_t,
+         CAST(n_docs * (CAST(CAST(CAST(npos AS DOUBLE) / n_docs
+                AS DECIMAL(18,9)) AS DOUBLE) - ybar)
+            * (CAST(CAST(CAST(npos AS DOUBLE) / n_docs
+                AS DECIMAL(18,9)) AS DOUBLE) - ybar)
+              AS DECIMAL(33,15)) AS res_t
+  FROM per, gtot
+)
+SELECT CAST(n_total AS BIGINT) AS n_docs,
+       CAST(CAST(CAST(b_total AS DOUBLE) / n_total AS DECIMAL(18,9))
+            AS DOUBLE) AS brier,
+       CAST(CAST(CAST(SUM(rel_t) AS DOUBLE) / n_total
+            AS DECIMAL(18,9)) AS DOUBLE) AS reliability,
+       CAST(CAST(CAST(SUM(res_t) AS DOUBLE) / n_total
+            AS DECIMAL(18,9)) AS DOUBLE) AS resolution,
+       CAST(CAST(ybar * (1.0 - ybar) AS DECIMAL(18,9)) AS DOUBLE)
+         AS uncertainty
+FROM terms
+GROUP BY n_total, b_total, ybar
+"""

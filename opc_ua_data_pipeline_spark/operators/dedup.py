@@ -1471,3 +1471,377 @@ SELECT t.doc_id,
                  / (len(ts) - {DUP_SPAN_W} + 1) END AS dup_ratio
 FROM t LEFT JOIN perdoc ON t.doc_id = perdoc.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust winnowing fingerprints (round 7b)
+# ---------------------------------------------------------------------------
+
+#: k-gram width (words) and winnowing window: every shared run of at
+#: least ``WINNOW_W + WINNOW_K - 1`` tokens is GUARANTEED to share a
+#: selected fingerprint (the winnowing correctness theorem), and
+#: expected density is 2/(w+1) of all shingle positions.
+WINNOW_K = 4
+WINNOW_W = 4
+#: stop-fingerprint posting cap + minimum shared fingerprints for a
+#: candidate pair — same boilerplate rules as the CDC chunk path.
+WINNOW_MAX_POSTING = 16
+WINNOW_MIN_SHARED = 2
+#: positions are embedded in the tie-break key as 9 zero-padded
+#: digits of (10^9 - pos): lexicographic MIN then prefers the
+#: RIGHTMOST position among equal hashes (robust winnowing's
+#: tie-break), and docs are assumed < 10^9 tokens.
+_WN_POS_MOD = 1_000_000_000
+
+
+def winnow_selected(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, pos, fp): the robust-winnowing-selected k-gram
+    fingerprints of each document (Schleimer, Daitch & Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    MOSS selection rule).  Where :func:`dup_span_stats` fingerprints
+    EVERY span (audit-grade, corpus-size x tokens rows), winnowing
+    SAMPLES ~2/(w+1) of them with a positional guarantee: any match
+    of length >= w + k - 1 tokens still shares a selected
+    fingerprint, so the index is ~60-80% smaller at the same recall
+    floor — the property that makes a 100 TB fingerprint index
+    affordable.
+
+    Selection is expressed relationally: per window end q, the
+    window minimum of ``md5(shingle) || zeropad(10^9 - pos)`` (hex
+    lexicographic; the suffix makes ties resolve to the RIGHTMOST
+    occurrence — robust winnowing), then DISTINCT over the selected
+    keys.  The one window runs per doc_id (high-cardinality key,
+    frame bounded by document length), never corpus-global.
+    """
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("__toks")).filter(
+        F.size("__toks") >= k
+    )
+    m = (F.size("__toks") - k + 1).alias("m")
+    keys = base.select(
+        "doc_id",
+        m,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - k + 1),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("__toks"), i, k), " ")
+                ),
+            )
+        ).alias("p0", "h"),
+    ).select(
+        "doc_id",
+        "m",
+        (F.col("p0") + 1).alias("pos"),
+        F.concat(
+            F.col("h"),
+            F.lpad(
+                (F.lit(_WN_POS_MOD) - F.col("p0") - 1).cast("string"),
+                9,
+                "0",
+            ),
+        ).alias("kk"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    sel = (
+        keys.select(
+            "doc_id",
+            "m",
+            "pos",
+            F.min("kk").over(win).alias("sel"),
+        )
+        .filter(F.col("pos") >= F.least(F.lit(w), F.col("m")))
+        .select("doc_id", "sel")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit(_WN_POS_MOD) - F.substring("sel", 33, 9).cast("long")).alias(
+            "pos"
+        ),
+        F.substring("sel", 1, 32).alias("fp"),
+    )
+
+
+def winnow_fingerprint_stats(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Per-document winnowing summary: shingle count, selected-
+    fingerprint count, and selection density (expected ~2/(w+1)) —
+    the sizing audit a fingerprint-index build publishes."""
+    per = winnow_selected(docs, k, w).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_selected")
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.size(toks) - k + 1, F.lit(0))
+        .cast("long")
+        .alias("n_shingles"),
+    )
+    return base.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+        F.when(
+            F.col("n_shingles") > 0,
+            F.expr(
+                "CAST(CAST(CAST(COALESCE(n_selected, 0) AS DOUBLE)"
+                " / n_shingles AS DECIMAL(18,9)) AS DOUBLE)"
+            ),
+        ).alias("density"),
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Candidate near-dup pairs from shared winnowed fingerprints —
+    the fifth candidate-generation family (after LSH bands, CDC
+    chunks, sorted neighborhood, and the exact prefix filter), and
+    the one whose index is guaranteed-sampled rather than hashed:
+    two docs sharing any >= w+k-1-token run MUST collide here.
+
+    Same bounded pair algebra as :func:`cdc_neardup_pairs`: posting
+    lists per fingerprint, stop-fingerprints (> WINNOW_MAX_POSTING
+    docs) dropped whole, pair rollup with a minimum-shared gate —
+    never quadratic in corpus size.
+    """
+    fps = winnow_selected(docs, k, w).select("doc_id", "fp").distinct()
+    posts = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= WINNOW_MAX_POSTING))
+    )
+    return (
+        posts.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            "n_shared",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset (term-frequency) containment verify (round 7b)
+# ---------------------------------------------------------------------------
+
+#: minimum directional containment for a reported pair.
+MSC_THRESHOLD = 0.5
+
+
+def multiset_containment_pairs(
+    docs: DataFrame, threshold: float = MSC_THRESHOLD
+) -> DataFrame:
+    """Directional MULTISET containment over winnowed candidates:
+    ``C(A->B) = sum_t min(cA_t, cB_t) / sum_t cA_t`` over full
+    unigram counts ``c`` — the weighted form of Broder's containment,
+    computed EXACTLY but only for pairs :func:`winnow_overlap_pairs`
+    already flagged.  Set Jaccard (dedup_jaccard_pairs) treats a
+    token repeated 40x the same as once; multiset containment
+    catches a document whose CONTENT is nearly swallowed by another
+    (quote expansion, boilerplate wrapper) and tells you WHICH side
+    is contained — the asymmetric signal a symmetric score cannot
+    express.
+
+    Scale shape: candidate generation is the guaranteed-sampled
+    winnowing index (bounded postings, never quadratic); the verify
+    joins token counts to the CANDIDATE PAIRS only (two hash joins
+    keyed on doc id + token), so per-pair cost is O(|A| + |B|) and
+    total cost is linear in candidate volume.  Counts are exact
+    integers end to end; the only float ops are the two final
+    divides, ulp-collapsed at DECIMAL(18,9).
+    """
+    cands = winnow_overlap_pairs(docs).select("doc_a", "doc_b")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    cnt = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = cnt.groupBy("doc_id").agg(F.sum("c").alias("n_tok"))
+    shared = (
+        cands.join(
+            cnt.select(
+                F.col("doc_id").alias("doc_a"),
+                "tok",
+                F.col("c").alias("ca"),
+            ),
+            "doc_a",
+        )
+        .join(
+            cnt.select(
+                F.col("doc_id").alias("doc_b"),
+                "tok",
+                F.col("c").alias("cb"),
+            ),
+            ["doc_b", "tok"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("shared"))
+    )
+    col = (
+        "CAST(CAST(CAST(shared AS DOUBLE) / {d} AS DECIMAL(18,9))"
+        " AS DOUBLE)"
+    )
+    return (
+        shared.join(
+            totals.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("_na")
+            ),
+            "doc_a",
+        )
+        .join(
+            totals.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("_nb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared_mass"),
+            F.expr(col.format(d="_na")).alias("containment_a"),
+            F.expr(col.format(d="_nb")).alias("containment_b"),
+        )
+        .filter(
+            F.greatest("containment_a", "containment_b")
+            >= F.lit(threshold)
+        )
+    )
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprint_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_overlap_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_multiset_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multiset_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
+QUERIES["winnow_overlap_pairs"] = q_winnow_overlap_pairs
+QUERIES["multiset_containment_pairs"] = q_multiset_containment
+
+#: winnowing selection, as a reusable oracle CTE chain: shingle
+#: hashes with the rightmost-min tie-break key, the w-window minimum
+#: per window end, and the distinct selected set.
+_WN_SEL_SQL = f"""
+t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(ts) - {WINNOW_K} + 1 AS m, i AS pos,
+         md5(array_to_string(ts[i:i+{WINNOW_K - 1}], ' ')) AS h
+  FROM t, UNNEST(generate_series(1, len(ts) - {WINNOW_K} + 1)) AS r(i)
+  WHERE len(ts) >= {WINNOW_K}
+),
+kk AS (
+  SELECT doc_id, m, pos,
+         h || lpad(CAST({_WN_POS_MOD} - pos AS VARCHAR), 9, '0') AS kk
+  FROM s
+),
+wmin AS (
+  SELECT doc_id, m, pos,
+         MIN(kk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                       AND CURRENT ROW) AS sel
+  FROM kk
+),
+seldup AS (
+  SELECT DISTINCT doc_id, substr(sel, 1, 32) AS fp,
+         {_WN_POS_MOD} - CAST(substr(sel, 33, 9) AS BIGINT) AS pos
+  FROM wmin WHERE pos >= LEAST({WINNOW_W}, m)
+)"""
+
+_WN_PAIRS_SQL = f"""
+fps AS (SELECT DISTINCT doc_id, fp FROM seldup),
+posts AS (
+  SELECT fp, list_sort(list(doc_id)) AS ds
+  FROM fps GROUP BY 1
+  HAVING COUNT(*) BETWEEN 2 AND {WINNOW_MAX_POSTING}
+),
+pairs AS (
+  SELECT u.a AS doc_a, v.b AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM posts, UNNEST(ds) AS u(a), UNNEST(ds) AS v(b)
+  WHERE u.a < v.b
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+)"""
+
+ORACLES["winnow_fingerprints"] = f"""
+WITH {_WN_SEL_SQL},
+per AS (
+  SELECT doc_id, COUNT(*) AS n_selected FROM seldup GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(greatest(len(list_filter(string_split(d.text, ' '),
+                          x -> x <> '')) - {WINNOW_K} + 1, 0) AS BIGINT)
+         AS n_shingles,
+       CAST(COALESCE(per.n_selected, 0) AS BIGINT) AS n_selected,
+       CASE WHEN len(list_filter(string_split(d.text, ' '),
+                       x -> x <> '')) >= {WINNOW_K}
+            THEN CAST(CAST(CAST(COALESCE(per.n_selected, 0) AS DOUBLE)
+                 / (len(list_filter(string_split(d.text, ' '),
+                        x -> x <> '')) - {WINNOW_K} + 1)
+                 AS DECIMAL(18,9)) AS DOUBLE) END AS density
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+ORACLES["winnow_overlap_pairs"] = f"""
+WITH {_WN_SEL_SQL},
+{_WN_PAIRS_SQL}
+SELECT doc_a, doc_b, n_shared FROM pairs
+"""
+
+ORACLES["multiset_containment_pairs"] = f"""
+WITH {_WN_SEL_SQL},
+{_WN_PAIRS_SQL},
+cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id,
+               UNNEST(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, SUM(c) AS n_tok FROM cnt GROUP BY 1),
+sh AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS shared_mass
+  FROM pairs p
+  JOIN cnt a ON a.doc_id = p.doc_a
+  JOIN cnt b ON b.doc_id = p.doc_b AND b.tok = a.tok
+  GROUP BY 1, 2
+)
+SELECT sh.doc_a, sh.doc_b, sh.shared_mass,
+       CAST(CAST(CAST(shared_mass AS DOUBLE) / ta.n_tok
+            AS DECIMAL(18,9)) AS DOUBLE) AS containment_a,
+       CAST(CAST(CAST(shared_mass AS DOUBLE) / tb.n_tok
+            AS DECIMAL(18,9)) AS DOUBLE) AS containment_b
+FROM sh
+JOIN tot ta ON ta.doc_id = sh.doc_a
+JOIN tot tb ON tb.doc_id = sh.doc_b
+WHERE GREATEST(CAST(CAST(CAST(shared_mass AS DOUBLE) / ta.n_tok
+                 AS DECIMAL(18,9)) AS DOUBLE),
+               CAST(CAST(CAST(shared_mass AS DOUBLE) / tb.n_tok
+                 AS DECIMAL(18,9)) AS DOUBLE)) >= {MSC_THRESHOLD}
+"""

@@ -1131,3 +1131,150 @@ SELECT event_type, n_ref, n_cur, ks_stat,
             AS DOUBLE) AS drifted
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Traffic burstiness: Fano factor per event type (round 7b)
+# ---------------------------------------------------------------------------
+
+
+def event_burstiness(events: DataFrame) -> DataFrame:
+    """Index of dispersion (Fano factor) of per-minute event counts,
+    per event type: ``var_pop(c) / mean(c)`` over the type's OBSERVED
+    minute buckets (silent minutes are absent, not zero — the metric
+    profiles arrival clumping GIVEN activity; gap analysis is
+    time_bucket_gapfill's job).  Fano ~ 1 is Poisson traffic; >> 1
+    is bursty (retry storms, batch replays) — the one-number screen
+    that decides whether error_burst_windows is worth running.
+
+    Scale shape: one map-side-combinable (type, minute) count, then
+    a <= types x minutes rollup — both keyed aggregates, no windows,
+    no skew (the bucket key spreads any hot type).  Counts and their
+    squares accumulate as exact integers; the variance numerator is
+    computed in DECIMAL(38,0) (n*s2 - s1^2 overflows int64 past ~1e9
+    events/bucket-sum), and the only float ops are the two final
+    divides of exact operands, ulp-collapsed at DECIMAL(18,9).
+    """
+    per = (
+        events.groupBy(
+            "event_type", F.date_trunc("minute", F.col("ts")).alias("bkt")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "CAST(n_buckets AS BIGINT) AS n_buckets",
+        "CAST(s1 AS BIGINT) AS n_events",
+        "CAST(CAST(CAST(s1 AS DOUBLE) / n_buckets AS DECIMAL(18,9))"
+        " AS DOUBLE) AS mean_per_minute",
+        "CAST(CAST(try_divide("
+        "CAST(CAST(n_buckets AS DECIMAL(38,0)) * s2"
+        " - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE),"
+        "CAST(CAST(n_buckets AS DECIMAL(38,0)) * s1 AS DOUBLE))"
+        " AS DECIMAL(18,9)) AS DOUBLE) AS fano_factor",
+    )
+
+
+def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_burstiness(load_table(spark, sf_dir, "events"))
+
+
+QUERIES["event_burstiness"] = q_event_burstiness
+
+ORACLES["event_burstiness"] = """
+WITH per AS (
+  SELECT event_type, date_trunc('minute', ts) AS bkt, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_buckets,
+         SUM(c) AS s1, SUM(c * c) AS s2
+  FROM per GROUP BY 1
+)
+SELECT event_type,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(s1 AS BIGINT) AS n_events,
+       CAST(CAST(CAST(s1 AS DOUBLE) / n_buckets AS DECIMAL(18,9))
+            AS DOUBLE) AS mean_per_minute,
+       CAST(CAST(
+         CAST(CAST(n_buckets AS DECIMAL(38,0)) * s2
+              - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+         / NULLIF(CAST(CAST(n_buckets AS DECIMAL(38,0)) * s1
+                  AS DOUBLE), 0)
+         AS DECIMAL(18,9)) AS DOUBLE) AS fano_factor
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (round 7b)
+# ---------------------------------------------------------------------------
+
+#: privacy threshold: equivalence classes smaller than K_ANON are
+#: re-identification risks.
+K_ANON = 5
+#: account-balance generalization band width (the generalization step
+#: of the quasi-identifier, as a k-anonymization pipeline would apply).
+K_ANON_BAL_BAND = 1000.0
+
+
+def k_anonymity_audit(customer: DataFrame) -> DataFrame:
+    """Equivalence-class size histogram under the quasi-identifier
+    (nation, market segment, acctbal banded to K_ANON_BAL_BAND):
+    for each class SIZE, how many classes and rows share it, and
+    whether that size violates k = K_ANON (Sweeney 2002) — the audit
+    that decides if a training extract can leave the trust boundary,
+    run BEFORE the pii_scrub pass ships it.
+
+    Scale shape: two map-side-combinable groupBys (QI -> class size,
+    size -> histogram); the banding floor runs in DECIMAL so bucket
+    edges cannot flip on float representation.  Output is bounded by
+    the number of DISTINCT class sizes — tiny at any corpus scale.
+    """
+    cls = (
+        customer.selectExpr(
+            "c_nationkey",
+            "c_mktsegment",
+            "CAST(FLOOR(CAST(c_acctbal AS DECIMAL(18,2))"
+            f" / {K_ANON_BAL_BAND}) AS BIGINT) AS bal_band",
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return (
+        cls.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .selectExpr(
+            "CAST(class_size AS BIGINT) AS class_size",
+            "CAST(n_classes AS BIGINT) AS n_classes",
+            "CAST(class_size * n_classes AS BIGINT) AS n_rows",
+            f"COALESCE(class_size < {K_ANON}, FALSE) AS at_risk",
+        )
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return k_anonymity_audit(load_table(spark, sf_dir, "customer"))
+
+
+QUERIES["k_anonymity_audit"] = q_k_anonymity
+
+ORACLES["k_anonymity_audit"] = f"""
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(CAST(c_acctbal AS DECIMAL(18,2))
+              / {K_ANON_BAL_BAND}) AS BIGINT) AS bal_band,
+         COUNT(*) AS class_size
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(class_size AS BIGINT) AS class_size,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
+       COALESCE(class_size < {K_ANON}, FALSE) AS at_risk
+FROM cls GROUP BY class_size
+"""

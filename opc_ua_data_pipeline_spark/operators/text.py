@@ -12,7 +12,7 @@ bit-identical across engines without rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.ranking import bounded_rank
@@ -786,4 +786,106 @@ SELECT w1, w2, n_bigram, n_w1, n_w2, pmi,
        CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, bg) AS INTEGER) AS rank
 FROM scored
 QUALIFY rank <= {PMI_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope (round 7b)
+# ---------------------------------------------------------------------------
+
+#: OLS fit is restricted to the top ZIPF_MAX_RANK terms per source —
+#: the head of the rank-frequency curve, and a hard bound on the
+#: windowed table regardless of vocabulary size.
+ZIPF_MAX_RANK = 1000
+
+
+def zipf_slope(docs: DataFrame, max_rank: int = ZIPF_MAX_RANK) -> DataFrame:
+    """Per-source Zipf exponent: the OLS slope of ln(frequency) on
+    ln(rank) over the top ``max_rank`` terms — Zipf's law predicts
+    ~-1 for natural text; a materially flatter slope is the classic
+    fingerprint of templated/synthetic corpora (and a drift alarm
+    when a source's slope moves between snapshots).
+
+    Scale shape: one map-side-combinable (source, token) count is
+    the only corpus-scale pass; ranking runs on the AGGREGATED term
+    table (vocabulary-sized, further capped at max_rank rows per
+    source), so the rank window's low-cardinality key is fine — its
+    input is bounded by vocabulary, never by corpus.  ln() values
+    collapse at DECIMAL(18,9), sums accumulate in DECIMAL, and the
+    slope is one double expression over exact sums (the lead-lag
+    moment pattern).
+    """
+    cnt = (
+        docs.select(F.explode(_toks()).alias("tok"), "source")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("tok")
+    )
+    ranked = cnt.select(
+        "source", "c", F.row_number().over(win).alias("rank")
+    ).filter(F.col("rank") <= max_rank)
+    agg = (
+        ranked.selectExpr(
+            "source",
+            "CAST(LN(CAST(rank AS DOUBLE)) AS DECIMAL(18,9)) AS x",
+            "CAST(LN(CAST(c AS DOUBLE)) AS DECIMAL(18,9)) AS y",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.expr("CAST(SUM(x) AS DOUBLE)").alias("sx"),
+            F.expr("CAST(SUM(y) AS DOUBLE)").alias("sy"),
+            F.expr("CAST(SUM(x * y) AS DOUBLE)").alias("sxy"),
+            F.expr("CAST(SUM(x * x) AS DOUBLE)").alias("sxx"),
+        )
+    )
+    return agg.selectExpr(
+        "source",
+        "CAST(n_terms AS BIGINT) AS n_terms",
+        "CAST(CAST(try_divide(n_terms * sxy - sx * sy,"
+        " n_terms * sxx - sx * sx) AS DECIMAL(18,9)) AS DOUBLE)"
+        " AS zipf_slope",
+    )
+
+
+QUERIES["zipf_slope"] = lambda spark, sf: zipf_slope(
+    load_table(spark, sf, "documents")
+)
+
+ORACLES["zipf_slope"] = f"""
+WITH cnt AS (
+  SELECT source, UNNEST({_TOKS}) AS tok, 1 AS one
+  FROM documents
+),
+agg AS (
+  SELECT source, tok, COUNT(*) AS c FROM cnt GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY c DESC, tok) AS rank
+  FROM agg
+  QUALIFY rank <= {ZIPF_MAX_RANK}
+),
+xy AS (
+  SELECT source,
+         CAST(LN(CAST(rank AS DOUBLE)) AS DECIMAL(18,9)) AS x,
+         CAST(LN(CAST(c AS DOUBLE)) AS DECIMAL(18,9)) AS y
+  FROM ranked
+),
+m AS (
+  SELECT source, COUNT(*) AS n_terms,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT source, CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(CAST((n_terms * sxy - sx * sy)
+            / NULLIF(n_terms * sxx - sx * sx, 0)
+            AS DECIMAL(18,9)) AS DOUBLE) AS zipf_slope
+FROM m
 """

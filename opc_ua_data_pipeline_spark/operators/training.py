@@ -1039,3 +1039,116 @@ FROM (SELECT *, ROW_NUMBER() OVER (
 WHERE rank <= {TFIDF_TOP_K}
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Padding-waste report for length-bucketed batching (round 7b)
+# ---------------------------------------------------------------------------
+
+#: fixed micro-batch size the report evaluates (sequences per batch).
+PAD_BATCH_SIZE = 32
+
+
+def padding_waste_report(
+    docs: DataFrame, batch_size: int = PAD_BATCH_SIZE
+) -> DataFrame:
+    """Padding overhead of two batching policies at a fixed batch
+    size: arrival order (``by_doc_id``) vs global length-sorted
+    (``length_sorted``) — every sequence in a batch pads to the batch
+    max, so the report quantifies exactly how many pad tokens
+    length-bucketing saves (the standard justification for sorted
+    batching in LLM pre-training input pipelines).
+
+    Scale shape: each policy's global order is the deterministic
+    two-pass distributed rank (distwindow.attach_keyed_row_number —
+    range-partition + local row_number, no single-task sort); batch
+    ids are pure arithmetic on the rank; per-batch max/sum/count and
+    the final per-policy rollup are map-side-combinable groupBys on
+    exact integers.  The two final ratios are the only float ops,
+    ulp-collapsed at DECIMAL(18,9).
+    """
+    from .distwindow import attach_keyed_row_number
+
+    base = docs.select(
+        "doc_id", F.size(_toks()).cast("long").alias("n_tokens")
+    )
+
+    def policy(name: str, order_cols: list[str]) -> DataFrame:
+        ranked = attach_keyed_row_number(
+            base, [], order_cols, rn_col="rn"
+        )
+        per_batch = (
+            ranked.select(
+                F.expr(f"CAST((rn - 1) DIV {batch_size} AS BIGINT)").alias(
+                    "batch"
+                ),
+                "n_tokens",
+            )
+            .groupBy("batch")
+            .agg(
+                F.count(F.lit(1)).alias("n_seq"),
+                F.max("n_tokens").alias("max_len"),
+                F.sum("n_tokens").alias("tok_sum"),
+            )
+        )
+        return per_batch.agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("tok_sum").alias("total_tokens"),
+            F.sum(F.col("n_seq") * F.col("max_len")).alias("padded_tokens"),
+        ).selectExpr(
+            f"'{name}' AS policy",
+            "CAST(n_batches AS BIGINT) AS n_batches",
+            "CAST(total_tokens AS BIGINT) AS total_tokens",
+            "CAST(padded_tokens AS BIGINT) AS padded_tokens",
+            "CAST(CAST(CAST(padded_tokens - total_tokens AS DOUBLE)"
+            " / padded_tokens AS DECIMAL(18,9)) AS DOUBLE) AS waste_frac",
+        )
+
+    return policy("by_doc_id", ["doc_id"]).unionAll(
+        policy("length_sorted", ["n_tokens", "doc_id"])
+    )
+
+
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return padding_waste_report(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["padding_waste_report"] = q_padding_waste
+
+_PAD_POLICY_SQL = """
+  SELECT '{name}' AS policy,
+         CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(SUM(tok_sum) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_seq * max_len) AS BIGINT) AS padded_tokens,
+         CAST(CAST(CAST(SUM(n_seq * max_len) - SUM(tok_sum) AS DOUBLE)
+              / SUM(n_seq * max_len) AS DECIMAL(18,9)) AS DOUBLE)
+           AS waste_frac
+  FROM (
+    SELECT batch, COUNT(*) AS n_seq, MAX(n_tokens) AS max_len,
+           SUM(n_tokens) AS tok_sum
+    FROM (
+      SELECT (ROW_NUMBER() OVER (ORDER BY {order}) - 1)
+               // {bs} AS batch,
+             n_tokens
+      FROM base
+    ) GROUP BY 1
+  )
+"""
+
+ORACLES["padding_waste_report"] = (
+    """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+)
+"""
+    + _PAD_POLICY_SQL.format(
+        name="by_doc_id", order="doc_id", bs=PAD_BATCH_SIZE
+    )
+    + "UNION ALL"
+    + _PAD_POLICY_SQL.format(
+        name="length_sorted", order="n_tokens, doc_id", bs=PAD_BATCH_SIZE
+    )
+)
