@@ -159,6 +159,12 @@ _PRIORITY = [
     "brier_decomposition",
     "zipf_slope",
     "event_burstiness",
+    "kmeans_silhouette",
+    "k_anonymity_audit",
+    "padding_waste_report",
+    "tokenizer_fertility",
+    "hard_negative_pairs",
+    "query_likelihood_topk",
     # (d) reference-surface + rotation re-checks
     "latest_value",
     "latest_per_metric",

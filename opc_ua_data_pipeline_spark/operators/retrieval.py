@@ -462,3 +462,133 @@ SELECT doc_id, dense_rank, sparse_rank, rrf_score,
 FROM fused
 """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query likelihood (round 7b)
+# ---------------------------------------------------------------------------
+
+#: Dirichlet prior mass; 500 suits the fixture's ~50-token docs (the
+#: standard 2000 assumes web-page-length documents).
+QL_MU = 500.0
+QL_TOP_K = 20
+
+
+def query_likelihood_topk(
+    docs: DataFrame,
+    terms: list[str] | None = None,
+    k: int = QL_TOP_K,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    2001): ``score(d|Q) = sum_t ln((tf + mu*P(t|C)) / (dl + mu))``
+    with the collection model ``P(t|C) = cf_t / |C|`` — the language-
+    model alternative to BM25 (whose idf has no account of collection
+    term frequency), and the second scorer hybrid_search_rrf can
+    fuse.
+
+    Same scale shape as bm25_topk: per-term tf columns in one narrow
+    scan pass, one broadcast 1-row stats frame (here with collection
+    frequencies), a TakeOrderedAndProject top-k, and the window-free
+    bounded rank.  Per-term components sum in query-term order
+    (pinned association) and ulp-collapse at DECIMAL(18,9).
+    """
+    terms = BM25_QUERY_TERMS if terms is None else terms
+    toks = _toks()
+
+    def tf_col(trm: str) -> Column:
+        return F.size(F.filter(toks, lambda t: t == F.lit(trm))).cast("long")
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[tf_col(trm).alias(f"tf_{i}") for i, trm in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.sum("dl").alias("c_len"),
+        *[F.sum(f"tf_{i}").alias(f"cf_{i}") for i in range(len(terms))],
+    )
+
+    def comp(i: int) -> Column:
+        tf = F.col(f"tf_{i}").cast("double")
+        pc = F.col(f"cf_{i}").cast("double") / F.col("c_len").cast("double")
+        # an out-of-collection term has P(t|C) = 0 and would drive
+        # EVERY document's likelihood to ln(0) (NULL in Spark, -inf
+        # in DuckDB): the standard treatment drops OOV query terms
+        return F.when(
+            F.col(f"cf_{i}") > 0,
+            F.log(
+                (tf + F.lit(QL_MU) * pc)
+                / (F.col("dl").cast("double") + F.lit(QL_MU))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    score = comp(0)
+    for i in range(1, len(terms)):
+        score = score + comp(i)
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .filter(
+            sum((F.col(f"tf_{i}") for i in range(1, len(terms))), F.col("tf_0"))
+            > 0
+        )
+        .select(
+            "doc_id",
+            score.cast("decimal(18,9)").cast("double").alias("score"),
+        )
+    )
+    topk = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    return bounded_rank(
+        topk, [("score", "desc"), ("doc_id", "asc")]
+    ).select("doc_id", "score", "rank")
+
+
+def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return query_likelihood_topk(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["query_likelihood_topk"] = q_query_likelihood
+
+
+def _ql_sql(terms: list[str], k: int) -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(ts, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    cf_cols = ",\n         ".join(
+        f"SUM(tf_{i}) AS cf_{i}" for i in range(len(terms))
+    )
+    comps = " + ".join(
+        f"(CASE WHEN cf_{i} > 0 THEN"
+        f" ln((CAST(tf_{i} AS DOUBLE) + {QL_MU!r}"
+        f" * (CAST(cf_{i} AS DOUBLE) / CAST(c_len AS DOUBLE)))"
+        f" / (CAST(dl AS DOUBLE) + {QL_MU!r})) ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    any_match = " + ".join(f"tf_{i}" for i in range(len(terms)))
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(ts) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {_TOKS} AS ts FROM documents)
+),
+stats AS (
+  SELECT SUM(dl) AS c_len,
+         {cf_cols}
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+         CAST(CAST({comps} AS DECIMAL(18,9)) AS DOUBLE) AS score
+  FROM base, stats
+  WHERE {any_match} > 0
+)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+ORACLES["query_likelihood_topk"] = _ql_sql(BM25_QUERY_TERMS, QL_TOP_K)

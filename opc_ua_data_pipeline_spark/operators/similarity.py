@@ -772,3 +772,110 @@ def brute_force_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round 7b)
+# ---------------------------------------------------------------------------
+
+HN_TOP_K = 5
+
+
+def hard_negative_pairs(
+    queries: DataFrame, corpus: DataFrame, k: int = HN_TOP_K
+) -> DataFrame:
+    """Contrastive-training hard negatives: for each query vector,
+    the top-``k`` most-similar corpus vectors with a DIFFERENT label,
+    each flagged ``hard`` when it outscores the query's best SAME-
+    label neighbor (the FaceNet criterion: a negative inside the
+    positive's margin is the one worth training on).
+
+    Scale shape: same broadcast(queries) x streaming-corpus plan as
+    brute_force_topk — one corpus scan scores positives and negatives
+    together, the positive side collapses to a per-query max (a
+    |queries|-row broadcast), and the negative top-k is the usual
+    per-query row_number cut.  Scores reuse the fold-ordered cosine,
+    so parity with the oracle is bit-exact.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+        F.col("label").alias("q_label"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+        F.col("label").alias("c_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "q_label", "c_id", "c_label", _pair_score().alias("score"))
+    )
+    pos = (
+        scored.filter(F.col("q_label") == F.col("c_label"))
+        .groupBy("q_id")
+        .agg(F.max("score").alias("pos_score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("c_id").asc()
+    )
+    neg = (
+        scored.filter(F.col("q_label") != F.col("c_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return (
+        neg.join(F.broadcast(pos), "q_id", "left")
+        .select(
+            "q_id",
+            "c_id",
+            "rank",
+            "score",
+            F.coalesce("pos_score", F.lit(-1.0)).alias("pos_score"),
+            (
+                F.col("score") > F.coalesce("pos_score", F.lit(-1.0))
+            ).alias("hard"),
+        )
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_pairs(emb.filter(F.col("vec_id") < N_QUERIES), emb)
+
+
+QUERIES["hard_negative_pairs"] = q_hard_negatives
+
+
+def _hard_negative_oracle(k: int = HN_TOP_K) -> str:
+    cos = _COS_SQL.format(a="q.embedding", b="c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label,
+         c.vec_id AS c_id, c.label AS c_label,
+         {cos} AS score
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+),
+pos AS (
+  SELECT q_id, MAX(score) AS pos_score
+  FROM scored WHERE q_label = c_label GROUP BY 1
+),
+neg AS (
+  SELECT q_id, c_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY score DESC, c_id ASC) AS INTEGER) AS rank
+  FROM scored WHERE q_label <> c_label
+)
+SELECT n.q_id, n.c_id, n.rank, n.score,
+       COALESCE(p.pos_score, -1.0) AS pos_score,
+       n.score > COALESCE(p.pos_score, -1.0) AS hard
+FROM neg n LEFT JOIN pos p USING (q_id)
+WHERE n.rank <= {k}
+"""
+
+
+ORACLES["hard_negative_pairs"] = _hard_negative_oracle()

@@ -83,6 +83,11 @@ def bpe_merges(
     for it in range(1, n_merges + 1):
         pairs = (
             words.select("cnt", F.split("seq", " ").alias("s"))
+            # a fully-merged word's seq is ONE symbol: sequence(1,
+            # size-1) would descend through 0 and ANSI element_at
+            # would throw; such words contribute no pairs (the DuckDB
+            # twin's generate_series(1, 0) is empty for the same rows)
+            .filter(F.size("s") >= 2)
             .select(
                 "cnt",
                 F.explode(
@@ -258,3 +263,107 @@ SELECT word, trim({expr}) AS segmented FROM wall
 
 
 ORACLES["bpe_segmentation"] = _bpe_segment_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language (round 7b)
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Per-language fertility of the corpus-trained BPE tokenizer:
+    subword tokens per word and characters per subword token — THE
+    cross-lingual tokenizer-equity numbers (a language with 2x the
+    fertility pays 2x the sequence length for the same text, so
+    budget/packing decisions made in tokens are biased against it).
+
+    Scale shape: the merge table and the distinct-word segmentation
+    map are vocabulary-bounded; the map broadcast-joins to per-
+    (lang, word) counts (one map-side-combinable groupBy over the
+    corpus scan), so the corpus is touched once and never shuffled
+    by more than the (lang, word) rollup.  Counts are exact
+    integers; the two ratios ulp-collapse at DECIMAL(18,9).
+    """
+    seg = bpe_segment(docs, bpe_merges(docs))
+    per_word = seg.select(
+        "word",
+        F.size(F.split("segmented", " ")).cast("long").alias("n_sub"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    wl = (
+        docs.select("lang", F.explode(_toks()).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        wl.join(F.broadcast(per_word), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_sub")).alias("n_tokens"),
+            F.sum(F.col("c") * F.col("n_chars")).alias("n_chars"),
+        )
+        .selectExpr(
+            "lang",
+            "CAST(n_words AS BIGINT) AS n_words",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "CAST(n_chars AS BIGINT) AS n_chars",
+            "CAST(CAST(CAST(n_tokens AS DOUBLE) / n_words"
+            " AS DECIMAL(18,9)) AS DOUBLE) AS fertility",
+            "CAST(CAST(CAST(n_chars AS DOUBLE) / n_tokens"
+            " AS DECIMAL(18,9)) AS DOUBLE) AS chars_per_token",
+        )
+    )
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenizer_fertility(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["tokenizer_fertility"] = q_tokenizer_fertility
+
+
+def _fertility_oracle(k: int = VOCAB_K, n_merges: int = N_MERGES) -> str:
+    ctes = ",\n".join(_bpe_ctes(k, n_merges))
+    seq0 = (
+        "' ' || array_to_string(list_transform("
+        "generate_series(1, strlen(word)), i -> substr(word, i, 1)), ' ')"
+        f" || ' {EOW} '"
+    )
+    expr = seq0
+    for i in range(1, n_merges + 1):
+        expr = (
+            f"replace({expr}, "
+            f"(SELECT ' ' || lhs || ' ' || rhs || ' ' FROM m{i}), "
+            f"(SELECT ' ' || lhs || rhs || ' ' FROM m{i}))"
+        )
+    return f"""WITH {ctes},
+wall AS (
+  SELECT DISTINCT t AS word
+  FROM (SELECT UNNEST({_TOKS}) AS t FROM documents)
+),
+segmap AS (
+  SELECT word,
+         CAST(len(string_split(trim({expr}), ' ')) AS BIGINT) AS n_sub,
+         CAST(strlen(word) AS BIGINT) AS n_chars
+  FROM wall
+),
+wl AS (
+  SELECT lang, t AS word, COUNT(*) AS c
+  FROM (SELECT lang, UNNEST({_TOKS}) AS t FROM documents)
+  GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(SUM(c * n_sub) AS BIGINT) AS n_tokens,
+       CAST(SUM(c * n_chars) AS BIGINT) AS n_chars,
+       CAST(CAST(CAST(SUM(c * n_sub) AS DOUBLE) / SUM(c)
+            AS DECIMAL(18,9)) AS DOUBLE) AS fertility,
+       CAST(CAST(CAST(SUM(c * n_chars) AS DOUBLE) / SUM(c * n_sub)
+            AS DECIMAL(18,9)) AS DOUBLE) AS chars_per_token
+FROM wl JOIN segmap USING (word)
+GROUP BY lang
+"""
+
+
+ORACLES["tokenizer_fertility"] = _fertility_oracle()

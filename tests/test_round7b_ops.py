@@ -363,3 +363,103 @@ def test_padding_waste_sorted_beats_arrival(spark):
     # sorted: batch of four 2s + batch of four 10s -> no padding
     assert out["length_sorted"].padded_tokens == 48
     assert out["length_sorted"].waste_frac == 0.0
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_fertility_bounds_and_totals(spark):
+    from opc_ua_data_pipeline_spark.operators.tokenizer import (
+        bpe_merges,
+        bpe_segment,
+        tokenizer_fertility,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "aa ab aa ab aa", "en", "s"),
+            (2, "xyz xyz qrs", "de", "s"),
+        ],
+    )
+    out = {r.lang: r for r in tokenizer_fertility(docs).collect()}
+    assert out["en"].n_words == 5 and out["de"].n_words == 3
+    # chars are pre-segmentation word lengths
+    assert out["en"].n_chars == 10 and out["de"].n_chars == 9
+    # fertility is tokens/word and consistent with the segment map
+    seg = {
+        r.word: len(r.segmented.split(" "))
+        for r in bpe_segment(docs, bpe_merges(docs)).collect()
+    }
+    exp_en = (3 * seg["aa"] + 2 * seg["ab"]) / 5
+    assert out["en"].fertility == pytest.approx(exp_en, abs=1e-9)
+    assert out["en"].n_tokens == 3 * seg["aa"] + 2 * seg["ab"]
+
+
+# ---------------------------------------------------------------------------
+# hard_negative_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_label_and_margin(spark):
+    from opc_ua_data_pipeline_spark.operators.similarity import (
+        hard_negative_pairs,
+    )
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=0),   # query
+        Row(vec_id=1, embedding=[0.9, 0.1], label=0),   # positive
+        Row(vec_id=2, embedding=[1.0, 0.01], label=1),  # HARD negative
+        Row(vec_id=3, embedding=[0.0, 1.0], label=1),   # easy negative
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negative_pairs(
+        emb.filter(F.col("vec_id") == 0), emb, k=5
+    ).collect()
+    by_c = {r.c_id: r for r in out}
+    assert set(by_c) == {2, 3}  # only different-label vectors
+    assert by_c[2].rank == 1 and by_c[2].hard is True
+    assert by_c[3].hard is False
+    assert all(r.pos_score == by_c[2].pos_score for r in out)
+
+
+# ---------------------------------------------------------------------------
+# query_likelihood_topk
+# ---------------------------------------------------------------------------
+
+
+def test_query_likelihood_closed_form(spark):
+    import math as _m
+
+    from opc_ua_data_pipeline_spark.operators.retrieval import (
+        QL_MU,
+        query_likelihood_topk,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spark spark hash", "en", "s"),
+            (2, "spark other words here", "en", "s"),
+            (3, "nothing relevant at all", "en", "s"),
+        ],
+    )
+    out = {r.doc_id: r for r in query_likelihood_topk(docs).collect()}
+    assert 3 not in out  # no query term -> not ranked
+    assert out[1].rank == 1  # doc 1 dominates on both matched terms
+    # closed form for doc 1: tf spark=2, hash=1, merge=0; dl=3
+    c_len = 3 + 4 + 4
+    cf = {"spark": 3, "hash": 1, "merge": 0}
+    # 'merge' is out-of-collection (cf = 0): it must contribute 0,
+    # not ln(0)
+    score = sum(
+        _m.log(
+            (tf + QL_MU * (cf[t] / c_len)) / (3 + QL_MU)
+        )
+        for t, tf in (("spark", 2.0), ("hash", 1.0))
+    )
+    assert out[1].score == pytest.approx(score, abs=1e-8)
