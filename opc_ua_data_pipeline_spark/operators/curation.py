@@ -1134,17 +1134,21 @@ def classifier_calibration(
     combinable groupBy on a <= nbins key space — scan-bound at any
     scale.
     """
-    return (
-        _cal_binned(docs, pos_lang, nbins)
-        .selectExpr(
-            "bin",
-            "n_docs",
-            "CAST(npos AS BIGINT) AS n_pos",
-            "CAST(CAST(CAST(ssum AS DOUBLE) / n_docs AS DECIMAL(18,9))"
-            " AS DOUBLE) AS mean_score",
-            "CAST(CAST(CAST(npos AS DOUBLE) / n_docs AS DECIMAL(18,9))"
-            " AS DOUBLE) AS frac_pos",
-        )
+    return calibration_finalize(_cal_binned(docs, pos_lang, nbins))
+
+
+def calibration_finalize(per_bin: DataFrame) -> DataFrame:
+    """Finalize per-bin partials (bin, n_docs, npos, ssum) into the
+    calibration rows — shared by the batch operator and the streaming
+    twin (the partials are sums, hence mergeable across batches)."""
+    return per_bin.selectExpr(
+        "bin",
+        "n_docs",
+        "CAST(npos AS BIGINT) AS n_pos",
+        "CAST(CAST(CAST(ssum AS DOUBLE) / n_docs AS DECIMAL(18,9))"
+        " AS DOUBLE) AS mean_score",
+        "CAST(CAST(CAST(npos AS DOUBLE) / n_docs AS DECIMAL(18,9))"
+        " AS DOUBLE) AS frac_pos",
     )
 
 

@@ -170,3 +170,37 @@ def start_corpus_ingest(
         .outputMode("append")
         .start()
     )
+
+
+def streaming_calibration_partials(docs_stream: DataFrame) -> DataFrame:
+    """Running per-bin calibration partials over a document stream:
+    the same (bin, n_docs, npos, ssum) state operators/curation.py's
+    ``_cal_binned`` computes in batch, as an unwindowed streaming
+    aggregation (counts and DECIMAL sums — mergeable, so update mode
+    maintains them exactly; finalize with
+    ``curation.calibration_finalize`` to get the reliability rows).
+
+    State is bounded by CAL_BINS rows FOREVER — the ideal streaming
+    aggregate: no watermark needed, no state growth, every batch
+    folds in map-side-combined partials.
+    """
+    from ..operators.curation import CAL_BINS, quality_score_col
+
+    base = docs_stream.select(
+        quality_score_col().alias("s"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    ).filter(F.col("s").isNotNull())
+    return (
+        base.selectExpr(
+            f"LEAST(CAST(FLOOR(CAST(s AS DECIMAL(18,9)) * {CAL_BINS})"
+            f" AS INT), {CAL_BINS - 1}) AS bin",
+            "CAST(s AS DECIMAL(18,9)) AS sd",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").alias("npos"),
+            F.sum("sd").alias("ssum"),
+        )
+    )

@@ -139,3 +139,56 @@ def test_corpus_ingest_end_to_end_and_restart(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert again == want
+
+
+def test_streaming_calibration_matches_batch(spark, tmp_path):
+    from opc_ua_data_pipeline_spark.operators.curation import (
+        calibration_finalize,
+        classifier_calibration,
+    )
+    from opc_ua_data_pipeline_spark.streaming.curation import (
+        streaming_calibration_partials,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    want = {
+        r["bin"]: (r["n_docs"], r["n_pos"], r["mean_score"], r["frac_pos"])
+        for r in classifier_calibration(docs).collect()
+    }
+
+    rows = docs.orderBy("doc_id").collect()
+    d = tmp_path / "replay_cal"
+    d.mkdir()
+    mid = len(rows) // 2
+    for i, chunk in enumerate([rows[:mid], rows[mid:]]):
+        spark.createDataFrame(chunk, docs.schema).coalesce(1).write.parquet(
+            str(d / f"c{i}")
+        )
+    for i, f in enumerate(sorted(glob.glob(str(d / "c*" / "part-*.parquet")))):
+        os.rename(f, str(d / f"{i:02d}.parquet"))
+    for i, f in enumerate(sorted(glob.glob(str(d / "*.parquet")))):
+        os.utime(f, (1700000000 + i * 60, 1700000000 + i * 60))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        streaming_calibration_partials(stream)
+        .writeStream.format("memory")
+        .queryName("cal_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["bin"]: (r["n_docs"], r["n_pos"], r["mean_score"], r["frac_pos"])
+        for r in calibration_finalize(
+            spark.table("cal_stream")
+        ).collect()
+    }
+    assert got == want
