@@ -165,6 +165,8 @@ _PRIORITY = [
     "tokenizer_fertility",
     "hard_negative_pairs",
     "query_likelihood_topk",
+    "local_clustering",
+    "degree_assortativity",
     # (d) reference-surface + rotation re-checks
     "latest_value",
     "latest_per_metric",

@@ -130,6 +130,22 @@ HEADLINE = [
     "classifier_auc",        # rank-sum AUC on the score spine
     "quantile_normalized_scores",  # two-rank global quantile remap
     "metric_operator_chi2",  # full-grid chi-square + Cramér's V
+    # round-7b additions:
+    "winnow_fingerprints",   # sampled k-gram index, per-doc window
+    "winnow_overlap_pairs",  # guaranteed-sampled candidate pairs
+    "multiset_containment_pairs",  # weighted containment verify
+    "classifier_calibration",  # exact reliability bins
+    "brier_decomposition",   # Murphy split over the bins
+    "zipf_slope",            # rank-frequency OLS on the term table
+    "event_burstiness",      # Fano factor over minute buckets
+    "kmeans_silhouette",     # O(n*k) centroid silhouette
+    "k_anonymity_audit",     # QI equivalence-class histogram
+    "padding_waste_report",  # two distwindow global ranks
+    "tokenizer_fertility",   # BPE fertility per language
+    "hard_negative_pairs",   # label-aware broadcast top-k
+    "query_likelihood_topk", # Dirichlet LM ranking
+    "local_clustering",      # per-node triangle drill-down
+    "degree_assortativity",  # degree-moment Pearson over edges
 ]
 
 

@@ -723,3 +723,206 @@ SELECT antecedent, consequent, n_both, support, confidence, lift,
 FROM scored
 QUALIFY rank <= {ASSOC_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-node clustering coefficient + degree assortativity (round 7b)
+# ---------------------------------------------------------------------------
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient ``2*T(x) / (d(d-1))``
+    (Watts & Strogatz): how close each vertex's neighborhood is to a
+    clique — the node-level drill-down of triangle_stats'
+    global_clustering, and the standard community-structure signal
+    per product/document in the co-purchase / near-dup graphs.
+
+    Same degree-ordered orientation as triangle_stats (out-degree
+    O(sqrt(m)), hub-skew-proof); the one extra step is exploding each
+    closed triangle to its THREE member nodes before the per-node
+    count — still equi-joins and aggregates only.  NULL coefficient
+    for degree-1 vertices (no wedge to close).
+    """
+    u0, v0 = edges.columns[:2]
+    e = edges.select(
+        F.col(u0).alias("u"), F.col(v0).alias("v")
+    ).localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ranked = e.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    a = oriented.alias("a")
+    b = oriented.alias("b")
+    wedge_pairs = a.join(
+        b,
+        (F.col("a.src") == F.col("b.src"))
+        & (F.col("a.dst") < F.col("b.dst")),
+    ).select(
+        F.col("a.src").alias("ctr"),
+        F.least("a.dst", "b.dst").alias("wu"),
+        F.greatest("a.dst", "b.dst").alias("wv"),
+    )
+    closed = wedge_pairs.join(
+        e, (F.col("wu") == F.col("u")) & (F.col("wv") == F.col("v"))
+    ).select("ctr", "wu", "wv")
+    per_node = (
+        closed.select(
+            F.explode(F.array("ctr", "wu", "wv")).alias("x")
+        )
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(per_node, "x", "left")
+        .selectExpr(
+            "x AS node",
+            "CAST(d AS BIGINT) AS degree",
+            "CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles",
+            "CAST(CAST(try_divide(2.0 * COALESCE(t, 0),"
+            " CAST(d * (d - 1) AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)"
+            " AS clustering_coeff",
+        )
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Newman's degree assortativity: the Pearson correlation of
+    endpoint degrees over all DIRECTED edge slots (each undirected
+    edge counted in both orientations) — one number saying whether
+    hubs attach to hubs (r > 0) or to leaves (r < 0), the structural
+    summary that decides if the skew defenses (salting, degree
+    orientation) will be exercised at scale.
+
+    Exactness: degrees are integers, the five moments accumulate in
+    DECIMAL(38,0) over the 2m directed slots, and r is one double
+    expression over the exact moments, ulp-collapsed.
+    """
+    u0, v0 = edges.columns[:2]
+    e = edges.select(
+        F.col(u0).alias("u"), F.col(v0).alias("v")
+    ).localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    directed = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    dx = deg.select(F.col("x").alias("u"), F.col("d").alias("jd"))
+    dy = deg.select(F.col("x").alias("v"), F.col("d").alias("kd"))
+    m = (
+        directed.join(dx, "u")
+        .join(dy, "v")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("jd").cast("decimal(38,0)")).alias("sj"),
+            F.sum(F.col("kd").cast("decimal(38,0)")).alias("sk"),
+            F.sum(
+                (F.col("jd") * F.col("kd")).cast("decimal(38,0)")
+            ).alias("sjk"),
+            F.sum(
+                (F.col("jd") * F.col("jd")).cast("decimal(38,0)")
+            ).alias("sjj"),
+            F.sum(
+                (F.col("kd") * F.col("kd")).cast("decimal(38,0)")
+            ).alias("skk"),
+        )
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_edge_slots",
+        "CAST(CAST(try_divide("
+        "CAST(n * sjk - sj * sk AS DOUBLE),"
+        "sqrt(CAST(n * sjj - sj * sj AS DOUBLE))"
+        " * sqrt(CAST(n * skk - sk * sk AS DOUBLE)))"
+        " AS DECIMAL(18,9)) AS DOUBLE) AS assortativity",
+    )
+
+
+def q_local_clustering(spark, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return local_clustering(copurchase_edges(li, COPURCHASE_MIN_SUPPORT))
+
+
+def q_degree_assortativity(spark, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return degree_assortativity(copurchase_edges(li, COPURCHASE_MIN_SUPPORT))
+
+
+QUERIES["local_clustering"] = q_local_clustering
+QUERIES["degree_assortativity"] = q_degree_assortativity
+
+ORACLES["local_clustering"] = f"""
+WITH edges AS ({_COPURCHASE_EDGES_SQL}),
+deg AS (
+  SELECT x, COUNT(*) AS d
+  FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY x
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tpn AS (
+  SELECT x, COUNT(*) AS t
+  FROM (SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY 1
+)
+SELECT deg.x AS node,
+       CAST(d AS BIGINT) AS degree,
+       CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+       CAST(CAST(2.0 * COALESCE(t, 0)
+            / NULLIF(CAST(d * (d - 1) AS DOUBLE), 0)
+            AS DECIMAL(18,9)) AS DOUBLE) AS clustering_coeff
+FROM deg LEFT JOIN tpn ON deg.x = tpn.x
+"""
+
+ORACLES["degree_assortativity"] = f"""
+WITH edges AS ({_COPURCHASE_EDGES_SQL}),
+deg AS (
+  SELECT x, COUNT(*) AS d
+  FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY x
+),
+directed AS (
+  SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(dj.d AS DECIMAL(38,0))) AS sj,
+         SUM(CAST(dk.d AS DECIMAL(38,0))) AS sk,
+         SUM(CAST(dj.d * dk.d AS DECIMAL(38,0))) AS sjk,
+         SUM(CAST(dj.d * dj.d AS DECIMAL(38,0))) AS sjj,
+         SUM(CAST(dk.d * dk.d AS DECIMAL(38,0))) AS skk
+  FROM directed e
+  JOIN deg dj ON dj.x = e.u
+  JOIN deg dk ON dk.x = e.v
+)
+SELECT CAST(n AS BIGINT) AS n_edge_slots,
+       CAST(CAST(
+         CAST(n * sjk - sj * sk AS DOUBLE)
+         / NULLIF(sqrt(CAST(n * sjj - sj * sj AS DOUBLE))
+                  * sqrt(CAST(n * skk - sk * sk AS DOUBLE)), 0)
+         AS DECIMAL(18,9)) AS DOUBLE) AS assortativity
+FROM m
+"""

@@ -463,3 +463,41 @@ def test_query_likelihood_closed_form(spark):
         for t, tf in (("spark", 2.0), ("hash", 1.0))
     )
     assert out[1].score == pytest.approx(score, abs=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# local clustering + assortativity
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [Row(u=a, v=b) for a, b in pairs], "u long, v long"
+    )
+
+
+def test_local_clustering_closed_form(spark):
+    from opc_ua_data_pipeline_spark.operators.graph import local_clustering
+
+    # triangle 1-2-3 plus pendant 4 attached to 1
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (1, 4)])
+    out = {r.node: r for r in local_clustering(e).collect()}
+    assert out[1].degree == 3 and out[1].n_triangles == 1
+    # node 1: 1 triangle / C(3,2)=3 wedges -> 2*1/(3*2) = 1/3
+    assert out[1].clustering_coeff == pytest.approx(1 / 3, abs=1e-9)
+    assert out[2].clustering_coeff == 1.0
+    assert out[3].clustering_coeff == 1.0
+    # degree-1 vertex: undefined
+    assert out[4].n_triangles == 0 and out[4].clustering_coeff is None
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    from opc_ua_data_pipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # star K_{1,4}: perfectly disassortative, r = -1
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (1, 5)])
+    r = degree_assortativity(e).collect()[0]
+    assert r.n_edge_slots == 8
+    assert r.assortativity == pytest.approx(-1.0, abs=1e-9)
