@@ -85,6 +85,8 @@ RANGE_PARTS = 64
 #: only balance the buckets, they never affect correctness, so a
 #: coarse (cheap) sketch is plenty.
 _PCT_ACCURACY = 1000
+#: fraction of rows feeding the cutpoint sketch (the balance sample)
+_CUT_SAMPLE_FRAC = 0.02
 
 _PID = "_dw_pid"
 _LRN = "_dw_lrn"
@@ -149,12 +151,25 @@ def deterministic_bucket_id(
     if probe is None:
         return None
     qs = [i / parts for i in range(1, parts)]
-    row = df.select(
-        F.percentile_approx(
-            probe(F.col(name)), F.lit(qs), F.lit(_PCT_ACCURACY)
-        ).alias("q")
-    ).first()
-    cuts = sorted({v for v in (row["q"] or []) if v is not None})
+
+    def _cuts_of(frame: DataFrame) -> list:
+        row = frame.select(
+            F.percentile_approx(
+                probe(F.col(name)), F.lit(qs), F.lit(_PCT_ACCURACY)
+            ).alias("q")
+        ).first()
+        return sorted({v for v in (row["q"] or []) if v is not None})
+
+    # Sketch over a sample, Spark-RangePartitioner-style: cutpoint
+    # QUALITY only affects bucket balance, never correctness (any
+    # monotone bucket function is valid), and the per-row sketch
+    # update — not the scan — dominated the full pass (measured ~5x
+    # a min/max agg at sf0.1).  A thin sample that yields too few
+    # distinct cuts (tiny input, heavy ties) falls back to the full
+    # scan, which is cheap exactly there.
+    cuts = _cuts_of(df.sample(fraction=_CUT_SAMPLE_FRAC, seed=7))
+    if len(cuts) < max(parts // 4, 1):
+        cuts = _cuts_of(df)
     if not cuts:
         # empty / all-NULL / single-value input: one bucket
         return F.lit(0)
