@@ -691,7 +691,7 @@ def quantile_normalize_scores(docs: DataFrame) -> DataFrame:
     (deterministic buckets, no per-source or global sort task); the
     rank join shuffles on uniform integers.
     """
-    from .distwindow import keyed_running_totals
+    from .distwindow import keyed_running_totals, sample_cutpoints
 
     scored = docs.select(
         "doc_id", "source", quality_score_col().alias("quality_score")
@@ -704,12 +704,16 @@ def quantile_normalize_scores(docs: DataFrame) -> DataFrame:
     # distwindow — and measured 3.8 s -> ~1.5 s warm at sf0.1.  At
     # cluster scale, persist() is the executor-loss-tolerant form.
     scored = scored.localCheckpoint(eager=True)
+    # one cutpoint-sketch job shared by BOTH rank passes (they order
+    # by the same column over the same frame)
+    cuts = sample_cutpoints(scored, ["quality_score"]).get("quality_score")
     per_src = keyed_running_totals(
         scored,
         ["source"],
         ["quality_score", "doc_id"],
         rank_col="_rs",
         n_col="_ns",
+        cuts=cuts,
     )
     glob = keyed_running_totals(
         scored,
@@ -717,6 +721,7 @@ def quantile_normalize_scores(docs: DataFrame) -> DataFrame:
         ["quality_score", "doc_id"],
         rank_col="_rg",
         n_col="_n",
+        cuts=cuts,
     )
     # integer target rank: 1 + ((rs-1)*(N-1)) DIV (ns-1) — DECIMAL(38,0)
     # product (past int64 at 10^10 rows), integral DIV (== floor on

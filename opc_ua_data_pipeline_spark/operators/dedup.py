@@ -1606,7 +1606,13 @@ def winnow_overlap_pairs(
     the fifth candidate-generation family (after LSH bands, CDC
     chunks, sorted neighborhood, and the exact prefix filter), and
     the one whose index is guaranteed-sampled rather than hashed:
-    two docs sharing any >= w+k-1-token run MUST collide here.
+    two docs sharing a >= w+k-1-token run select at least one common
+    fingerprint from it (the winnowing guarantee).  The guarantee
+    carries into the PAIR list only when that fingerprint's posting
+    stays under WINNOW_MAX_POSTING (stop-fingerprints are dropped
+    whole, so boilerplate runs shared by many docs don't pair) and
+    the pair clears the WINNOW_MIN_SHARED gate — both deliberate
+    scale trades, same as cdc_neardup_pairs' stop-chunk cap.
 
     Same bounded pair algebra as :func:`cdc_neardup_pairs`: posting
     lists per fingerprint, stop-fingerprints (> WINNOW_MAX_POSTING

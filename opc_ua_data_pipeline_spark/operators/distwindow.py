@@ -133,43 +133,84 @@ def _probe(dtype: str):
     return None
 
 
-def deterministic_bucket_id(
-    df: DataFrame, first_order: tuple[str, bool], parts: int
-) -> Column | None:
-    """Bucket-id column for the two-pass rank: ``#cutpoints passed``
-    along the order direction, from cutpoints sampled ONCE driver-side.
+#: Minimum SAMPLED row count for the thin cutpoint sketch to be
+#: trusted.  Below it (input smaller than ~_MIN_SAMPLE_ROWS /
+#: _CUT_SAMPLE_FRAC rows) the full scan is both cheap and exact, so
+#: fall back.  Above it, the sampled cuts are accepted AS-IS even when
+#: heavy ties yield few distinct cuts: the full data could not produce
+#: more cuts either (the tie values dominate every quantile), so the
+#: round-7 distinct-cut-count gate paid a permanent sketch + full-scan
+#: DOUBLE pass for exactly that input shape, with no size bound.
+_MIN_SAMPLE_ROWS = 512
 
-    Returns None when the first order column's type has no numeric
-    probe; callers fall back to the materialized
-    ``spark_partition_id`` form.  NULL order values coalesce to the
-    first bucket of the order direction (Spark's ASC NULLS FIRST /
-    DESC NULLS LAST window default), keeping monotonicity.
+
+def sample_cutpoints(
+    df: DataFrame, order_by: list, parts: int = RANGE_PARTS
+) -> dict:
+    """Bucket-id cutpoints for SEVERAL order columns in ONE Spark job.
+
+    ``order_by`` entries are column names or ``(name, ascending)``
+    tuples (direction is ignored here — cutpoints are
+    direction-independent; only the bucket-id comparison flips).
+    Returns ``{column_name: sorted cutpoint list}``; columns whose
+    dtype has no numeric probe are omitted (callers fall back to the
+    materialized-pid form for those).
+
+    Operators that run multiple rank passes over the SAME frame
+    (quantile_normalize_scores: two; rfm_segments: three axes) pay
+    the cutpoint-sketch job once per pass if each
+    :func:`keyed_running_totals` call samples on its own; computing
+    every axis's cutpoints in one aggregate and passing them through
+    ``cuts=`` collapses those driver-triggered jobs into one.
     """
-    name, asc = first_order
-    dtype = dict(df.dtypes).get(name)
-    probe = _probe(dtype) if dtype else None
-    if probe is None:
-        return None
+    names = []
+    probes = {}
+    for name, _asc in _specs(order_by):
+        dtype = dict(df.dtypes).get(name)
+        probe = _probe(dtype) if dtype else None
+        if probe is not None and name not in probes:
+            names.append(name)
+            probes[name] = probe
+    if not names:
+        return {}
     qs = [i / parts for i in range(1, parts)]
 
-    def _cuts_of(frame: DataFrame) -> list:
+    def _cuts_of(frame: DataFrame) -> tuple[dict, int]:
         row = frame.select(
-            F.percentile_approx(
-                probe(F.col(name)), F.lit(qs), F.lit(_PCT_ACCURACY)
-            ).alias("q")
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.percentile_approx(
+                    probes[n](F.col(n)), F.lit(qs), F.lit(_PCT_ACCURACY)
+                ).alias(f"_q_{i}")
+                for i, n in enumerate(names)
+            ],
         ).first()
-        return sorted({v for v in (row["q"] or []) if v is not None})
+        out = {
+            n: sorted({v for v in (row[f"_q_{i}"] or []) if v is not None})
+            for i, n in enumerate(names)
+        }
+        return out, row["_n"]
 
     # Sketch over a sample, Spark-RangePartitioner-style: cutpoint
     # QUALITY only affects bucket balance, never correctness (any
     # monotone bucket function is valid), and the per-row sketch
     # update — not the scan — dominated the full pass (measured ~5x
-    # a min/max agg at sf0.1).  A thin sample that yields too few
-    # distinct cuts (tiny input, heavy ties) falls back to the full
-    # scan, which is cheap exactly there.
-    cuts = _cuts_of(df.sample(fraction=_CUT_SAMPLE_FRAC, seed=7))
-    if len(cuts) < max(parts // 4, 1):
-        cuts = _cuts_of(df)
+    # a min/max agg at sf0.1).  Tiny inputs (too few sampled rows for
+    # the sketch to be representative) fall back to the full scan,
+    # which is cheap exactly there.
+    cuts, n_sampled = _cuts_of(df.sample(fraction=_CUT_SAMPLE_FRAC, seed=7))
+    if n_sampled < _MIN_SAMPLE_ROWS:
+        cuts, _ = _cuts_of(df)
+    return cuts
+
+
+def bucket_id_from_cuts(
+    name: str, asc: bool, probe, cuts: list
+) -> Column:
+    """Pure-column bucket id = ``#cutpoints passed`` along the order
+    direction.  NULL order values coalesce to the first bucket of the
+    order direction (Spark's ASC NULLS FIRST / DESC NULLS LAST window
+    default), keeping monotonicity."""
     if not cuts:
         # empty / all-NULL / single-value input: one bucket
         return F.lit(0)
@@ -183,14 +224,41 @@ def deterministic_bucket_id(
     return F.coalesce(reduce(lambda a, b: a + b, terms), F.lit(null_bucket))
 
 
+def deterministic_bucket_id(
+    df: DataFrame,
+    first_order: tuple[str, bool],
+    parts: int,
+    cuts: list | None = None,
+) -> Column | None:
+    """Bucket-id column for the two-pass rank, from cutpoints sampled
+    ONCE driver-side (or supplied precomputed via ``cuts`` — see
+    :func:`sample_cutpoints`).
+
+    Returns None when the first order column's type has no numeric
+    probe; callers fall back to the materialized
+    ``spark_partition_id`` form.
+    """
+    name, asc = first_order
+    dtype = dict(df.dtypes).get(name)
+    probe = _probe(dtype) if dtype else None
+    if probe is None:
+        return None
+    if cuts is None:
+        cuts = sample_cutpoints(df, [(name, asc)], parts).get(name, [])
+    return bucket_id_from_cuts(name, asc, probe, cuts)
+
+
 def _attach_pid(
-    df: DataFrame, first_order: tuple[str, bool], parts: int
+    df: DataFrame,
+    first_order: tuple[str, bool],
+    parts: int,
+    cuts: list | None = None,
 ) -> DataFrame:
     """``df`` + the deterministic ``_dw_pid`` bucket column; falls
     back to the round-6 materialized spark_partition_id form (range
     shuffle + localCheckpoint — correct, just more expensive) for
     order types without a quantile probe."""
-    bucket = deterministic_bucket_id(df, first_order, parts)
+    bucket = deterministic_bucket_id(df, first_order, parts, cuts)
     if bucket is not None:
         return df.withColumn(_PID, bucket)
     name, asc = first_order
@@ -244,15 +312,18 @@ def attach_keyed_row_number(
     order_cols: list[str],
     range_parts: int = RANGE_PARTS,
     rn_col: str = "_rn",
+    cuts: list | None = None,
 ) -> DataFrame:
     """``df`` + a global per-key row number, with NO per-key sort task.
 
     ``order_cols`` must totalize the order within a key (include a
     unique id) so the numbering — and everything built on it — is
     deterministic.  ``key_cols=[]`` gives a GLOBAL row number (still
-    no single-task sort anywhere).
+    no single-task sort anywhere).  ``cuts``: precomputed bucket
+    cutpoints for ``order_cols[0]`` (see :func:`sample_cutpoints`) —
+    skips the per-call sketch job.
     """
-    base = _attach_pid(df, (order_cols[0], True), range_parts)
+    base = _attach_pid(df, (order_cols[0], True), range_parts, cuts)
     w_local = Window.partitionBy(*key_cols, _PID).orderBy(*order_cols)
     local = base.withColumn(_LRN, F.row_number().over(w_local))
     # tiny table: #keys x range_parts rows
@@ -326,6 +397,7 @@ def bounded_frame_apply(
     exprs: dict[str, Callable[[WindowSpec], Column]],
     bucket_rows: int = BUCKET_ROWS,
     range_parts: int = RANGE_PARTS,
+    cuts: list | None = None,
 ) -> DataFrame:
     """Evaluate bounded-frame window expressions per key, de-skewed.
 
@@ -343,7 +415,9 @@ def bounded_frame_apply(
             f"bucket_rows={bucket_rows} must cover the frame extent "
             f"(before={before}, after={after})"
         )
-    base = attach_keyed_row_number(df, key_cols, order_cols, range_parts)
+    base = attach_keyed_row_number(
+        df, key_cols, order_cols, range_parts, cuts=cuts
+    )
     unioned = _explode_bucket_assignments(base, bucket_rows, before, after)
     w = (
         Window.partitionBy(*key_cols, _BKT)
@@ -365,6 +439,7 @@ def trailing_frame_sums(
     count_col: str = "n_prev",
     bucket_rows: int = BUCKET_ROWS,
     range_parts: int = RANGE_PARTS,
+    cuts: list | None = None,
 ) -> DataFrame:
     """Trailing rows-frame (-n_prev .. -1) COUNT(*) and SUMs in
     O(1)/row — the prefix-difference form of
@@ -390,7 +465,9 @@ def trailing_frame_sums(
         raise ValueError(
             f"bucket_rows={bucket_rows} must cover n_prev={n_prev}"
         )
-    base = attach_keyed_row_number(df, key_cols, order_cols, range_parts)
+    base = attach_keyed_row_number(
+        df, key_cols, order_cols, range_parts, cuts=cuts
+    )
     unioned = _explode_bucket_assignments(base, bucket_rows, before, 0)
     wp = Window.partitionBy(*key_cols, _BKT).orderBy("_rn")
     wcum = wp.rowsBetween(Window.unboundedPreceding, 0)
@@ -428,6 +505,7 @@ def keyed_running_totals(
     range_parts: int = RANGE_PARTS,
     rank_col: str = "_rank",
     n_col: str = "_n",
+    cuts: list | None = None,
 ) -> DataFrame:
     """Per-key rank + inclusive running totals with NO per-key sort.
 
@@ -449,7 +527,7 @@ def keyed_running_totals(
     weights = weights or {}
     specs = _specs(order_by)
     order_exprs = _order_cols(specs)
-    base = _attach_pid(df, specs[0], range_parts)
+    base = _attach_pid(df, specs[0], range_parts, cuts)
     w_local = (
         Window.partitionBy(*key_cols, _PID)
         .orderBy(*order_exprs)
@@ -516,6 +594,7 @@ def keyed_prefix_last(
     value_col: str,
     out_col: str,
     range_parts: int = RANGE_PARTS,
+    cuts: list | None = None,
 ) -> DataFrame:
     """Per-key running LAST(value IGNORE NULLS) — LOCF/latch semantics
     — with no per-key sort.
@@ -530,7 +609,7 @@ def keyed_prefix_last(
     ignores — prefixed per key with a last(ignorenulls) over bucket
     ids and broadcast back.
     """
-    base = _attach_pid(df, (order_cols[0], True), range_parts)
+    base = _attach_pid(df, (order_cols[0], True), range_parts, cuts)
     w_local = (
         Window.partitionBy(*key_cols, _PID)
         .orderBy(*order_cols)

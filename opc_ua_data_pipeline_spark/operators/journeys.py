@@ -214,7 +214,11 @@ RFM_BUCKETS = 5
 
 
 def rfm_segments(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
-    from .distwindow import keyed_running_totals, ntile_expr
+    from .distwindow import (
+        keyed_running_totals,
+        ntile_expr,
+        sample_cutpoints,
+    )
 
     dec = F.col("value").cast("decimal(28,6)")
     per_user = (
@@ -239,12 +243,19 @@ def rfm_segments(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
     # would otherwise re-run the fact-table groupBy ~9x.  Narrow,
     # user-table-sized — persist() at cluster scale.
     per_user = per_user.localCheckpoint(eager=True)
+    # all three axes' bucket cutpoints in ONE sketch job (round-8:
+    # sample_cutpoints amortizes the per-rank-pass driver job — this
+    # operator paid it three times)
+    cuts = sample_cutpoints(
+        per_user, ["recency_days", "frequency", "_mon"]
+    )
     t = keyed_running_totals(
         per_user,
         [],
         ["recency_days", "user_id"],
         rank_col="_r_rank",
         n_col="_r_n",
+        cuts=cuts.get("recency_days"),
     )
     t = keyed_running_totals(
         t,
@@ -252,6 +263,7 @@ def rfm_segments(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
         [("frequency", False), "user_id"],
         rank_col="_f_rank",
         n_col="_f_n",
+        cuts=cuts.get("frequency"),
     )
     t = keyed_running_totals(
         t,
@@ -259,6 +271,7 @@ def rfm_segments(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
         [("_mon", False), "user_id"],
         rank_col="_m_rank",
         n_col="_m_n",
+        cuts=cuts.get("_mon"),
     )
     r_q = ntile_expr(F.col("_r_rank"), F.col("_r_n"), buckets)
     f_q = ntile_expr(F.col("_f_rank"), F.col("_f_n"), buckets)

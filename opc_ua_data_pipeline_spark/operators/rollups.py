@@ -382,6 +382,132 @@ def histogram_rollup_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+#: Kept points per hour partial in the rank-sampled quantile sketch:
+#: every ceil(n_h/QSK_CAP)-th value of the hour's sorted multiset
+#: (plus the max).  The deterministic rank-error envelope of any
+#: merged answer is sum_h ceil(n_h/QSK_CAP) < N/QSK_CAP + #hours —
+#: the KLL/t-digest contract shape with none of their randomness, so
+#: the whole pipeline keeps a bit-exact DuckDB oracle.
+QSK_CAP = 256
+
+
+def hour_quantile_partials(
+    events: DataFrame, cap: int = QSK_CAP
+) -> DataFrame:
+    """The mergeable ARBITRARY-quantile partial: per (event_type,
+    hour), the rank-sampled compression of the hour's sorted values —
+    kept ranks r ∈ {1, s+1, 2s+1, …} ∪ {n_h} with s = ceil(n_h/cap),
+    each carrying the exact count of ranks it closes
+    (w = r − previous kept rank, so per-hour weights sum to n_h
+    EXACTLY).  ≤ cap+1 rows per hour whatever the hour's volume.
+
+    This is the quantile sibling of :func:`hll_rollup_merge`'s minute
+    sketches and the ANY-q upgrade of the fixed-bin
+    :func:`histogram_rollup_percentiles` partial: bin edges are data
+    values, so resolution follows the data (no domain knob), and the
+    rank error of any query over merged partials is bounded by the
+    per-hour sampling strides — deterministically, unlike KLL's
+    randomized compaction (Karnin-Lang-Liberty 2016), which this
+    deliberately trades for engine-exact reproducibility.
+
+    Scale shape: the per-hour rank is distwindow.keyed_running_totals
+    — deterministic buckets, no per-(type, hour) sort task even for a
+    hot hour — and everything after the rank is a filter plus integer
+    arithmetic.  The streaming twin
+    (streaming/rollup.streaming_hour_quantile_partials) emits the
+    IDENTICAL rows per closed hour.
+    """
+    from .distwindow import keyed_running_totals
+
+    vals = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "value",
+        "event_id",
+    )
+    ranked = keyed_running_totals(
+        vals,
+        ["event_type", "h"],
+        ["value", "event_id"],
+        rank_col="r",
+        n_col="n_h",
+    )
+    s = f"CAST((n_h + {cap} - 1) DIV {cap} AS BIGINT)"
+    return (
+        ranked.withColumn("s", F.expr(s))
+        .filter(F.expr("(r - 1) % s = 0 OR r = n_h"))
+        .select(
+            "event_type",
+            "h",
+            "value",
+            F.expr(
+                "CAST(CASE WHEN r = 1 THEN 1"
+                " WHEN (r - 1) % s = 0 THEN s"
+                " ELSE (r - 1) % s END AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+
+
+def quantile_sketch_rollup(
+    events: DataFrame, cap: int = QSK_CAP
+) -> DataFrame:
+    """Mergeable-quantile hierarchical rollup: hour partials
+    (:func:`hour_quantile_partials`) merged to the day grain, then
+    p50/p95 read off the merged weighted spine — the arbitrary-q
+    percentile analog of :func:`hll_rollup_merge`.  A serving layer
+    stores the ≤ cap+1-row hour partials once and answers ANY
+    quantile at ANY coarser grain by weight summation, never
+    rescanning facts; the answer's rank error is < N/cap + #merged
+    partials (deterministic — see the partial's docstring), while n
+    itself is EXACT because the weights telescope.
+
+    Every step is integer/IEEE-deterministic, so unlike HLL the
+    estimates themselves are hash-matched by a DuckDB oracle, and the
+    error envelope is pinned separately by
+    tests/test_quantile_sketch.py.
+
+    Scale shape: one fact-table pass into partials; the day merge
+    groups ≤ 24·(cap+1) rows per (type, day) and the quantile read is
+    a window over that bounded spine — nothing downstream of the
+    first aggregate is data-proportional (histogram_rollup's plan,
+    with data-adaptive edges).
+    """
+    pts = (
+        hour_quantile_partials(events, cap)
+        .groupBy(
+            "event_type", F.to_date(F.col("h")).alias("bucket"), "value"
+        )
+        .agg(F.sum("w").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type", "bucket")
+    cum = pts.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_tot).alias("n"),
+    )
+    # same exact BIGINT rank thresholds as histogram_rollup:
+    # k_q = ceil(q*n) via (a + b - 1) div b
+    k50 = F.expr("(n + 1) DIV 2")
+    k95 = F.expr("(19 * n + 19) DIV 20")
+    return cum.groupBy("event_type", "bucket").agg(
+        F.max("n").alias("n_values"),
+        F.min(F.when(F.col("cum") >= k50, F.col("value"))).alias(
+            "p50_est"
+        ),
+        F.min(F.when(F.col("cum") >= k95, F.col("value"))).alias(
+            "p95_est"
+        ),
+    )
+
+
 def last_event_time(df: DataFrame, metric: str) -> DataFrame:
     """G5 — ungrouped MAX with COALESCE default
     (machine_dashboard.json:948 ``last_running`` CTE)."""
@@ -439,6 +565,9 @@ QUERIES = {
         load_table(spark, sf, "events")
     ),
     "histogram_rollup_percentiles": q_histogram_rollup,
+    "quantile_sketch_rollup": lambda spark, sf: quantile_sketch_rollup(
+        load_table(spark, sf, "events")
+    ),
 }
 
 ORACLES = {
@@ -495,6 +624,48 @@ SELECT event_type, bucket,
                 THEN 0.0 + bin * 4.0 END) AS p50_lo,
        MIN(CASE WHEN cum >= (19 * n + 19) // 20
                 THEN 0.0 + bin * 4.0 END) AS p95_lo
+FROM cum
+GROUP BY 1, 2
+""",
+    # the rank-sampled quantile sketch is deterministic end to end, so
+    # the oracle replays the SAME construction: per-hour ranks, kept
+    # ranks {1, s+1, …} ∪ {n_h} with exact gap weights, day merge,
+    # ceil-rank quantile read — a bit-exact hash match, not an
+    # envelope check (the envelope is pinned in pytest)
+    "quantile_sketch_rollup": f"""
+WITH v AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, value, event_id
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT event_type, h, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, h
+                            ORDER BY value, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY event_type, h) AS n_h
+  FROM v
+),
+kept AS (
+  SELECT event_type, CAST(h AS DATE) AS bucket, value,
+         CASE WHEN r = 1 THEN 1
+              WHEN (r - 1) % s = 0 THEN s
+              ELSE (r - 1) % s END AS w
+  FROM (SELECT *, (n_h + {QSK_CAP} - 1) // {QSK_CAP} AS s FROM r)
+  WHERE (r - 1) % s = 0 OR r = n_h
+),
+pts AS (
+  SELECT event_type, bucket, value, SUM(w) AS w
+  FROM kept GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT event_type, bucket, value,
+         SUM(w) OVER (PARTITION BY event_type, bucket ORDER BY value) AS cum,
+         SUM(w) OVER (PARTITION BY event_type, bucket) AS n
+  FROM pts
+)
+SELECT event_type, bucket,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       MIN(CASE WHEN cum >= (n + 1) // 2 THEN value END) AS p50_est,
+       MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN value END) AS p95_est
 FROM cum
 GROUP BY 1, 2
 """,

@@ -417,6 +417,118 @@ def lsh_recall(queries: DataFrame, corpus: DataFrame, k: int = TOP_K) -> DataFra
     )
 
 
+#: every DECON_BENCH_MOD-th vector plays the held-out benchmark/eval
+#: set in the decontamination demo (5% of the corpus); the rest is
+#: the training corpus to be scrubbed.
+DECON_BENCH_MOD = 20
+#: flag threshold — sits at the tail of the synthetic corpus's
+#: near-orthogonal cosine distribution (max pairwise ~0.51) so the
+#: audit is non-degenerate at every SF, same calibration note as
+#: NEARDUP_THRESHOLD.
+DECON_THRESHOLD = 0.3
+
+
+def _decon_sides(
+    corpus: DataFrame, bench_mod: int
+) -> tuple[DataFrame, DataFrame]:
+    bench = corpus.filter(F.col("vec_id") % bench_mod == 0).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+        sign_bucket(F.col("embedding")).alias("bucket"),
+    )
+    train = corpus.filter(F.col("vec_id") % bench_mod != 0).select(
+        F.col("vec_id").alias("t_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+        sign_bucket(F.col("embedding")).alias("bucket"),
+    )
+    return bench, train
+
+
+def embedding_decontamination(
+    corpus: DataFrame,
+    threshold: float = DECON_THRESHOLD,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> DataFrame:
+    """Embedding-space decontamination audit — the DENSE complement of
+    the token-space ``bloom_contamination`` / ``ngram_contamination``
+    gates (training.py): flag every training vector whose cosine
+    against ANY benchmark vector reaches ``threshold`` (the
+    eval-set-leakage scrub an LLM data pipeline runs before
+    training; paraphrased leaks that n-gram overlap misses are
+    exactly what the embedding space catches).
+
+    Scale shape: the benchmark set is broadcast (eval suites are
+    small by definition) and the ONLY corpus-side work is a
+    bucket-equi-join against it — the sign-LSH bucket reuses the
+    ann_lsh machinery, so the corpus never joins itself and never
+    cross-joins; per train vector the candidate set is the bucket's
+    benchmark slice.  The bucket restriction is the recall trade
+    every LSH index makes; :func:`decontam_recall` measures it
+    against the exact quadratic flags on the same corpus.
+    """
+    bench, train = _decon_sides(corpus, bench_mod)
+    return (
+        train.join(F.broadcast(bench), "bucket")
+        .select("t_id", "b_id", _pair_score().alias("score"))
+        .filter(F.col("score") >= threshold)
+        .groupBy(F.col("t_id").alias("vec_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_hits"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
+def _decon_exact_flags(
+    corpus: DataFrame, threshold: float, bench_mod: int
+) -> DataFrame:
+    """Exact (bucket-free) flag set — the quadratic verification
+    baseline, analogous to brute_force_topk vs lsh_topk."""
+    bench, train = _decon_sides(corpus, bench_mod)
+    return (
+        train.drop("bucket")
+        .crossJoin(F.broadcast(bench.drop("bucket")))
+        .select("t_id", _pair_score().alias("score"))
+        .filter(F.col("score") >= threshold)
+        .select(F.col("t_id").alias("vec_id"))
+        .distinct()
+    )
+
+
+def decontam_recall(
+    corpus: DataFrame,
+    threshold: float = DECON_THRESHOLD,
+    bench_mod: int = DECON_BENCH_MOD,
+) -> DataFrame:
+    """Recall of the LSH-bucketed decontamination against the exact
+    quadratic flags — the index-trust evaluation, sibling of
+    :func:`lsh_recall` / ``ivfpq_recall``: one row with the exact
+    flag count, how many the bucketed audit caught, and the ratio
+    (ulp-collapsed double; NULL when nothing is flagged exactly)."""
+    exact = _decon_exact_flags(corpus, threshold, bench_mod)
+    caught = exact.join(
+        embedding_decontamination(corpus, threshold, bench_mod).select(
+            "vec_id"
+        ),
+        "vec_id",
+        "left_semi",
+    )
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(caught.agg(F.count(F.lit(1)).alias("n_caught")))
+        .select(
+            "n_exact",
+            "n_caught",
+            F.expr(
+                "CAST(CAST(try_divide(CAST(n_caught AS DOUBLE),"
+                " CAST(n_exact AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)"
+            ).alias("recall"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract queries
 # ---------------------------------------------------------------------------
@@ -542,6 +654,12 @@ QUERIES = {
     "embedding_matryoshka": lambda spark, sf: normalize_embeddings(
         load_table(spark, sf, "embeddings"), prefix_dims=MATRYOSHKA_DIMS
     ),
+    "embedding_decontamination": lambda spark, sf: embedding_decontamination(
+        load_table(spark, sf, "embeddings")
+    ),
+    "decontam_recall": lambda spark, sf: decontam_recall(
+        load_table(spark, sf, "embeddings")
+    ),
 }
 
 
@@ -620,6 +738,48 @@ ORACLES = {
     ),
     "ann_ivf_topk": _topk_sql("q.label = c.label"),
     "embedding_neardup_pairs": _NEARDUP_PAIRS_SQL,
+    # the bucketed audit itself — the oracle states the SAME LSH
+    # semantics (bucket-restricted candidates), like ann_lsh_topk;
+    # the exact-vs-bucketed gap is what decontam_recall measures
+    "embedding_decontamination": f"""
+SELECT t.vec_id AS vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+       MAX({_COS_SQL.format(a="b.embedding", b="t.embedding")}) AS max_score
+FROM embeddings t JOIN embeddings b
+  ON t.vec_id % {DECON_BENCH_MOD} <> 0
+ AND b.vec_id % {DECON_BENCH_MOD} = 0
+ AND {_BUCKET_SQL.format(e="t.embedding")} = {_BUCKET_SQL.format(e="b.embedding")}
+WHERE {_COS_SQL.format(a="b.embedding", b="t.embedding")} >= {DECON_THRESHOLD}
+GROUP BY 1
+""",
+    # recall of the bucketed audit vs the EXACT quadratic flag set
+    "decontam_recall": f"""
+WITH exact AS (
+  SELECT DISTINCT t.vec_id
+  FROM embeddings t JOIN embeddings b
+    ON t.vec_id % {DECON_BENCH_MOD} <> 0
+   AND b.vec_id % {DECON_BENCH_MOD} = 0
+  WHERE {_COS_SQL.format(a="b.embedding", b="t.embedding")} >= {DECON_THRESHOLD}
+),
+bucketed AS (
+  SELECT DISTINCT t.vec_id
+  FROM embeddings t JOIN embeddings b
+    ON t.vec_id % {DECON_BENCH_MOD} <> 0
+   AND b.vec_id % {DECON_BENCH_MOD} = 0
+   AND {_BUCKET_SQL.format(e="t.embedding")} = {_BUCKET_SQL.format(e="b.embedding")}
+  WHERE {_COS_SQL.format(a="b.embedding", b="t.embedding")} >= {DECON_THRESHOLD}
+)
+SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM exact e
+             WHERE EXISTS (SELECT 1 FROM bucketed k
+                           WHERE k.vec_id = e.vec_id)) AS BIGINT)
+         AS n_caught,
+       CAST(CAST(CAST((SELECT COUNT(*) FROM exact e
+             WHERE EXISTS (SELECT 1 FROM bucketed k
+                           WHERE k.vec_id = e.vec_id)) AS DOUBLE)
+            / NULLIF(CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 0.0)
+            AS DECIMAL(18,9)) AS DOUBLE) AS recall
+""",
     "semantic_dedup": f"""
 WITH pairs AS ({_NEARDUP_PAIRS_SQL})
 SELECT e.vec_id, e.label,
@@ -834,9 +994,12 @@ def hard_negative_pairs(
             "c_id",
             "rank",
             "score",
-            F.coalesce("pos_score", F.lit(-1.0)).alias("pos_score"),
-            (
-                F.col("score") > F.coalesce("pos_score", F.lit(-1.0))
+            # NULL pos_score (not a -1.0 sentinel, which collides with
+            # the cosine minimum) when the query has no same-label
+            # positive; such a negative is unconditionally hard.
+            F.col("pos_score"),
+            F.coalesce(
+                F.col("score") > F.col("pos_score"), F.lit(True)
             ).alias("hard"),
         )
     )
@@ -871,8 +1034,8 @@ neg AS (
   FROM scored WHERE q_label <> c_label
 )
 SELECT n.q_id, n.c_id, n.rank, n.score,
-       COALESCE(p.pos_score, -1.0) AS pos_score,
-       n.score > COALESCE(p.pos_score, -1.0) AS hard
+       p.pos_score AS pos_score,
+       COALESCE(n.score > p.pos_score, TRUE) AS hard
 FROM neg n LEFT JOIN pos p USING (q_id)
 WHERE n.rank <= {k}
 """

@@ -239,57 +239,68 @@ def _mg_candidates(texts: DataFrame, k: int) -> DataFrame:
     """
 
     def part(batches):
-        import itertools
-
-        import numpy as np
         import pandas as pd
 
         counters = pd.Series(dtype="int64")
         for pdf in batches:
-            texts_s = pdf["text"]
-            # the SQL counting side tolerates NULL / non-string rows
-            # (split(NULL) -> NULL -> explode drops them); the sketch
-            # pass must accept the same input domain.
-            raw = [
-                t.split(" ") for t in texts_s if isinstance(t, str)
-            ]
-            tok_lists = [
-                [t for t in l if t] if "" in l else l for l in raw
-            ]
-            tok_lists = [l for l in tok_lists if l]
-            if not tok_lists:
-                continue
-            lens = np.fromiter(
-                (len(l) for l in tok_lists),
-                dtype=np.int64,
-                count=len(tok_lists),
-            )
-            flat = np.array(
-                list(itertools.chain.from_iterable(tok_lists)),
-                dtype=object,
-            )
-            if len(flat) < 2:
-                continue
-            # adjacent pairs, masking the document boundaries (the
-            # last token of each doc pairs with the NEXT doc's first)
-            mask = np.ones(len(flat) - 1, dtype=bool)
-            ends = np.cumsum(lens)
-            mask[ends[:-1] - 1] = False
-            left = pd.Series(flat[:-1][mask])
-            right = pd.Series(flat[1:][mask])
-            if not len(left):
-                continue
-            counted = (left + " " + right).value_counts()
-            # mergeable-MG reduce: add, then cut back to k entries by
-            # subtracting the (k+1)-th largest count
-            merged = counters.add(counted, fill_value=0).astype("int64")
-            if len(merged) > k:
-                cut = merged.nlargest(k + 1).iloc[-1]
-                merged = merged[merged > cut] - cut
-            counters = merged
+            counters = _mg_reduce(counters, _bigram_counts(pdf["text"]), k)
         yield pd.DataFrame({"bg": counters.index.astype(str)})
 
     return texts.select("text").mapInPandas(part, "bg string")
+
+
+def _bigram_counts(texts_s) -> "pd.Series":
+    """EXACT bigram histogram of one Arrow batch of texts, vectorized
+    (numpy adjacent-pair concat + pandas.value_counts) — the shared
+    counting kernel of the batch MG pass and its streaming twin.
+
+    The SQL counting side tolerates NULL / non-string rows
+    (split(NULL) -> NULL -> explode drops them); the sketch pass must
+    accept the same input domain.
+    """
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    raw = [t.split(" ") for t in texts_s if isinstance(t, str)]
+    tok_lists = [[t for t in l if t] if "" in l else l for l in raw]
+    tok_lists = [l for l in tok_lists if l]
+    if not tok_lists:
+        return pd.Series(dtype="int64")
+    lens = np.fromiter(
+        (len(l) for l in tok_lists), dtype=np.int64, count=len(tok_lists)
+    )
+    flat = np.array(
+        list(itertools.chain.from_iterable(tok_lists)), dtype=object
+    )
+    if len(flat) < 2:
+        return pd.Series(dtype="int64")
+    # adjacent pairs, masking the document boundaries (the last token
+    # of each doc pairs with the NEXT doc's first)
+    mask = np.ones(len(flat) - 1, dtype=bool)
+    ends = np.cumsum(lens)
+    mask[ends[:-1] - 1] = False
+    left = pd.Series(flat[:-1][mask])
+    right = pd.Series(flat[1:][mask])
+    if not len(left):
+        return pd.Series(dtype="int64")
+    return (left + " " + right).value_counts()
+
+
+def _mg_reduce(counters, counted, k: int):
+    """Mergeable-MG reduce (Agarwal et al. 2013 §3): add the two
+    histograms, then cut back to k entries by subtracting the
+    (k+1)-th largest count and dropping the non-positive.  ``counted``
+    may be exact (a batch histogram) or itself a k-bounded summary;
+    either way the merged deficit bound est >= f - n/(k+1) holds."""
+    import pandas as pd
+
+    merged = counters.add(counted, fill_value=0).astype("int64")
+    if len(merged) > k:
+        cut = merged.nlargest(k + 1).iloc[-1]
+        merged = merged[merged > cut] - cut
+    return merged
 
 
 def heavy_hitter_bigrams(
@@ -314,6 +325,20 @@ def heavy_hitter_bigrams(
     GROUP BY ... HAVING over ALL bigrams — the full shuffle this
     operator exists to avoid at 100 TB vocabulary scale.
     """
+    cands = _mg_candidates(docs, k).distinct()
+    return verify_heavy_hitters(docs, cands, phi)
+
+
+def verify_heavy_hitters(
+    docs: DataFrame, cands: DataFrame, phi: float = MG_PHI
+) -> DataFrame:
+    """Pass 2 of :func:`heavy_hitter_bigrams`, callable with an
+    EXTERNAL candidate frame (``bg string``) — e.g. the final state of
+    the streaming MG twin (streaming/sketch.mg_candidates_stream).
+    Exact counts over the candidate key space only; because the
+    sketch stage only ever PRUNES (no false negatives for share >
+    1/k), any candidate superset yields the identical verified
+    output."""
     # pre-materialize the token array, then pair via text.py's guarded
     # zip_with spelling: the transform(sequence(0, size-2), ...)
     # alternative both crashes on size-1 arrays (sequence(0,-1)
@@ -325,7 +350,6 @@ def heavy_hitter_bigrams(
         docs.select(_toks().alias("ts"))
         .select(F.explode(_bigram_arr(F.col("ts"))).alias("bg"))
     )
-    cands = _mg_candidates(docs, k).distinct()
     total = bigrams.agg(F.count(F.lit(1)).alias("n_total"))
     counts = (
         bigrams.join(F.broadcast(cands), "bg")

@@ -183,7 +183,7 @@ def _bpe_ctes(k: int, n_merges: int) -> list[str]:
   GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT {k})""",
         f"""w0 AS (
   SELECT word, cnt,
-         array_to_string(list_transform(generate_series(1, strlen(word)),
+         array_to_string(list_transform(generate_series(1, length(word)),
                                         i -> substr(word, i, 1)), ' ')
            || ' {EOW}' AS seq
   FROM wc)""",
@@ -243,7 +243,7 @@ def _bpe_segment_oracle(k: int = VOCAB_K, n_merges: int = N_MERGES) -> str:
     ctes = ",\n".join(_bpe_ctes(k, n_merges))
     seq0 = (
         "' ' || array_to_string(list_transform("
-        "generate_series(1, strlen(word)), i -> substr(word, i, 1)), ' ')"
+        "generate_series(1, length(word)), i -> substr(word, i, 1)), ' ')"
         f" || ' {EOW} '"
     )
     expr = seq0
@@ -327,7 +327,7 @@ def _fertility_oracle(k: int = VOCAB_K, n_merges: int = N_MERGES) -> str:
     ctes = ",\n".join(_bpe_ctes(k, n_merges))
     seq0 = (
         "' ' || array_to_string(list_transform("
-        "generate_series(1, strlen(word)), i -> substr(word, i, 1)), ' ')"
+        "generate_series(1, length(word)), i -> substr(word, i, 1)), ' ')"
         f" || ' {EOW} '"
     )
     expr = seq0
@@ -345,7 +345,7 @@ wall AS (
 segmap AS (
   SELECT word,
          CAST(len(string_split(trim({expr}), ' ')) AS BIGINT) AS n_sub,
-         CAST(strlen(word) AS BIGINT) AS n_chars
+         CAST(length(word) AS BIGINT) AS n_chars
   FROM wall
 ),
 wl AS (

@@ -1067,15 +1067,19 @@ def padding_waste_report(
     exact integers.  The two final ratios are the only float ops,
     ulp-collapsed at DECIMAL(18,9).
     """
-    from .distwindow import attach_keyed_row_number
+    from .distwindow import attach_keyed_row_number, sample_cutpoints
 
     base = docs.select(
         "doc_id", F.size(_toks()).cast("long").alias("n_tokens")
     )
+    # both policies' bucket cutpoints in ONE sketch job (round-8:
+    # sample_cutpoints amortizes the per-rank-pass driver job)
+    cuts = sample_cutpoints(base, ["doc_id", "n_tokens"])
 
     def policy(name: str, order_cols: list[str]) -> DataFrame:
         ranked = attach_keyed_row_number(
-            base, [], order_cols, rn_col="rn"
+            base, [], order_cols, rn_col="rn",
+            cuts=cuts.get(order_cols[0]),
         )
         per_batch = (
             ranked.select(

@@ -284,6 +284,79 @@ def streaming_daily_value_histogram(telemetry: DataFrame) -> DataFrame:
     )
 
 
+def streaming_hour_quantile_partials(
+    events: DataFrame, cap: int | None = None
+) -> DataFrame:
+    """Streaming twin of ``operators.rollups.hour_quantile_partials``
+    — the mergeable ANY-quantile partial, appended once per closed
+    hour: per (event_type, hour), the rank-sampled compression of the
+    hour's sorted values (kept ranks {1, s+1, …} ∪ {n}, exact gap
+    weights).  A serving layer ingests these ≤ cap+1-row partials and
+    answers any quantile at any coarser grain by weight summation
+    (``rollups.quantile_sketch_rollup``'s merge stage) without
+    rescanning facts.
+
+    The construction is a pure function of the hour's value MULTISET,
+    so the emitted rows are bit-identical to the batch partial
+    regardless of arrival order or micro-batching
+    (tests/test_quantile_sketch.py pins batch ≡ stream).  The price is
+    that the open hour's values sit in window state until the
+    watermark closes it — the same rows the batch hour group reads,
+    bounded by one hour of one event_type's traffic, and the knob a
+    production deployment would trade for a KLL compactor stack
+    (O(cap·log) state) at the cost of that bit-exactness.
+    """
+    from pyspark.sql import SparkSession
+
+    from ..operators.rollups import QSK_CAP
+
+    kk = cap or QSK_CAP
+    active = SparkSession.getActiveSession()
+    tz = active.conf.get("spark.sql.session.timeZone") if active else "UTC"
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            "streaming_hour_quantile_partials requires a UTC session "
+            f"timezone (got {tz!r}): its epoch-aligned 1-hour windows "
+            "must match the batch side's date_trunc('hour') boundaries"
+        )
+    agg = (
+        events.filter(F.col("value").isNotNull())
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("value", "event_id"))
+            ).alias("arr")
+        )
+    )
+    # kept-point extraction as pure array arithmetic over the sorted
+    # hour multiset — the same rank/stride/weight closed forms as the
+    # batch partial, evaluated JVM-side (no Python on this path)
+    kept = F.expr(
+        "filter(transform(sequence(1, size(arr)), i -> named_struct("
+        " 'value', arr[i - 1].value,"
+        " 'w', CAST(CASE WHEN i = 1 THEN 1"
+        f"      WHEN (i - 1) % ((size(arr) + {kk} - 1) DIV {kk}) = 0"
+        f"      THEN (size(arr) + {kk} - 1) DIV {kk}"
+        f"      ELSE (i - 1) % ((size(arr) + {kk} - 1) DIV {kk}) END"
+        "       AS BIGINT),"
+        " 'keep', (i - 1) %"
+        f" ((size(arr) + {kk} - 1) DIV {kk}) = 0 OR i = size(arr)"
+        ")), p -> p.keep)"
+    )
+    return (
+        agg.select(
+            "event_type",
+            F.col("window.start").alias("h"),
+            F.explode(kept).alias("p"),
+        )
+        .select(
+            "event_type", "h", F.col("p.value").alias("value"),
+            F.col("p.w").alias("w"),
+        )
+    )
+
+
 def streaming_candlestick(
     telemetry: DataFrame, watermark: str = "1 minute"
 ) -> DataFrame:

@@ -426,6 +426,16 @@ def test_hard_negatives_label_and_margin(spark):
     assert by_c[3].hard is False
     assert all(r.pos_score == by_c[2].pos_score for r in out)
 
+    # a query with NO same-label positive gets NULL pos_score (not a
+    # -1.0 sentinel, which collides with the cosine minimum) and every
+    # negative flagged hard
+    lone = hard_negative_pairs(
+        emb.filter(F.col("vec_id") == 0),
+        emb.filter(F.col("vec_id") != 1),
+        k=5,
+    ).collect()
+    assert lone and all(r.pos_score is None and r.hard is True for r in lone)
+
 
 # ---------------------------------------------------------------------------
 # query_likelihood_topk
