@@ -146,7 +146,106 @@ HEADLINE = [
     "query_likelihood_topk", # Dirichlet LM ranking
     "local_clustering",      # per-node triangle drill-down
     "degree_assortativity",  # degree-moment Pearson over edges
+    # round-8 additions:
+    "quantile_sketch_rollup",      # mergeable any-q rank-sampled rollup
+    "embedding_decontamination",   # broadcast-bench LSH leakage audit
+    "decontam_recall",             # bucketed-vs-exact recall contract
 ]
+
+#: The ROUND-COMPARABLE series (round-7 verdict, item 1): the in-suite
+#: numbers above accumulate JVM code-cache/GC churn across 100+
+#: queries in one process, which manufactured phantom 2-9x deltas in
+#: round 7 (cusum 3.26 s in-suite vs 1.18 s in a fresh process, with
+#: untouched controls drifting +40-50%).  Each name here ALSO runs in
+#: its own subprocess — fresh JVM, own warmup, min-of-3 warm — and
+#: that series is what round-over-round comparisons should read.
+#: Composition: the ~15 slowest warm headliners of BENCH_r07 plus
+#: three flat controls (rollup_minute, bronze_telemetry,
+#: cohort_retention) whose drift measures the estimator itself.
+ISOLATED = [
+    "prefix_jaccard_pairs",
+    "dsir_importance",
+    "pca_project",
+    "cusum_changepoints",
+    "tokenizer_fertility",
+    "local_clustering",
+    "degree_assortativity",
+    "rfm_segments",
+    "embedding_covariance",
+    "bpe_merges",
+    "deviation_alarms",
+    "copurchase_triangles",
+    "ann_ivfpq_topk",
+    "ewma_smooth",
+    "quantile_normalized_scores",
+    # controls
+    "rollup_minute",
+    "bronze_telemetry",
+    "cohort_retention",
+]
+
+
+def _warmup(spark) -> None:
+    """One-time session costs shared by every pass: JVM + parquet
+    footers via a tiny noop write, then the Python worker pool +
+    Arrow serializer via a 1-row mapInPandas no-op."""
+    spark.range(1).write.format("noop").mode("overwrite").save()
+    spark.range(1).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
+def isolated_main(name: str) -> None:
+    """Child-process entry (``bench.py --isolated <name>``): time ONE
+    query in a fresh JVM — cold build+run, then min-of-3 warm — and
+    print one JSON line.  Fresh process per query is what makes the
+    series comparable across rounds: no accumulated code-cache/GC
+    state from the 100+ other headliners."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(f"bench-iso-{name}")
+
+    import __spark_entry__ as entry_mod
+
+    fn = entry_mod.all_queries()[name]
+    _warmup(spark)
+
+    def run_once() -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    cold = run_once()
+    warm = min(run_once(), run_once(), run_once())
+    print(json.dumps({"name": name, "cold": cold, "warm": warm}))
+
+
+def run_isolated_series(sf_dir: str) -> dict[str, dict]:
+    """Spawn one fresh python/JVM per ISOLATED query; collect
+    {name: {cold, warm}} (a failed child records None — the suite
+    must not die on one query)."""
+    import subprocess
+
+    out: dict[str, dict] = {}
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    here = os.path.abspath(__file__)
+    for name in ISOLATED:
+        try:
+            proc = subprocess.run(
+                [sys.executable, here, "--isolated", name],
+                capture_output=True,
+                text=True,
+                timeout=600,
+                env=env,
+                cwd=os.path.dirname(here),
+            )
+            last = [
+                l for l in proc.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            rec = json.loads(last)
+            out[name] = {"cold": rec["cold"], "warm": rec["warm"]}
+        except Exception:
+            out[name] = {"cold": None, "warm": None}
+    return out
 
 
 def main() -> None:
@@ -269,6 +368,14 @@ def main() -> None:
             if r is not None and r > 15:
                 ramp_flagged.append(name)
 
+    # The round-comparable series: fresh process per query (see the
+    # ISOLATED docstring).  Runs LAST so a child-process failure can't
+    # cost the in-suite numbers.
+    iso = run_isolated_series(sf_dir)
+    iso_warm = {
+        k: v["warm"] for k, v in iso.items() if v["warm"] is not None
+    }
+
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
@@ -284,6 +391,8 @@ def main() -> None:
         "scale_ramp_vs": ramp_dir,
         "scale_ramp_warm_ratio": ramp_ratio,
         "scale_ramp_flagged": ramp_flagged,
+        "queries_isolated": iso,
+        "isolated_warm_total": round(sum(iso_warm.values()), 3),
         "sf": sf_val,
     }
     # Full per-pass numbers go to a FILE; stdout gets ONE compact
@@ -304,6 +413,8 @@ def main() -> None:
             # the headline set GROWS round over round (27 in r1/r2, 36
             # in r3); totals are only comparable per query
             "n_queries": len(HEADLINE),
+            # the ROUND-COMPARABLE series: fresh-process min-of-3 warm
+            "queries_warm_iso": {k: round(v, 2) for k, v in iso_warm.items()},
             "scale_ramp_flagged": ramp_flagged,
             "sf": sf_val,
         }
@@ -324,6 +435,9 @@ def main() -> None:
                 "n_queries": len(HEADLINE),
                 "warm_total": detail["warm_total"],
                 "parallel_warm_total": detail["parallel_warm_total"],
+                "queries_warm_iso": {
+                    k: round(v, 2) for k, v in iso_warm.items()
+                },
                 "scale_ramp_flagged": ramp_flagged,
                 "sf": sf_val,
             }
@@ -339,4 +453,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--isolated":
+        sys.exit(isolated_main(sys.argv[2]))
     sys.exit(main())
