@@ -1,4 +1,5 @@
-"""Streaming KMV sketch — the online twin of operators/sketch.py.
+"""Streaming sketches — the online twins of operators/sketch.py
+(KMV distinct-count state; Misra-Gries heavy-hitter candidates).
 
 A distinct-count sketch is the canonical streaming-friendly state:
 O(k) per key forever, insert-only, order-independent.  Each arriving

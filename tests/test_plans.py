@@ -520,3 +520,31 @@ def test_seasonal_anomalies_broadcasts_profile(spark):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_round8_plan_shapes(spark):
+    """Round-8 operators: the quantile-sketch rollup's windows run on
+    the bounded merged spine (no global unpartitioned window, value
+    filter pushed to the scan); the decontamination audit joins the
+    broadcast benchmark on the bucket key (never a corpus self-join /
+    cartesian); the exact recall baseline is the broadcast-nested-loop
+    quadratic — over the BROADCAST bench side only."""
+    import re
+
+    plan = formatted_plan(Q["quantile_sketch_rollup"](spark, SF))
+    assert re.search(r"PushedFilters: \[[^\]]*value", plan), plan[:2000]
+    assert "CartesianProduct" not in plan
+    # the distwindow offsets join back by broadcast
+    assert "BroadcastHashJoin" in plan
+
+    plan = formatted_plan(Q["embedding_decontamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan  # bucket equi-join, bench side
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan  # pure groupBy rollup, no rank pass
+
+    plan = formatted_plan(Q["decontam_recall"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # the exact baseline is broadcast(bench) nested-loop — present by
+    # design; the corpus side must never be the broadcast side
+    assert "BroadcastNestedLoopJoin" in plan
