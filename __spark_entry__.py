@@ -109,7 +109,7 @@ _PYTEST_ONLY = {
 # distwindow callers), then (c) the 40 contract queries whose most
 # recent green row is from ROUND 3 (stamped before the decimal
 # contracts, the distwindow rewrite and the dtype-strict harness
-# existed), and (d) two round-4-era rows to fill the window.  The 33
+# existed), and (d) one round-4-era row to fill the window.  The 34
 # remaining round-4-era rows rotate in next round; everything past
 # slot 50 carries dual-SF dtype-strict local artifacts.
 _PRIORITY = [
@@ -117,6 +117,7 @@ _PRIORITY = [
     "quantile_sketch_rollup",
     "embedding_decontamination",
     "decontam_recall",
+    "cluster_best_representatives",
     # (b) implementation/oracle changed in round 8
     "hard_negative_pairs",
     "tokenizer_fertility",
@@ -164,11 +165,11 @@ _PRIORITY = [
     "vocab_coverage",
     "weighted_sample",
     "wire_roundtrip",
-    # (d) round-4-era fill (alphabetical head; the rest next round)
+    # (d) round-4-era fill (the rest next round)
     "alarm_list_trunc",
-    "ann_bruteforce_topk",
     # --- slot 51+ from here: the remaining round-4-era rows queue
     # for the round-9 window, then round-5-era
+    "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "bmp_features",

@@ -90,6 +90,39 @@ def cluster_representatives(components: DataFrame) -> DataFrame:
     return components.filter(F.col("doc_id") == F.col("component_id"))
 
 
+def cluster_best_representatives(
+    components: DataFrame, scored: DataFrame
+) -> DataFrame:
+    """Quality-aware dedup keep-list: per near-dup cluster, keep the
+    member with the HIGHEST classifier score (tie → lowest doc_id) —
+    what a production curation pass retains instead of the arbitrary
+    min-id member (:func:`cluster_representatives`): among near-dup
+    copies, crawl noise usually differs, and the quality model is the
+    signal for which copy to train on.
+
+    ``components`` is (doc_id, component_id); ``scored`` carries
+    (doc_id, quality_score).  One broadcast-scale equi-join (the
+    component table is doc-count rows) and ONE map-side-combinable
+    aggregate — max_by over a (coalesced score, -doc_id) struct, so
+    no per-cluster window/sort exists anywhere.  NULL scores (empty
+    docs) order below every real score via the same COALESCE(-1)
+    both engines apply.
+    """
+    ord_struct = F.struct(
+        F.coalesce(F.col("quality_score"), F.lit(-1.0)).alias("s"),
+        (-F.col("doc_id")).alias("nid"),
+    )
+    return (
+        components.join(scored.select("doc_id", "quality_score"), "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.max_by("doc_id", ord_struct).alias("keep_doc_id"),
+            F.max("quality_score").alias("keep_score"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract query + oracle
 # ---------------------------------------------------------------------------
@@ -109,6 +142,16 @@ def q_dedup_clusters(spark, sf_dir: str) -> DataFrame:
     return connected_components(
         docs.select("doc_id"), edges.select("doc_a", "doc_b")
     )
+
+
+def q_cluster_best_reps(spark, sf_dir: str) -> DataFrame:
+    from .curation import quality_classifier
+
+    comp = q_dedup_clusters(spark, sf_dir)
+    from ..tables import load_table
+
+    scored = quality_classifier(load_table(spark, sf_dir, "documents"))
+    return cluster_best_representatives(comp, scored)
 
 
 PAGERANK_ITERS = 5
@@ -528,6 +571,7 @@ def q_neardup_triangles(spark, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
+    "cluster_best_representatives": q_cluster_best_reps,
     "neardup_pagerank": q_neardup_pagerank,
     "copurchase_triangles": q_copurchase_triangles,
     "neardup_triangles": q_neardup_triangles,
@@ -651,8 +695,32 @@ def _neardup_triangle_oracle() -> str:
     )
 
 
+def _best_reps_oracle() -> str:
+    from .curation import _SCORE_SQL
+
+    return f"""
+SELECT component_id, doc_id AS keep_doc_id, keep_score,
+       CAST(n_members AS BIGINT) AS n_members
+FROM (
+  SELECT c.component_id, c.doc_id, s.quality_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.component_id
+           ORDER BY COALESCE(s.quality_score, -1.0) DESC, c.doc_id ASC
+         ) AS rn,
+         MAX(s.quality_score) OVER (PARTITION BY c.component_id)
+           AS keep_score,
+         COUNT(*) OVER (PARTITION BY c.component_id) AS n_members
+  FROM ({_cluster_oracle()}) c
+  JOIN (SELECT doc_id, {_SCORE_SQL} AS quality_score FROM documents) s
+    USING (doc_id)
+)
+WHERE rn = 1
+"""
+
+
 ORACLES = {
     "dedup_clusters": _cluster_oracle(),
+    "cluster_best_representatives": _best_reps_oracle(),
     "neardup_pagerank": _pagerank_oracle(),
     "copurchase_triangles": _triangle_census_sql(_COPURCHASE_EDGES_SQL),
     "neardup_triangles": _neardup_triangle_oracle(),

@@ -71,6 +71,45 @@ def test_decontamination_degenerate_empty(spark):
 
 
 # ---------------------------------------------------------------------------
+# cluster_best_representatives
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_best_representatives_tiebreak_and_nulls(spark):
+    from opc_ua_data_pipeline_spark.operators.graph import (
+        cluster_best_representatives,
+    )
+
+    comp = spark.createDataFrame(
+        [
+            (1, 1), (2, 1), (3, 1),   # cluster 1
+            (4, 4), (5, 4),           # cluster 4
+            (6, 6),                   # singleton
+            (7, 7), (8, 7),           # cluster 7: all-NULL scores
+        ],
+        "doc_id long, component_id long",
+    )
+    scored = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9), (3, 0.9),   # tie on 0.9 -> keep min id 2
+            (4, None), (5, 0.1),            # NULL loses to any score
+            (6, 0.5),
+            (7, None), (8, None),           # all NULL -> min id, NULL score
+        ],
+        "doc_id long, quality_score double",
+    )
+    out = {
+        r.component_id: r
+        for r in cluster_best_representatives(comp, scored).collect()
+    }
+    assert out[1].keep_doc_id == 2 and out[1].keep_score == 0.9
+    assert out[1].n_members == 3
+    assert out[4].keep_doc_id == 5 and out[4].keep_score == 0.1
+    assert out[6].keep_doc_id == 6
+    assert out[7].keep_doc_id == 7 and out[7].keep_score is None
+
+
+# ---------------------------------------------------------------------------
 # distwindow: precomputed cutpoints reproduce the self-sampled result
 # ---------------------------------------------------------------------------
 
