@@ -222,13 +222,25 @@ def isolated_main(name: str) -> None:
 def run_isolated_series(sf_dir: str) -> dict[str, dict]:
     """Spawn one fresh python/JVM per ISOLATED query; collect
     {name: {cold, warm}} (a failed child records None — the suite
-    must not die on one query)."""
+    must not die on one query).
+
+    Hard WALL-CLOCK budget (SPARK_GRAFT_ISO_BUDGET, default 900 s):
+    bench prints its stdout JSON line only at the END, so if a driver
+    timeout killed the process mid-series the whole round's artifact
+    would be lost (the round-2 failure mode).  Once the budget is
+    spent, remaining children are skipped and recorded as None —
+    a partial isolated series beats no bench line at all."""
     import subprocess
 
+    budget = float(os.environ.get("SPARK_GRAFT_ISO_BUDGET", "900"))
+    t_start = time.perf_counter()
     out: dict[str, dict] = {}
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
     here = os.path.abspath(__file__)
     for name in ISOLATED:
+        if time.perf_counter() - t_start > budget:
+            out[name] = {"cold": None, "warm": None}
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, here, "--isolated", name],
