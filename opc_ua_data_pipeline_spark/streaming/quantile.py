@@ -12,9 +12,17 @@ bit-exactness.
 
 Structure: items live at levels; an item at level ``l`` stands for
 ``2^l`` raw values.  New values enter at level 0; when a level
-exceeds ``cap`` items it is sorted and every other item (even
-offsets — deterministic, so replays are reproducible) is promoted to
-the next level, halving the count.  A compaction at level ``l``
+exceeds ``cap`` items it is sorted and every other item is promoted
+to the next level, halving the count.  When the buffer is ODD-sized
+one item (the max) is carried over AT its level — promoting
+ceil(len/2) items at doubled weight would inflate the sketch's
+represented weight past the exact ``n`` the ``ceil(q*n)`` rank read
+uses (classic KLL/Munro-Paterson leaves the odd leftover at its
+level).  The promoted offsets alternate between even and odd per
+compaction (a compaction counter rides in the state), so the sketch
+carries no systematic keep-the-minimum bias yet stays fully
+deterministic: replays rebuild the identical sketch because the
+counter replays with it.  A compaction at level ``l``
 perturbs any rank by at most ``2^l``, and at most
 ``ceil(n / (cap · 2^l))`` compactions can happen at level ``l`` (each
 consumes ``cap`` items of weight ``2^l``), so the total rank error of
@@ -64,22 +72,33 @@ KLLQ_STATE_SCHEMA = T.StructType(
         T.StructField("lvls", T.ArrayType(T.IntegerType())),
         T.StructField("n", T.LongType()),
         T.StructField("seq", T.LongType()),
+        T.StructField("ncomp", T.LongType()),
     ]
 )
 
 
-def _compact(levels: dict[int, list], cap: int) -> None:
-    """Promote every-other item (even offsets of the sorted buffer)
-    from any level over capacity — deterministic, so a replayed
-    stream rebuilds the identical sketch."""
+def _compact(levels: dict[int, list], cap: int, ncomp: int) -> int:
+    """Promote every-other item of the sorted buffer from any level
+    over capacity.  Weight-exact: an odd-sized buffer carries its max
+    over AT the level (promoting ceil(len/2) at doubled weight would
+    over-count), so the represented weight always equals the exact
+    ``n``.  The promoted parity alternates per compaction — no
+    systematic min/max-keeping bias — and the compaction counter is
+    state, so a replayed stream rebuilds the identical sketch."""
     l = 0
     while l <= max(levels, default=0):
         buf = levels.get(l, [])
         if len(buf) > cap:
             buf.sort()
-            levels[l + 1] = levels.get(l + 1, []) + buf[::2]
-            levels[l] = []
+            if len(buf) % 2:
+                levels[l] = [buf[-1]]
+                buf = buf[:-1]
+            else:
+                levels[l] = []
+            levels[l + 1] = levels.get(l + 1, []) + buf[ncomp % 2 :: 2]
+            ncomp += 1
         l += 1
+    return ncomp
 
 
 def _read_quantiles(levels: dict[int, list], n: int, qs) -> list[float]:
@@ -109,16 +128,16 @@ def kll_quantile_stream(
         (et,) = key
         levels: dict[int, list] = {}
         if state.exists:
-            vals, lvls, n, seq = state.get
+            vals, lvls, n, seq, ncomp = state.get
             for v, l in zip(vals, lvls):
                 levels.setdefault(int(l), []).append(float(v))
         else:
-            n, seq = 0, 0
+            n, seq, ncomp = 0, 0, 0
         for chunk in pdfs:
             vs = chunk["value"].dropna()
             levels.setdefault(0, []).extend(float(v) for v in vs)
             n += int(len(vs))
-            _compact(levels, cap)
+            ncomp = _compact(levels, cap, ncomp)
             seq += 1
         flat = [(v, l) for l, buf in levels.items() for v in buf]
         state.update(
@@ -127,6 +146,7 @@ def kll_quantile_stream(
                 [l for _, l in flat],
                 n,
                 seq,
+                ncomp,
             )
         )
         if n == 0:

@@ -12,6 +12,12 @@ final emitted sample is BIT-IDENTICAL to the batch operator on the
 same rows regardless of micro-batching (tests/test_streaming_mg.py's
 twin pattern; pinned by tests/test_streaming_sampling.py).
 
+Robustness beyond the happy path: NULL keys are skipped (their batch
+priority is NULL), NULL/degenerate weights coerce to the batch's
+``greatest(weight, 1)`` (the emitted weight is the coerced one), and
+a re-delivered duplicate key occupies ONE sample slot — at-least-once
+delivery cannot inflate the sample.
+
 After every micro-batch the processor emits the current sample with
 its ``seq`` number, so a dashboard reads the latest seq — the
 update-mode serving shape of the batch query.
@@ -78,14 +84,31 @@ def weighted_sample_stream(
             items, seq = [], 0
         for chunk in pdfs:
             for kid, w in zip(chunk[key], chunk[weight_col]):
-                items.append(
-                    (_priority_py(int(kid), int(w), salt), int(kid), int(w))
-                )
+                # NULL keys carry no identity — skipped, as the batch
+                # md5-of-key priority is NULL for them; NULL weights
+                # mirror the batch ``greatest(weight, 1)`` (greatest
+                # skips NULLs) instead of raising int(NaN).
+                if pd.isna(kid):
+                    continue
+                wv = 1 if pd.isna(w) else max(int(w), 1)
+                items.append((_priority_py(int(kid), wv, salt), int(kid), wv))
             seq += 1
         # the sample is the k smallest (priority, key) — the batch
-        # operator's exact sort key, so ties break identically
+        # operator's exact sort key, so ties break identically.  A
+        # re-delivered duplicate key (at-least-once sources) must not
+        # occupy two sample slots: keep ONE item per key (the smallest
+        # priority — deterministic first after the sort), i.e. the
+        # twin's identity unit is the key, exactly-once per key.
         items.sort(key=lambda t: (t[0], t[1]))
-        items = items[:k]
+        seen: set = set()
+        uniq = []
+        for it in items:
+            if it[1] not in seen:
+                seen.add(it[1])
+                uniq.append(it)
+                if len(uniq) == k:
+                    break
+        items = uniq
         state.update(
             (
                 [i for _, i, _ in items],

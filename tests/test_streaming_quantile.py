@@ -103,3 +103,37 @@ def test_kll_stream_envelope_state_and_replay(spark, tmp_path):
             fin.p50_est,
             fin.p95_est,
         )
+
+
+def test_kll_compact_weight_exact_and_odd_carry():
+    """The represented weight (sum of 2^level over items) equals the
+    exact n after ANY compaction history — odd-sized buffers carry
+    one item at their level instead of over-promoting (round-8
+    ADVICE: buf[::2] on an odd buffer inflated weight past n)."""
+    from opc_ua_data_pipeline_spark.streaming.quantile import _compact
+
+    levels: dict = {}
+    ncomp = 0
+    n = 0
+    i = 0
+    for chunk in [7, 8, 9, 13, 5, 11] * 60:
+        buf = levels.setdefault(0, [])
+        for _ in range(chunk):
+            buf.append(float((i * 37) % 101))
+            i += 1
+        n += chunk
+        ncomp = _compact(levels, 33, ncomp)
+    assert ncomp > 0
+    w = sum((1 << l) * len(b) for l, b in levels.items())
+    assert w == n
+    # replay determinism: same inputs + same counter -> same sketch
+    levels2: dict = {}
+    nc2 = 0
+    j = 0
+    for chunk in [7, 8, 9, 13, 5, 11] * 60:
+        buf = levels2.setdefault(0, [])
+        for _ in range(chunk):
+            buf.append(float((j * 37) % 101))
+            j += 1
+        nc2 = _compact(levels2, 33, nc2)
+    assert (nc2, levels2) == (ncomp, levels)

@@ -99,3 +99,39 @@ def test_stream_sample_equals_batch_and_is_order_insensitive(
     for r in a:
         per_seq[r.seq] = per_seq.get(r.seq, 0) + 1
     assert all(n <= WEIGHTED_SAMPLE_K for n in per_seq.values())
+
+
+def test_stream_sample_tolerates_nulls_and_redelivery(spark, tmp_path):
+    """Round-8 ADVICE hazards: NULL weights coerce like the batch
+    greatest(weight,1) instead of raising int(NaN); NULL keys are
+    skipped; a re-delivered duplicate key occupies ONE sample slot."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = docs.orderBy("doc_id").collect()
+    hazards_df = spark.createDataFrame(
+        [
+            (1_000_000, "x", "en", "s", None),  # NULL weight
+            (None, "y", "en", "s", 5),  # NULL key
+        ],
+        docs.schema,
+    )
+    all_rows = rows + hazards_df.collect() + rows[:40]  # redelivery
+    d = tmp_path / "haz"
+    _replay_dir(spark, all_rows, docs.schema, d)
+
+    out = _run(spark, weighted_sample_stream(_doc_stream(spark, d)), "ws_haz")
+    fin = _final_sample(out)
+    ids = [t[1] for t in fin]
+    assert len(ids) == len(set(ids))  # no key holds two slots
+    assert None not in ids
+
+    # membership + priorities + ranks equal the batch operator on the
+    # deduped non-NULL-key universe (weight column excluded: the twin
+    # emits the coerced greatest(weight,1) for NULL weights)
+    uni = docs.unionAll(hazards_df).filter(F.col("doc_id").isNotNull())
+    want = sorted(
+        (r.sample_rank, r.doc_id, r.priority)
+        for r in weighted_sample_topk(uni, "n_chars", "doc_id").collect()
+    )
+    assert sorted((t[0], t[1], t[3]) for t in fin) == want
