@@ -6,23 +6,27 @@ cluster") needs its connected components.  This is the canonical
 iterative step no single SQL pass expresses: labels propagate along
 edges until fixpoint.
 
-Implementation is distributed min-label propagation:
+Implementation is the alternating large-star/small-star edge
+rewriting of Kiveris et al. ("Connected Components in MapReduce and
+Beyond", SOCC 2014) — the round-8 verdict's ask, replacing the
+min-label propagation whose rounds scaled with graph DIAMETER:
 
-* every node starts labeled with itself;
-* each round, every node takes the min label over itself and its
-  neighbors (one shuffle: edges ⋈ labels, groupBy node, min);
-* converged when a round changes no label (aggregated count — the
-  driver never collects data rows, only the 1-row changed-count).
+* ``large-star``: every node u hooks each LARGER neighbor onto
+  m(u) = min(Γ(u) ∪ {u}) — one groupBy(min) + one equi-join;
+* ``small-star``: edges orient toward their smaller endpoint; every
+  node hooks its smaller neighbors (and itself) onto their minimum;
+* alternating the two converges the edge set to STARS centered at
+  each component's minimum node in O(log² n) rounds worst-case
+  (near-dup graphs: a handful), vs diameter rounds for propagation —
+  a path of n nodes needs ~log n rounds here, n before.
 
-Rounds needed = graph diameter in the worst case, O(log n) in
-practice for near-dup graphs (dense clusters have diameter 1-2).
-Each round's result is ``localCheckpoint``'ed: it truncates the
-exponentially-growing lineage and is exactly the iterate the next
-round re-reads (at 1000-executor scale, swap for
-``checkpoint``/persist to survive executor loss; the classic
-large-star/small-star variant [Kiveris et al., "Connected Components
-in MapReduce and Beyond"] halves rounds on high-diameter graphs —
-near-dup graphs don't have those).
+Convergence is detected EXACTLY: the canonical (min,max) edge set is
+compared to the previous round's via count + exceptAll-isEmpty — two
+driver actions per O(log n) round, replacing a driver count on every
+one of up-to-diameter rounds.  Each round's edge set is
+``localCheckpoint``'ed to truncate the exponentially-growing lineage
+(at 1000-executor scale, swap for ``checkpoint``/persist to survive
+executor loss).
 
 The DuckDB oracle states the same fixpoint declaratively: a recursive
 CTE closes (node, label) over edges; MIN(label) per node is the
@@ -35,6 +39,75 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _canon_edges(pairs: DataFrame) -> DataFrame:
+    """(a, b) → deduped canonical (u=min, v=max), self-loops dropped —
+    the representation whose fixpoint the convergence check compares."""
+    return (
+        pairs.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Hook every node's LARGER neighbors onto min(Γ(u) ∪ {u})."""
+    sym = e.select("u", "v").unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    return _canon_edges(
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges toward the smaller endpoint; hook each node's
+    smaller neighbors (and itself) onto their minimum."""
+    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    return _canon_edges(
+        d.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .unionAll(
+            mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        )
+    )
+
+
+def _cc_star_fixpoint(
+    edges: DataFrame, max_rounds: int
+) -> tuple[DataFrame, int]:
+    """Alternate large-star/small-star to the star fixpoint; return
+    (star edge set, rounds run).  Exact convergence: same count AND
+    empty symmetric difference vs the previous canonical edge set."""
+    e = _canon_edges(
+        edges.select(F.col(edges.columns[0]).alias("a"),
+                     F.col(edges.columns[1]).alias("b"))
+    ).localCheckpoint(eager=True)
+    n_prev = e.count()
+    rounds = 0
+    while rounds < max_rounds:
+        if n_prev == 0:
+            break
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        n_nxt = nxt.count()
+        if n_nxt == n_prev and nxt.exceptAll(e).isEmpty():
+            e = nxt
+            break
+        e, n_prev = nxt, n_nxt
+    return e, rounds
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_rounds: int = 50
 ) -> DataFrame:
@@ -44,44 +117,33 @@ def connected_components(
     Isolated nodes keep their own id — the output always covers every
     input node exactly once.
     """
+    labels, _ = connected_components_with_rounds(nodes, edges, max_rounds)
+    return labels
+
+
+def connected_components_with_rounds(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 50
+) -> tuple[DataFrame, int]:
+    """:func:`connected_components` plus the number of star rounds the
+    fixpoint took — what tests/test_graph_cc.py pins to the log bound."""
     node_col = nodes.columns[0]
-    src, dst = edges.columns[:2]
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .localCheckpoint(eager=True)
+    stars, rounds = _cc_star_fixpoint(edges, max_rounds)
+    # At the fixpoint every component is a star centered at its min
+    # node: members appear as v (> center u).  min() per member is a
+    # no-op on a perfect star but keeps the output well-defined if
+    # max_rounds cut the loop short of the fixpoint.
+    memb = stars.groupBy(F.col("v").alias("node")).agg(
+        F.min("u").alias("label")
     )
-    labels = nodes.select(
-        F.col(node_col).alias("node"), F.col(node_col).alias("label")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("label").alias("nb_label"))
+    labels = (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(memb, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("label", "node").alias("component_id"),
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-            .select(
-                "node",
-                "label",
-                F.least(
-                    F.col("label"), F.coalesce("nb_label", "label")
-                ).alias("new_label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter(
-            F.col("new_label") < F.col("label")
-        ).count()
-        labels = new_labels.select(
-            "node", F.col("new_label").alias("label")
-        ).localCheckpoint(eager=True)
-        if changed == 0:
-            break
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
+    return labels, rounds
 
 
 def cluster_representatives(components: DataFrame) -> DataFrame:
