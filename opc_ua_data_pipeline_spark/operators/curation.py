@@ -156,6 +156,250 @@ def source_budget_trim(
 
 
 # ---------------------------------------------------------------------------
+# Trained quality classifier (deterministic full-batch logistic GD)
+# ---------------------------------------------------------------------------
+
+#: Pinned training hyperparameters — constants of the contract, like
+#: KMEANS_ITERS / PQ_ITERS (clustering.py): determinism requires the
+#: iteration count to be part of the operator's definition.
+#: lr=0.2 is the largest probed rate with a strictly DECREASING mse
+#: trajectory at every test SF (0.5 oscillates on the mean-token-len
+#: feature's ~5x scale); the convergence test pins the decrease.
+CLF_TRAIN_LR = 0.2
+CLF_TRAIN_ITERS = 4
+
+
+def _clf_feature_frame(docs: DataFrame) -> DataFrame:
+    """The training design matrix: the four quality features of
+    :func:`quality_classifier` plus a DISTILLATION label — the
+    rule-based Gopher keep flag (:func:`gopher_quality_flags`), the
+    standard "smooth the heuristic gates into a score" setup when no
+    human labels exist (the documents table has none).
+
+    Exactness: the three ratio features are int/int IEEE divisions;
+    the one libm feature (ln(1+n)) is published ulp-collapsed to
+    DECIMAL(18,9) so both engines train on the same design matrix.
+    Empty documents carry no features and are excluded from training
+    (WHERE n_tokens > 0 on both engines).
+    """
+    toks = _toks()
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    mean_len = sum_len.cast("double") / n
+    alpha_frac = n_alpha.cast("double") / n
+    keep = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_LEN)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (n_stop >= GOPHER_MIN_STOP_HITS)
+    )
+    return docs.filter(F.size(_toks()) > 0).select(
+        "doc_id",
+        F.log(F.lit(1.0) + n.cast("double"))
+        .cast("decimal(18,9)")
+        .cast("double")
+        .alias("x1"),
+        (n_stop.cast("double") / n).alias("x2"),
+        (n_distinct.cast("double") / n).alias("x3"),
+        mean_len.alias("x4"),
+        F.when(keep, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+
+
+def _clf_sigmoid(z):
+    """p = sigmoid(z), ulp-collapsed to DECIMAL(18,9) — the one libm
+    call per step, published identically on both engines (the
+    quality_classifier contract)."""
+    return (
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+        .cast("decimal(18,9)")
+        .cast("double")
+    )
+
+
+def _round12(x: float) -> float:
+    """Publication/iteration rounding to 12 dp, ROUND_HALF_UP on the
+    exact binary double — the same result as Spark's
+    CAST(x AS DECIMAL(18,12)) and DuckDB's CAST (both round ties away
+    from zero), so every engine iterates on IDENTICAL weights (the
+    pagerank per-iteration collapse pattern, graph.py)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("1E-12"), ROUND_HALF_UP))
+
+
+def _clf_train_loop(
+    docs: DataFrame,
+    lr: float = CLF_TRAIN_LR,
+    n_iter: int = CLF_TRAIN_ITERS,
+) -> tuple[list[tuple], list[float]]:
+    """Deterministic full-batch gradient descent on the logistic loss
+    — the iterative-trained-model pattern of kmeans/BPE/PCA
+    (clustering.py:122): every step is one map-side-combinable
+    6-buffer aggregate (count + five DECIMAL(28,12)-exact sums); the
+    driver holds exactly FIVE doubles (the weights) plus the loop
+    counter, so the one ``first()`` per step is of the MODEL, never
+    of data — the sanctioned bounded collect (BPE argmax precedent).
+
+    Returns (per-iteration rows, final weights).  Row t carries the
+    weights in force at step t and the resulting mean squared
+    residual; iterations and learning rate are pinned constants, init
+    is zero (the loss is convex — no seed needed), and every update
+    is plain IEEE double arithmetic on engine-identical inputs, so
+    the whole trajectory has an exact unrolled-CTE DuckDB oracle.
+
+    100 TB shape: the design matrix is 5 doubles/doc materialized
+    once (localCheckpoint — ~40 B/doc, 0.05% of the corpus; swap for
+    persist/checkpoint on a cluster); each of the pinned 3+1 steps is
+    a single narrow aggregate.  At that scale you'd train on a
+    hash-gated deterministic sample (sampling.py) — same machinery.
+    """
+    feat = _clf_feature_frame(docs).localCheckpoint(eager=True)
+    w = [0.0, 0.0, 0.0, 0.0, 0.0]  # bias, w1..w4
+    rows: list[tuple] = []
+    for t in range(n_iter + 1):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+            + F.lit(w[4]) * F.col("x4")
+        )
+        r = _clf_sigmoid(z) - F.col("y")
+        agg = feat.select(
+            r.alias("r"), "x1", "x2", "x3", "x4"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("r").cast("decimal(28,12)")).alias("gb"),
+            F.sum((F.col("r") * F.col("x1")).cast("decimal(28,12)")).alias(
+                "g1"
+            ),
+            F.sum((F.col("r") * F.col("x2")).cast("decimal(28,12)")).alias(
+                "g2"
+            ),
+            F.sum((F.col("r") * F.col("x3")).cast("decimal(28,12)")).alias(
+                "g3"
+            ),
+            F.sum((F.col("r") * F.col("x4")).cast("decimal(28,12)")).alias(
+                "g4"
+            ),
+            F.sum((F.col("r") * F.col("r")).cast("decimal(28,12)")).alias(
+                "se"
+            ),
+        ).first()
+        n = agg["n"]
+        rows.append(
+            (t, w[0], w[1], w[2], w[3], w[4], _round12(float(agg["se"]) / n))
+        )
+        if t < n_iter:
+            grads = [
+                float(agg["gb"]) / n,
+                float(agg["g1"]) / n,
+                float(agg["g2"]) / n,
+                float(agg["g3"]) / n,
+                float(agg["g4"]) / n,
+            ]
+            # per-iteration ulp collapse: a rare residual straddle in
+            # the 9-dp sigmoid rounding perturbs a gradient sum by
+            # ~1e-15; collapsing the UPDATED weights to 12 dp keeps
+            # both engines iterating on bit-identical weights instead
+            # of letting the ulp ride the whole trajectory
+            w = [_round12(w[j] - lr * grads[j]) for j in range(5)]
+    return rows, w
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    lr: float = CLF_TRAIN_LR,
+    n_iter: int = CLF_TRAIN_ITERS,
+) -> DataFrame:
+    """The weight trajectory of :func:`_clf_train_loop` as a frame:
+    (iter, bias, w_log_tokens, w_stopword, w_ttr, w_mean_len, mse) —
+    one row per step incl. the final trained weights (iter=n_iter),
+    whose mse is evaluated but not stepped.  The mse column is the
+    convergence certificate tests/test_trained_classifier.py pins
+    (strictly decreasing)."""
+    rows, _ = _clf_train_loop(docs, lr, n_iter)
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "iter int, bias double, w_log_tokens double, w_stopword double,"
+        " w_ttr double, w_mean_len double, mse double",
+    )
+
+
+def trained_score_col(weights: list[float], text_col: str = "text"):
+    """Serving-side score under TRAINED weights — the same feature
+    spelling as the training design matrix (rounded ln(1+n); ratios
+    via try_divide, NULL on empty docs) so the model scores exactly
+    the features it was fit on."""
+    toks = _toks(text_col)
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    x1 = (
+        F.log(F.lit(1.0) + n.cast("double"))
+        .cast("decimal(18,9)")
+        .cast("double")
+    )
+    z = (
+        F.lit(weights[0])
+        + F.lit(weights[1]) * x1
+        + F.lit(weights[2]) * F.try_divide(n_stop.cast("double"), n)
+        + F.lit(weights[3]) * F.try_divide(n_distinct.cast("double"), n)
+        + F.lit(weights[4]) * F.try_divide(sum_len.cast("double"), n)
+    )
+    return _clf_sigmoid(z)
+
+
+def trained_budget_trim(
+    docs: DataFrame,
+    budget: int = SOURCE_TOKEN_BUDGET,
+    lr: float = CLF_TRAIN_LR,
+    n_iter: int = CLF_TRAIN_ITERS,
+) -> DataFrame:
+    """:func:`source_budget_trim` wired to the TRAINED classifier
+    (round-8 verdict item 3's consumer): train, then keep each
+    source's best documents under the trained score until the token
+    budget is spent — the same distwindow two-pass running total, so
+    the only new cost over the fixed-weight trim is the pinned
+    training passes."""
+    _, w = _clf_train_loop(docs, lr, n_iter)
+    from .distwindow import keyed_running_totals
+
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(_toks()).alias("n_tokens"),
+        trained_score_col(w).alias("quality_score"),
+    )
+    ranked = keyed_running_totals(
+        scored,
+        key_cols=["source"],
+        order_by=[("quality_score", False), "doc_id"],
+        weights={"cum_tokens": "n_tokens"},
+    )
+    return ranked.filter(F.col("cum_tokens") <= budget).select(
+        "doc_id", "source", "n_tokens", "quality_score", "cum_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary coverage (OOV-rate filter)
 # ---------------------------------------------------------------------------
 
@@ -1303,3 +1547,157 @@ SELECT CAST(n_total AS BIGINT) AS n_docs,
 FROM terms
 GROUP BY n_total, b_total, ybar
 """
+
+
+# ---------------------------------------------------------------------------
+# Trained-classifier contract queries + unrolled-GD oracle (round 9)
+# ---------------------------------------------------------------------------
+
+
+def q_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return train_quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
+def q_trained_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trained_budget_trim(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["train_quality_classifier"] = q_train_quality_classifier
+QUERIES["trained_budget_trim"] = q_trained_budget_trim
+
+# Feature spellings of the training design matrix — written in the
+# exact shape of _clf_feature_frame so both engines fit the same
+# matrix (ratios are exact int/int IEEE divisions; the one libm
+# feature ln(1+n) is ulp-collapsed to DECIMAL(18,9)).
+_TRAIN_X1 = (
+    f"CAST(CAST(ln(1.0 + CAST(len({_TOKS}) AS DOUBLE)) AS DECIMAL(18,9))"
+    f" AS DOUBLE)"
+)
+_TRAIN_X2 = (
+    f"(CAST({_stop_hits(QUALITY_STOPWORDS)} AS DOUBLE) / len({_TOKS}))"
+)
+_TRAIN_X3 = f"(CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))"
+_TRAIN_X4 = f"(CAST({_SUM_LEN_SQL} AS DOUBLE) / len({_TOKS}))"
+_TRAIN_Y = f"""CASE WHEN COALESCE(
+       len({_TOKS}) >= {GOPHER_MIN_WORDS}
+       AND len({_TOKS}) <= {GOPHER_MAX_WORDS}
+       AND {_MEAN_LEN_SQL} >= {GOPHER_MIN_MEAN_LEN}
+       AND {_MEAN_LEN_SQL} <= {GOPHER_MAX_MEAN_LEN}
+       AND {_ALPHA_FRAC_SQL} >= {GOPHER_MIN_ALPHA_FRAC}
+       AND {_stop_hits(QUALITY_STOPWORDS)} >= {GOPHER_MIN_STOP_HITS},
+       FALSE) THEN 1.0 ELSE 0.0 END"""
+
+#: serving-side spellings (NULL-safe on empty docs, matching
+#: trained_score_col's try_divide)
+_SERVE_X2 = (
+    f"(CAST({_stop_hits(QUALITY_STOPWORDS)} AS DOUBLE)"
+    f" / NULLIF(len({_TOKS}), 0))"
+)
+_SERVE_X3 = (
+    f"(CAST(len(list_distinct({_TOKS})) AS DOUBLE)"
+    f" / NULLIF(len({_TOKS}), 0))"
+)
+
+
+def _clf_train_ctes(
+    lr: float = CLF_TRAIN_LR, n_iter: int = CLF_TRAIN_ITERS
+) -> str:
+    """The gradient-descent loop of _clf_train_loop unrolled into a
+    WITH-clause body (the kmeans_cte_body pattern, clustering.py):
+    it{t} carries the step-t weights, s{t} the step-t gradient sums —
+    every arithmetic op mirrors the Spark side textually, so the
+    weight trajectory is double-for-double identical."""
+    ctes = [
+        f"""clf_feat AS (
+  SELECT doc_id, {_TRAIN_X1} AS x1, {_TRAIN_X2} AS x2,
+         {_TRAIN_X3} AS x3, {_TRAIN_X4} AS x4,
+         {_TRAIN_Y} AS y
+  FROM documents WHERE len({_TOKS}) > 0
+)""",
+        "it0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,"
+        " CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,"
+        " CAST(0.0 AS DOUBLE) AS w4",
+    ]
+    ctes[1] += ")"
+    for t in range(n_iter + 1):
+        ctes.append(
+            f"""s{t} AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(r AS DECIMAL(28,12))) AS gb,
+         SUM(CAST(r * x1 AS DECIMAL(28,12))) AS g1,
+         SUM(CAST(r * x2 AS DECIMAL(28,12))) AS g2,
+         SUM(CAST(r * x3 AS DECIMAL(28,12))) AS g3,
+         SUM(CAST(r * x4 AS DECIMAL(28,12))) AS g4,
+         SUM(CAST(r * r AS DECIMAL(28,12))) AS se
+  FROM (SELECT x1, x2, x3, x4,
+               CAST(CAST(1.0 / (1.0 + exp(-(b + w1 * x1 + w2 * x2
+                    + w3 * x3 + w4 * x4))) AS DECIMAL(18,9)) AS DOUBLE)
+                 - y AS r
+        FROM clf_feat CROSS JOIN it{t})
+)"""
+        )
+        if t < n_iter:
+            # the updated weights collapse to DECIMAL(18,12) exactly
+            # like the Spark side's _round12 — both engines iterate
+            # on bit-identical weights
+            upd = ",\n         ".join(
+                f"CAST(CAST({c} - {lr} * (CAST(g{g} AS DOUBLE) / n)"
+                f" AS DECIMAL(18,12)) AS DOUBLE) AS {c}"
+                for c, g in (
+                    ("b", "b"),
+                    ("w1", "1"),
+                    ("w2", "2"),
+                    ("w3", "3"),
+                    ("w4", "4"),
+                )
+            )
+            ctes.append(
+                f"""it{t + 1} AS (
+  SELECT {upd}
+  FROM it{t} CROSS JOIN s{t}
+)"""
+            )
+    return ",\n".join(ctes)
+
+
+def _train_clf_oracle(n_iter: int = CLF_TRAIN_ITERS) -> str:
+    selects = [
+        f"SELECT CAST({t} AS INTEGER) AS iter, b AS bias,"
+        f" w1 AS w_log_tokens, w2 AS w_stopword, w3 AS w_ttr,"
+        f" w4 AS w_mean_len,"
+        f" CAST(CAST(CAST(se AS DOUBLE) / n AS DECIMAL(18,12)) AS DOUBLE)"
+        f" AS mse"
+        f" FROM it{t} CROSS JOIN s{t}"
+        for t in range(n_iter + 1)
+    ]
+    return (
+        "WITH " + _clf_train_ctes() + "\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
+def _trained_trim_oracle(n_iter: int = CLF_TRAIN_ITERS) -> str:
+    return f"""
+WITH {_clf_train_ctes()},
+scored AS (
+  SELECT doc_id, source, len({_TOKS}) AS n_tokens,
+         CAST(CAST(1.0 / (1.0 + exp(-(b + w1 * {_TRAIN_X1}
+              + w2 * {_SERVE_X2} + w3 * {_SERVE_X3}
+              + w4 * {_MEAN_LEN_SQL}))) AS DECIMAL(18,9)) AS DOUBLE)
+           AS quality_score
+  FROM documents CROSS JOIN it{n_iter}
+)
+SELECT doc_id, source, n_tokens, quality_score, cum_tokens
+FROM (
+  SELECT *,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY quality_score DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM scored
+)
+WHERE cum_tokens <= {SOURCE_TOKEN_BUDGET}
+"""
+
+
+ORACLES["train_quality_classifier"] = _train_clf_oracle()
+ORACLES["trained_budget_trim"] = _trained_trim_oracle()
