@@ -697,3 +697,162 @@ FROM sil GROUP BY 1
 
 
 ORACLES["kmeans_silhouette"] = _silhouette_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF-PQ index maintenance (round 9)
+# ---------------------------------------------------------------------------
+
+#: arrivals with vec_id % DELTA_MOD == 0 are the "new ingest batch";
+#: the rest is the already-indexed base the codebooks were trained on.
+DELTA_MOD = 10
+
+
+def ivfpq_assign_delta(
+    arrivals: DataFrame,
+    base: DataFrame,
+    dim: int = EMBED_DIM,
+    n_subspaces: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK_K,
+    n_iter: int = PQ_ITERS,
+    coarse_k: int = K_CLUSTERS,
+    coarse_iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Incremental maintenance of the IVF-PQ serving layout: route
+    ONLY the vectors of ``arrivals`` not already in ``base`` (the
+    indexed corpus) to the EXISTING coarse cells and PQ codes, with
+    the codebooks FROZEN as trained on ``base`` — how a 100 TB ANN
+    index ingests a delta batch without retraining (retraining is a
+    scheduled rebuild; between rebuilds every batch takes this path).
+
+    Shapes (all delta-proportional except the frozen training):
+    * new-vector detection is the ``dedup_incremental_new`` anti-join
+      pattern — one hash equi-join against the base ids;
+    * the coarse quantizer (K cells over the full dim) and the
+      ``n_subspaces`` PQ codebooks are the exact Lloyd chains of
+      :func:`kmeans_assignments` / :func:`pq_encode` ON BASE —
+      deterministic, so "frozen" is reproducible from data alone and
+      the unrolled-CTE oracle can replay it;
+    * assignment is per-vector argmin against a BROADCAST centroid
+      table (k rows) — a narrow projection + k-row window per
+      subspace, never a corpus shuffle.
+
+    By construction (and pinned by tests/test_ivfpq_delta.py) the
+    delta assignments equal a FULL re-assignment of all arrivals
+    under the same frozen codebooks, restricted to the new ids.
+    """
+    assert dim % n_subspaces == 0
+    d_sub = dim // n_subspaces
+    new = arrivals.join(
+        base.select("vec_id"), "vec_id", "left_anti"
+    ).select("vec_id", "embedding")
+
+    def train(s: int) -> DataFrame:
+        if s < 0:  # the coarse quantizer over the full vector
+            _, cent = _kmeans_loop(
+                base.select("vec_id", "embedding"), coarse_k, coarse_iters
+            )
+            return cent
+        sub = base.select(
+            "vec_id",
+            F.slice("embedding", s * d_sub + 1, d_sub).alias("embedding"),
+        )
+        _, cent = _kmeans_loop(sub, k, n_iter)
+        return cent
+
+    # 5 independent frozen-codebook trainings; thread-submitted so the
+    # eager localCheckpoints inside each Lloyd chain overlap (the
+    # pq_encode pattern) — results are deterministic per chain.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_subspaces + 1) as ex:
+        cents = list(ex.map(train, range(-1, n_subspaces)))
+
+    out = _assign(new, cents[0]).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    for s in range(n_subspaces):
+        sub_new = new.select(
+            "vec_id",
+            F.slice("embedding", s * d_sub + 1, d_sub).alias("embedding"),
+        )
+        codes = _assign(sub_new, cents[s + 1]).select(
+            "vec_id", F.col("cluster").alias(f"code_{s}")
+        )
+        out = out.join(codes, "vec_id")
+    return out
+
+
+def q_ivfpq_assign_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % DELTA_MOD != 0)
+    return ivfpq_assign_delta(emb, base)
+
+
+QUERIES["ivfpq_assign_delta"] = q_ivfpq_assign_delta
+
+
+def _ivfpq_delta_oracle(
+    dim: int = EMBED_DIM,
+    n_subspaces: int = PQ_SUBSPACES,
+    k: int = PQ_CODEBOOK_K,
+    n_iter: int = PQ_ITERS,
+    coarse_k: int = K_CLUSTERS,
+    coarse_iters: int = KMEANS_ITERS,
+    mod: int = DELTA_MOD,
+) -> str:
+    d_sub = dim // n_subspaces
+
+    def assign_cte(name: str, src: str, cb: str, out_col: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cluster AS {out_col} FROM (
+    SELECT e.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_DIST} ASC, c.cluster ASC) AS rank
+    FROM {src} e CROSS JOIN {cb} c
+  ) WHERE rank = 1
+)"""
+
+    ctes = [
+        f"base AS (SELECT vec_id, embedding FROM embeddings"
+        f" WHERE vec_id % {mod} <> 0)",
+        # the anti-join spelled as NOT EXISTS — the Spark side's
+        # left_anti against the base ids
+        "newv AS (SELECT e.vec_id, e.embedding FROM embeddings e"
+        " WHERE NOT EXISTS (SELECT 1 FROM base b"
+        " WHERE b.vec_id = e.vec_id))",
+    ]
+    body, final = _kmeans_ctes(coarse_k, coarse_iters, src="base", prefix="g_")
+    ctes.append(body)
+    ctes.append(
+        assign_cte("gassign", "newv", f"g_cent{coarse_iters - 2}", "cell")
+    )
+    for s in range(n_subspaces):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        ctes.append(
+            f"subb{s} AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
+            f" FROM base)"
+        )
+        body, final = _kmeans_ctes(k, n_iter, src=f"subb{s}", prefix=f"s{s}_")
+        ctes.append(body)
+        ctes.append(
+            f"subn{s} AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
+            f" FROM newv)"
+        )
+        ctes.append(
+            assign_cte(
+                f"a{s}", f"subn{s}", f"s{s}_cent{n_iter - 2}", f"code_{s}"
+            )
+        )
+    joins = "gassign g " + " ".join(
+        f"JOIN a{s} USING (vec_id)" for s in range(n_subspaces)
+    )
+    cols = ", ".join(f"code_{s}" for s in range(n_subspaces))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cell, {cols} FROM {joins}"
+    )
+
+
+ORACLES["ivfpq_assign_delta"] = _ivfpq_delta_oracle()
