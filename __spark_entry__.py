@@ -99,76 +99,27 @@ _PYTEST_ONLY = {
 }
 
 # The driver's correctness pass verifies the FIRST 50 registry entries
-# per round, so registration order is rotated each round.  After
-# round 7 every one of the 202 contract queries holds a green driver
-# row (r3 ∪ … ∪ r7 union, judge-confirmed), so round 8 rotates by
-# ROW AGE (the round-7 verdict's item 2): (a) queries brand-new in
-# round 8, (b) queries whose implementation or oracle changed in
-# round 8 (the NULL-pos_score hard-negative contract, the
-# character-length tokenizer oracle, the three shared-cutpoint
-# distwindow callers), then (c) the 40 contract queries whose most
-# recent green row is from ROUND 3 (stamped before the decimal
-# contracts, the distwindow rewrite and the dtype-strict harness
-# existed), and (d) one round-4-era row to fill the window.  The 34
-# remaining round-4-era rows rotate in next round; everything past
-# slot 50 carries dual-SF dtype-strict local artifacts.
+# per round; registration order rotates each round BY ROW AGE (the
+# round-7 verdict's policy).  Round 9 finishes the rotation: (a) the
+# three queries brand-new in round 9, (b) the two whose implementation
+# changed in round 9 (the large-star/small-star connected-components
+# rewrite feeds dedup_clusters and cluster_best_representatives;
+# oracles unchanged), then (c) ALL 34 remaining round-4-era rows (the
+# round-8 verdict's item 1 list, verbatim), and (d) the 11 oldest
+# round-5-era rows to fill the window.  After this round no contract
+# query's most recent green driver row predates round 5 — the
+# round-7 "Done" criterion.  Slots 51+ queue the remaining rows
+# oldest-first (round-5 era onward); everything past slot 50 carries
+# dual-SF dtype-strict local artifacts (CORRECTNESS_LOCAL_r09_*).
 _PRIORITY = [
-    # (a) brand-new in round 8
-    "quantile_sketch_rollup",
-    "embedding_decontamination",
-    "decontam_recall",
+    # (a) brand-new in round 9
+    "train_quality_classifier",
+    "trained_budget_trim",
+    "ivfpq_assign_delta",
+    # (b) implementation changed in round 9 (CC rewrite)
+    "dedup_clusters",
     "cluster_best_representatives",
-    # (b) implementation/oracle changed in round 8
-    "hard_negative_pairs",
-    "tokenizer_fertility",
-    "quantile_normalized_scores",
-    "rfm_segments",
-    "padding_waste_report",
-    # (c) oldest green driver rows: the round-3 era
-    "ann_ivfpq_topk",
-    "bloom_contamination",
-    "bm25_topk",
-    "chunk_documents",
-    "corpus_report",
-    "dq_report",
-    "dup_span_coverage",
-    "embedding_normalize",
-    "embedding_rp_project",
-    "enrichment_join",
-    "event_transition_matrix",
-    "gapfill_interpolate",
-    "heavy_hitters_cms",
-    "hybrid_search_rrf",
-    "idle_rich_customers",
-    "key_skew_profile",
-    "line_dedup",
-    "market_share",
-    "media_features",
-    "minhash_candidate_pairs",
-    "neardup_pagerank",
-    "order_count_distribution",
-    "pack_stats",
-    "parts_supplier_breadth",
-    "pq_adc_topk",
-    "pq_codes",
-    "promo_revenue_share",
-    "quality_classifier",
-    "returned_item_losses",
-    "rollup_hourly",
-    "simhash",
-    "simhash_near_dup_pairs",
-    "small_quantity_revenue",
-    "text_bigram_logprob",
-    "tfidf_top_terms",
-    "time_bucket_gapfill",
-    "top_supplier_revenue",
-    "vocab_coverage",
-    "weighted_sample",
-    "wire_roundtrip",
-    # (d) round-4-era fill (the rest next round)
-    "alarm_list_trunc",
-    # --- slot 51+ from here: the remaining round-4-era rows queue
-    # for the round-9 window, then round-5-era
+    # (c) the 34 remaining round-4-era rows
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_lsh_topk",
@@ -203,6 +154,56 @@ _PRIORITY = [
     "threshold_alarms",
     "time_range_scan",
     "wav_features",
+    # (d) oldest round-5-era rows filling the window
+    "ann_ivfpq_recall",
+    "ann_lsh_recall",
+    "approx_distinct_users",
+    "approx_value_percentiles",
+    "asof_last_purchase",
+    "bpe_merges",
+    "bpe_segmentation",
+    "brand_nation_margin",
+    "cdc_dedup_ratio",
+    "cdc_neardup_pairs",
+    "clicked_never_purchased",
+    # --- slot 51+: remaining rows queue oldest-first for the
+    # round-10 window (round-5 era onward)
+    "cohort_retention",
+    "conversion_funnel",
+    "corpus_cube",
+    "counter_agg",
+    "dataset_mix",
+    "dedup_bow_groups",
+    "dedup_exact",
+    "dedup_incremental_new",
+    "dedup_jaccard_pairs",
+    "distinct_users",
+    "embedding_covariance",
+    "event_type_pivot",
+    "feature_drift_psi",
+    "histogram_rollup_percentiles",
+    "incident_range_join",
+    "m4_downsample",
+    "media_metadata",
+    "metric_pair_correlation",
+    "pca_project",
+    "png_features",
+    "pricing_summary",
+    "priority_late_items",
+    "revenue_by_nation",
+    "salted_event_stats",
+    "sessionize",
+    "shipping_priority",
+    "state_durations",
+    "stratified_sample",
+    "time_weighted_avg",
+    "top_customers",
+    "trend_slope",
+    "uptime_agg",
+    "value_histogram",
+    "value_percentiles",
+    "zorder_keys",
+    "association_rules",
 ]
 
 

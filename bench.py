@@ -154,6 +154,10 @@ HEADLINE = [
     # quadratic in SF by design, like the Jaccard/editdist
     # verification tails.  It stays a CONTRACT query (verification is
     # its job); the bench races mechanisms.
+    # round-9 additions:
+    "train_quality_classifier",    # full-batch logistic GD, 5 agg passes
+    "trained_budget_trim",         # trained weights -> distwindow trim
+    "ivfpq_assign_delta",          # frozen-codebook delta routing
 ]
 
 #: The ROUND-COMPARABLE series (round-7 verdict, item 1): the in-suite

@@ -743,9 +743,15 @@ def ivfpq_assign_delta(
     """
     assert dim % n_subspaces == 0
     d_sub = dim // n_subspaces
-    new = arrivals.join(
-        base.select("vec_id"), "vec_id", "left_anti"
-    ).select("vec_id", "embedding")
+    # materialize the delta ONCE: it feeds the coarse assign plus one
+    # assign per subspace, and without the checkpoint each reuse
+    # re-executes the anti-join — five corpus scans instead of one
+    # (delta-sized, so the materialization is the cheap side)
+    new = (
+        arrivals.join(base.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
 
     def train(s: int) -> DataFrame:
         if s < 0:  # the coarse quantizer over the full vector
