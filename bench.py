@@ -426,9 +426,13 @@ def main() -> None:
     # whose in-suite warm moved >50% vs the previous round's committed
     # detail artifact is isolated in the SAME artifact ('drift' tier),
     # then (b) the slowest not-yet-isolated headliners fill the series
-    # to 50 children ('fill' tier) — ~7 s/child keeps that well inside
-    # the 900 s ISO budget, and the budget guard turns any overrun
-    # into explicit 'skipped_budget' rows rather than a lost artifact.
+    # to 32 children ('fill' tier).  A fresh-JVM child costs ~30 s
+    # wall (measured round 9: 30 children ≈ 900 s), so 32 keeps the
+    # isolated phase near the r8 wall time + ~6 min — bounded so the
+    # driver's bench invocation can't run long enough to be killed
+    # before the stdout line prints; the budget guard turns any
+    # overrun into explicit 'skipped_budget' rows, never a lost
+    # artifact.
     drift = []
     for name, w in warm.items():
         pw = prev_warm.get(name)
@@ -440,7 +444,7 @@ def main() -> None:
     fill = sorted(
         (n for n in HEADLINE if n not in ISOLATED and n not in drift),
         key=lambda n: -warm[n],
-    )[: max(0, 50 - len(ISOLATED) - len(drift))]
+    )[: max(0, 32 - len(ISOLATED) - len(drift))]
     iso = run_isolated_series(sf_dir, ISOLATED + drift + fill)
     for n in drift:
         iso[n]["tier"] = "drift"
