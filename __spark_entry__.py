@@ -101,11 +101,12 @@ _PYTEST_ONLY = {
 # The driver's correctness pass verifies the FIRST 50 registry entries
 # per round; registration order rotates each round BY ROW AGE (the
 # round-7 verdict's policy).  Round 9 finishes the rotation: (a) the
-# three queries brand-new in round 9, (b) the two whose implementation
-# changed in round 9 (the large-star/small-star connected-components
-# rewrite feeds dedup_clusters and cluster_best_representatives;
-# oracles unchanged), then (c) ALL 34 remaining round-4-era rows (the
-# round-8 verdict's item 1 list, verbatim), and (d) the 11 oldest
+# three queries brand-new in round 9, (b) the three whose
+# implementation changed in round 9 (the large-star/small-star
+# connected-components rewrite feeds dedup_clusters and
+# cluster_best_representatives, oracles unchanged; weighted_sample's
+# NULL-key exclusion, oracle updated), then (c) ALL 34 remaining round-4-era rows (the
+# round-8 verdict's item 1 list, verbatim), and (d) the 10 oldest
 # round-5-era rows to fill the window.  After this round no contract
 # query's most recent green driver row predates round 5 — the
 # round-7 "Done" criterion.  Slots 51+ queue the remaining rows
@@ -116,9 +117,12 @@ _PRIORITY = [
     "train_quality_classifier",
     "trained_budget_trim",
     "ivfpq_assign_delta",
-    # (b) implementation changed in round 9 (CC rewrite)
+    # (b) implementation changed in round 9 (CC rewrite; the
+    # weighted-sample NULL-key exclusion — engines disagreed on NULL
+    # ordering, latent until NULL-key data)
     "dedup_clusters",
     "cluster_best_representatives",
+    "weighted_sample",
     # (c) the 34 remaining round-4-era rows
     "ann_bruteforce_topk",
     "ann_ivf_topk",
@@ -165,9 +169,9 @@ _PRIORITY = [
     "brand_nation_margin",
     "cdc_dedup_ratio",
     "cdc_neardup_pairs",
-    "clicked_never_purchased",
     # --- slot 51+: remaining rows queue oldest-first for the
     # round-10 window (round-5 era onward)
+    "clicked_never_purchased",
     "cohort_retention",
     "conversion_funnel",
     "corpus_cube",

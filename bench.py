@@ -15,6 +15,7 @@ headliner (it exists to verify LSH, not to race it).
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -258,6 +259,8 @@ def run_isolated_series(
                 "reason": "skipped_budget",
             }
             continue
+        proc = None  # else a spawn failure would read the PREVIOUS
+        # iteration's stderr and misattribute it to this query
         try:
             proc = subprocess.run(
                 [sys.executable, here, "--isolated", name],
@@ -277,9 +280,12 @@ def run_isolated_series(
         except Exception:
             err = ""
             try:
-                err = [
-                    l for l in proc.stderr.strip().splitlines() if l.strip()
-                ][-1][:200]
+                if proc is not None:
+                    err = [
+                        l
+                        for l in proc.stderr.strip().splitlines()
+                        if l.strip()
+                    ][-1][:200]
             except Exception:
                 pass
             out[name] = {
@@ -293,14 +299,16 @@ def run_isolated_series(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The PREVIOUS round's committed detail artifact, read BEFORE this
     # run overwrites it: its queries_warm is the drift reference that
     # routes suspect in-suite movers into the isolated series below.
     try:
         with open("BENCH_DETAIL_local.json") as f:
-            prev_warm = json.load(f).get("queries_warm", {})
+            prev_detail = json.load(f)
     except Exception:
-        prev_warm = {}
+        prev_detail = {}
+    prev_warm = prev_detail.get("queries_warm", {})
     spark = get_spark("opc-ua-pipeline-bench")
 
     import __spark_entry__ as entry_mod
@@ -424,27 +432,41 @@ def main() -> None:
     # item 2: all four round-8 in-suite phantom regressions sat
     # OUTSIDE the fixed 18): after the fixed tier, (a) every query
     # whose in-suite warm moved >50% vs the previous round's committed
-    # detail artifact is isolated in the SAME artifact ('drift' tier),
-    # then (b) the slowest not-yet-isolated headliners fill the series
-    # to 32 children ('fill' tier).  A fresh-JVM child costs ~30 s
-    # wall (measured round 9: 30 children ≈ 900 s), so 32 keeps the
-    # isolated phase near the r8 wall time + ~6 min — bounded so the
-    # driver's bench invocation can't run long enough to be killed
-    # before the stdout line prints; the budget guard turns any
-    # overrun into explicit 'skipped_budget' rows, never a lost
-    # artifact.
-    drift = []
-    for name, w in warm.items():
-        pw = prev_warm.get(name)
-        if name in ISOLATED or not isinstance(pw, (int, float)) or pw <= 0:
-            continue
-        r = w / pw
-        if (r > 1.5 or r < 1 / 1.5) and max(w, pw) >= 1.0:
-            drift.append(name)
+    # detail artifact is isolated in the SAME artifact ('drift' tier,
+    # largest movers first), then (b) the slowest not-yet-isolated
+    # headliners fill the series to ISO_MAX_CHILDREN total.  A
+    # fresh-JVM child costs ~30 s wall (measured round 9: 30 children
+    # ~= 900 s), so 26 children fit the 900 s ISO budget with slack —
+    # bounded so the driver's bench invocation can't run long enough
+    # to be killed before the stdout line prints; the budget guard
+    # turns any overrun into explicit 'skipped_budget' rows, never a
+    # lost artifact.  The drift reference is only trusted when the
+    # previous artifact ran at the SAME SF (an sf0.01 dev run must not
+    # flag the whole suite as movers against sf0.1 numbers).
+    ISO_MAX_CHILDREN = 26
+    movers = []
+    if prev_detail.get("sf") == sf_val:
+        for name, w in warm.items():
+            pw = prev_warm.get(name)
+            if (
+                name in ISOLATED
+                or not isinstance(pw, (int, float))
+                or pw <= 0
+            ):
+                continue
+            r = w / pw
+            if (r > 1.5 or r < 1 / 1.5) and max(w, pw) >= 1.0:
+                movers.append((abs(math.log(r)), name))
+    drift = [
+        n
+        for _, n in sorted(movers, reverse=True)[
+            : max(0, ISO_MAX_CHILDREN - len(ISOLATED))
+        ]
+    ]
     fill = sorted(
         (n for n in HEADLINE if n not in ISOLATED and n not in drift),
         key=lambda n: -warm[n],
-    )[: max(0, 32 - len(ISOLATED) - len(drift))]
+    )[: max(0, ISO_MAX_CHILDREN - len(ISOLATED) - len(drift))]
     iso = run_isolated_series(sf_dir, ISOLATED + drift + fill)
     for n in drift:
         iso[n]["tier"] = "drift"
@@ -455,7 +477,6 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # stdout carries the round-comparable core (fixed tier + drift
     # movers); the 'fill' tier is in the detail file — the driver's
     # 2000-char stdout window can't hold 50 entries.
@@ -512,6 +533,7 @@ def main() -> None:
         # keep only the slowest queries — the ones a reader of
         # BENCH_r{N}.json actually needs — and count the rest.
         q2 = {k: round(v, 2) for k, v in timings.items()}
+        iso2 = dict(iso_warm_line)
         while True:
             payload = {
                 "metric": "headline_queries_total",
@@ -521,18 +543,32 @@ def main() -> None:
                 "n_queries": len(HEADLINE),
                 "warm_total": detail["warm_total"],
                 "parallel_warm_total": detail["parallel_warm_total"],
-                "queries_warm_iso": iso_warm_line,
+                "queries_warm_iso": iso2,
                 "scale_ramp_flagged": ramp_flagged,
                 "sf": sf_val,
             }
             if len(q2) < len(timings):
                 payload["queries_omitted"] = len(timings) - len(q2)
+            if len(iso2) < len(iso_warm_line):
+                payload["iso_omitted"] = len(iso_warm_line) - len(iso2)
             line = json.dumps(payload, separators=(",", ":"))
-            if len(line) <= 1800 or len(q2) <= 10:
+            if len(line) <= 1800:
                 break
-            q2 = dict(
-                sorted(q2.items(), key=lambda kv: -kv[1])[: len(q2) - 5]
-            )
+            if len(q2) > 10:
+                q2 = dict(
+                    sorted(q2.items(), key=lambda kv: -kv[1])[: len(q2) - 5]
+                )
+            elif len(iso2) > 10:
+                # last resort: the iso dict itself (bounded at
+                # ISO_MAX_CHILDREN, but a pathological drift round
+                # must still never overflow the driver's window)
+                iso2 = dict(
+                    sorted(iso2.items(), key=lambda kv: -kv[1])[
+                        : len(iso2) - 5
+                    ]
+                )
+            else:
+                break
     print(line)
 
 

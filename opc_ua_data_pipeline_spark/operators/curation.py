@@ -1660,7 +1660,9 @@ def _clf_train_ctes(
     return ",\n".join(ctes)
 
 
-def _train_clf_oracle(n_iter: int = CLF_TRAIN_ITERS) -> str:
+def _train_clf_oracle(
+    lr: float = CLF_TRAIN_LR, n_iter: int = CLF_TRAIN_ITERS
+) -> str:
     selects = [
         f"SELECT CAST({t} AS INTEGER) AS iter, b AS bias,"
         f" w1 AS w_log_tokens, w2 AS w_stopword, w3 AS w_ttr,"
@@ -1671,13 +1673,18 @@ def _train_clf_oracle(n_iter: int = CLF_TRAIN_ITERS) -> str:
         for t in range(n_iter + 1)
     ]
     return (
-        "WITH " + _clf_train_ctes() + "\n" + "\nUNION ALL\n".join(selects)
+        "WITH "
+        + _clf_train_ctes(lr, n_iter)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
     )
 
 
-def _trained_trim_oracle(n_iter: int = CLF_TRAIN_ITERS) -> str:
+def _trained_trim_oracle(
+    lr: float = CLF_TRAIN_LR, n_iter: int = CLF_TRAIN_ITERS
+) -> str:
     return f"""
-WITH {_clf_train_ctes()},
+WITH {_clf_train_ctes(lr, n_iter)},
 scored AS (
   SELECT doc_id, source, len({_TOKS}) AS n_tokens,
          CAST(CAST(1.0 / (1.0 + exp(-(b + w1 * {_TRAIN_X1}

@@ -70,8 +70,10 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Orient edges toward the smaller endpoint; hook each node's
-    smaller neighbors (and itself) onto their minimum."""
-    d = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    smaller neighbors (and itself) onto their minimum.  Input is
+    always canonical (u = min, v = max, from _canon_edges), so the
+    orientation is a plain column swap."""
+    d = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     mins = d.groupBy("u").agg(F.min("v").alias("m"))
     return _canon_edges(
         d.join(mins, "u")

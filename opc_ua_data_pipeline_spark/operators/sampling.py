@@ -263,7 +263,15 @@ def weighted_sample_topk(
     At 100 TB: a narrow projection + TakeOrderedAndProject (per-
     partition k-row heaps, k-row driver merge) — no shuffle of the
     corpus, no coordination state, reproducible under any layout.
+
+    NULL keys carry no identity and are EXCLUDED from the sample
+    (round-9 review): their md5 priority is NULL, and Spark's
+    ascending sort puts NULLs FIRST while DuckDB's puts them LAST —
+    without the filter a NULL-key row would silently take rank 1 on
+    one engine and be dropped on the other.  The streaming twin
+    (streaming/sampling.py) skips them identically.
     """
+    df = df.filter(F.col(key).isNotNull())
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.col(key).cast("string"), F.lit(":" + salt))),
@@ -380,6 +388,7 @@ WITH scored AS (
                AS BIGINT) + 1.0) / 4294967296.0
            / CAST(greatest(n_chars, 1) AS DOUBLE) AS priority
   FROM documents
+  WHERE doc_id IS NOT NULL
 )
 SELECT doc_id, weight, priority,
        CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS INTEGER)

@@ -62,13 +62,16 @@ DECON_STATE_SCHEMA = T.StructType(
 
 def bench_side(corpus: DataFrame, bench_mod: int = DECON_BENCH_MOD):
     """The static benchmark frame of the batch operator's
-    `_decon_sides` — computed once, broadcast into the stream join."""
+    `_decon_sides`.  PERSISTED: Structured Streaming re-evaluates the
+    static side's plan every trigger, so without the persist each
+    micro-batch would re-scan the corpus and recompute the md5 sign
+    buckets + norms for a frame that is constant by construction."""
     return corpus.filter(F.col("vec_id") % bench_mod == 0).select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("q_emb"),
         _norm(F.col("embedding")).alias("q_norm"),
         sign_bucket(F.col("embedding")).alias("bucket"),
-    )
+    ).persist()
 
 
 def decontam_flag_stream(

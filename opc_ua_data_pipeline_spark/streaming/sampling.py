@@ -84,8 +84,8 @@ def weighted_sample_stream(
             items, seq = [], 0
         for chunk in pdfs:
             for kid, w in zip(chunk[key], chunk[weight_col]):
-                # NULL keys carry no identity — skipped, as the batch
-                # md5-of-key priority is NULL for them; NULL weights
+                # NULL keys carry no identity — skipped, exactly as
+                # the batch operator's isNotNull filter; NULL weights
                 # mirror the batch ``greatest(weight, 1)`` (greatest
                 # skips NULLs) instead of raising int(NaN).
                 if pd.isna(kid):

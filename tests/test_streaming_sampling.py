@@ -127,9 +127,11 @@ def test_stream_sample_tolerates_nulls_and_redelivery(spark, tmp_path):
     assert None not in ids
 
     # membership + priorities + ranks equal the batch operator on the
-    # deduped non-NULL-key universe (weight column excluded: the twin
-    # emits the coerced greatest(weight,1) for NULL weights)
-    uni = docs.unionAll(hazards_df).filter(F.col("doc_id").isNotNull())
+    # same hazard universe — the batch operator itself excludes NULL
+    # keys (round-9 fix), so no pre-filter is needed here (weight
+    # column excluded: the twin emits the coerced greatest(weight,1)
+    # for NULL weights)
+    uni = docs.unionAll(hazards_df)
     want = sorted(
         (r.sample_rank, r.doc_id, r.priority)
         for r in weighted_sample_topk(uni, "n_chars", "doc_id").collect()
