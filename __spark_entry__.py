@@ -106,7 +106,7 @@ _PYTEST_ONLY = {
 # connected-components rewrite feeds dedup_clusters and
 # cluster_best_representatives, oracles unchanged; weighted_sample's
 # NULL-key exclusion, oracle updated), then (c) ALL 34 remaining round-4-era rows (the
-# round-8 verdict's item 1 list, verbatim), and (d) the 10 oldest
+# round-8 verdict's item 1 list, verbatim), and (d) the 8 oldest
 # round-5-era rows to fill the window.  After this round no contract
 # query's most recent green driver row predates round 5 — the
 # round-7 "Done" criterion.  Slots 51+ queue the remaining rows
@@ -123,6 +123,9 @@ _PRIORITY = [
     "dedup_clusters",
     "cluster_best_representatives",
     "weighted_sample",
+    # (a2) also brand-new in round 9 (added after the first r9 pass)
+    "cluster_split_assign",
+    "heaps_law_fit",
     # (c) the 34 remaining round-4-era rows
     "ann_bruteforce_topk",
     "ann_ivf_topk",
@@ -167,10 +170,10 @@ _PRIORITY = [
     "bpe_merges",
     "bpe_segmentation",
     "brand_nation_margin",
-    "cdc_dedup_ratio",
-    "cdc_neardup_pairs",
     # --- slot 51+: remaining rows queue oldest-first for the
     # round-10 window (round-5 era onward)
+    "cdc_dedup_ratio",
+    "cdc_neardup_pairs",
     "clicked_never_purchased",
     "cohort_retention",
     "conversion_funnel",

@@ -159,6 +159,8 @@ HEADLINE = [
     "train_quality_classifier",    # full-batch logistic GD, 5 agg passes
     "trained_budget_trim",         # trained weights -> distwindow trim
     "ivfpq_assign_delta",          # frozen-codebook delta routing
+    "cluster_split_assign",        # leakage-free cluster-keyed splits
+    "heaps_law_fit",               # global running vocab-growth OLS
 ]
 
 #: The ROUND-COMPARABLE series (round-7 verdict, item 1): the in-suite

@@ -187,6 +187,48 @@ def cluster_best_representatives(
     )
 
 
+def cluster_split_assign(components: DataFrame) -> DataFrame:
+    """Leakage-free train/val/test assignment: the split is decided by
+    the near-dup CLUSTER id, not the document id, so near-duplicate
+    copies can never straddle train and eval — the contamination mode
+    the per-document hash gate (training.split_assign) cannot prevent
+    (two near-dup docs hash independently and land in different splits
+    with probability 2·p·(1−p)).  Splitting by component is the
+    standard fix (eval-set leakage scrubs operate on clusters).
+
+    Same deterministic md5 hash-gate machinery and SPLITS fractions as
+    split_assign — same engine/partitioning independence — just keyed
+    on ``component_id``.  Singletons hash exactly like their lone doc
+    would ONLY if doc_id == component_id (true by construction: a
+    singleton's component is itself), so the per-doc and per-cluster
+    assignments agree wherever no near-dup exists.
+
+    100 TB shape: a narrow projection over the component table; the
+    cost is the components pass itself (already required by any
+    cluster-level curation step).
+    """
+    from .training import SPLITS, SPLIT_SALT, _hex_at
+
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.col("component_id").cast("string"),
+                F.lit(":" + SPLIT_SALT),
+            )
+        ),
+        1,
+        8,
+    )
+    assign = F.lit(None).cast("string")
+    for name, lo, hi in reversed(SPLITS):
+        cond = h >= F.lit(_hex_at(lo)) if lo > 0 else F.lit(True)
+        assign = F.when(
+            cond & (h < F.lit(_hex_at(hi)) if hi < 1.0 else F.lit(True)),
+            F.lit(name),
+        ).otherwise(assign)
+    return components.select("doc_id", "component_id", assign.alias("split"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract query + oracle
 # ---------------------------------------------------------------------------
@@ -216,6 +258,10 @@ def q_cluster_best_reps(spark, sf_dir: str) -> DataFrame:
 
     scored = quality_classifier(load_table(spark, sf_dir, "documents"))
     return cluster_best_representatives(comp, scored)
+
+
+def q_cluster_split_assign(spark, sf_dir: str) -> DataFrame:
+    return cluster_split_assign(q_dedup_clusters(spark, sf_dir))
 
 
 PAGERANK_ITERS = 5
@@ -635,6 +681,7 @@ def q_neardup_triangles(spark, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
+    "cluster_split_assign": q_cluster_split_assign,
     "cluster_best_representatives": q_cluster_best_reps,
     "neardup_pagerank": q_neardup_pagerank,
     "copurchase_triangles": q_copurchase_triangles,
@@ -782,8 +829,31 @@ WHERE rn = 1
 """
 
 
+def _cluster_split_oracle() -> str:
+    from .training import _SPLIT_CASE
+
+    comp = _cluster_oracle()
+    # the recursive WITH of the components oracle, re-used as a CTE
+    body = comp.replace("WITH RECURSIVE ", "", 1)
+    body = body.replace(
+        "SELECT node AS doc_id, MIN(label) AS component_id FROM reach"
+        " GROUP BY node",
+        ",\ncomp AS (SELECT node AS doc_id, MIN(label) AS component_id"
+        " FROM reach GROUP BY node)",
+    )
+    return f"""
+WITH RECURSIVE {body}
+SELECT doc_id, component_id, {_SPLIT_CASE} AS split
+FROM (SELECT doc_id, component_id,
+             substr(md5(CAST(component_id AS VARCHAR) || ':split'), 1, 8)
+               AS h
+      FROM comp)
+"""
+
+
 ORACLES = {
     "dedup_clusters": _cluster_oracle(),
+    "cluster_split_assign": _cluster_split_oracle(),
     "cluster_best_representatives": _best_reps_oracle(),
     "neardup_pagerank": _pagerank_oracle(),
     "copurchase_triangles": _triangle_census_sql(_COPURCHASE_EDGES_SQL),

@@ -889,3 +889,125 @@ SELECT source, CAST(n_terms AS BIGINT) AS n_terms,
             AS DECIMAL(18,9)) AS DOUBLE) AS zipf_slope
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law vocabulary-growth fit (round 9)
+# ---------------------------------------------------------------------------
+
+
+def heaps_law_fit(docs: DataFrame) -> DataFrame:
+    """Heaps'-law fit V(N) = K·N^beta of the corpus's vocabulary
+    growth curve — the companion diagnostic to :func:`zipf_slope`
+    (natural text: beta ~ 0.4-0.6; templated/synthetic corpora grow
+    vocabulary much slower, and a beta shift between snapshots flags
+    an ingest-mix change).  Observations are the cumulative
+    (tokens-so-far, distinct-terms-so-far) after each document in
+    doc_id order; the fit is OLS of ln V on ln N.
+
+    Scale shapes:
+    * cumulative DISTINCT is NOT a running set: each term contributes
+      at its FIRST document only, so one (term -> min doc_id)
+      aggregate turns the running distinct into a running SUM of
+      per-doc new-term counts — vocabulary-sized intermediate, no
+      state, no rescan;
+    * both running sums come from distwindow.keyed_running_totals
+      with key_cols=[] (the de-skewed GLOBAL prefix sum: range
+      partitions + broadcast offsets — never a single-task window);
+    * ln() observations collapse at DECIMAL(18,9); the moment sums
+      accumulate exactly in DECIMAL (the zipf_slope pattern) and the
+      slope/intercept are one double expression over exact sums.
+    """
+    from .distwindow import keyed_running_totals
+
+    toks = docs.select("doc_id", F.explode(_toks()).alias("tok"))
+    newt = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    spine = (
+        docs.select("doc_id", F.size(_toks()).alias("nt"))
+        .join(newt, "doc_id", "left")
+        .select("doc_id", "nt", F.coalesce("nv", F.lit(0)).alias("nv"))
+    )
+    cum = keyed_running_totals(
+        spine,
+        key_cols=[],
+        order_by=["doc_id"],
+        weights={"cum_tokens": "nt", "cum_vocab": "nv"},
+    )
+    pts = cum.filter(
+        (F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)
+    ).selectExpr(
+        "CAST(LN(CAST(cum_tokens AS DOUBLE)) AS DECIMAL(18,9)) AS x",
+        "CAST(LN(CAST(cum_vocab AS DOUBLE)) AS DECIMAL(18,9)) AS y",
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.expr("CAST(SUM(x) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(y) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(SUM(x * y) AS DOUBLE)").alias("sxy"),
+        F.expr("CAST(SUM(x * x) AS DOUBLE)").alias("sxx"),
+    )
+    return m.selectExpr(
+        "CAST(n_points AS BIGINT) AS n_points",
+        "CAST(CAST(try_divide(n_points * sxy - sx * sy,"
+        " n_points * sxx - sx * sx) AS DECIMAL(18,9)) AS DOUBLE)"
+        " AS heaps_beta",
+        "CAST(CAST(try_divide(sy - try_divide(n_points * sxy - sx * sy,"
+        " n_points * sxx - sx * sx) * sx, n_points) AS DECIMAL(18,9))"
+        " AS DOUBLE) AS heaps_log_k",
+    )
+
+
+QUERIES["heaps_law_fit"] = lambda spark, sf: heaps_law_fit(
+    load_table(spark, sf, "documents")
+)
+
+ORACLES["heaps_law_fit"] = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents
+),
+newt AS (
+  SELECT doc_id, COUNT(*) AS nv FROM (
+    SELECT tok, MIN(doc_id) AS doc_id FROM toks GROUP BY tok
+  ) GROUP BY doc_id
+),
+spine AS (
+  SELECT d.doc_id, len({_TOKS}) AS nt, COALESCE(n.nv, 0) AS nv
+  FROM documents d LEFT JOIN newt n USING (doc_id)
+),
+cum AS (
+  SELECT doc_id,
+         CAST(SUM(nt) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens,
+         CAST(SUM(nv) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_vocab
+  FROM spine
+),
+xy AS (
+  SELECT CAST(LN(CAST(cum_tokens AS DOUBLE)) AS DECIMAL(18,9)) AS x,
+         CAST(LN(CAST(cum_vocab AS DOUBLE)) AS DECIMAL(18,9)) AS y
+  FROM cum WHERE cum_tokens > 0 AND cum_vocab > 0
+),
+m AS (
+  SELECT COUNT(*) AS n_points,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM xy
+)
+SELECT CAST(n_points AS BIGINT) AS n_points,
+       CAST(CAST((n_points * sxy - sx * sy)
+                 / (n_points * sxx - sx * sx) AS DECIMAL(18,9)) AS DOUBLE)
+         AS heaps_beta,
+       CAST(CAST((sy - (n_points * sxy - sx * sy)
+                       / (n_points * sxx - sx * sx) * sx)
+                 / n_points AS DECIMAL(18,9)) AS DOUBLE) AS heaps_log_k
+FROM m
+"""
