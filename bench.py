@@ -230,6 +230,16 @@ def isolated_main(name: str) -> None:
     print(json.dumps({"name": name, "cold": cold, "warm": warm}))
 
 
+def _last_line(text: str | None) -> str:
+    """Last non-empty line of a child's stderr, truncated; '' if none."""
+    try:
+        return [l for l in (text or "").strip().splitlines() if l.strip()][
+            -1
+        ][:200]
+    except Exception:
+        return ""
+
+
 def run_isolated_series(
     sf_dir: str, names: list[str] | None = None
 ) -> dict[str, dict]:
@@ -279,21 +289,26 @@ def run_isolated_series(
             out[name] = {"cold": rec["cold"], "warm": rec["warm"]}
         except subprocess.TimeoutExpired:
             out[name] = {"cold": None, "warm": None, "reason": "timeout"}
-        except Exception:
-            err = ""
-            try:
-                if proc is not None:
-                    err = [
-                        l
-                        for l in proc.stderr.strip().splitlines()
-                        if l.strip()
-                    ][-1][:200]
-            except Exception:
-                pass
+        except subprocess.CalledProcessError as e:
+            # run() is called without check=True so this branch is
+            # defensive; CalledProcessError carries its own stderr when
+            # capture_output=True, independent of the `proc` local
+            err = _last_line(e.stderr)
             out[name] = {
                 "cold": None,
                 "warm": None,
-                "reason": f"error: {err}" if err else "error",
+                "reason": f"error rc={e.returncode}: {err}"
+                if err
+                else f"error rc={e.returncode}",
+            }
+        except Exception:
+            err = _last_line(proc.stderr if proc is not None else None)
+            rc = proc.returncode if proc is not None else None
+            tag = "error" if rc in (None, 0) else f"error rc={rc}"
+            out[name] = {
+                "cold": None,
+                "warm": None,
+                "reason": f"{tag}: {err}" if err else tag,
             }
     return out
 

@@ -130,7 +130,7 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 
 def prefix_filter_jaccard_pairs(
-    df: DataFrame, threshold: float = 0.5
+    df: DataFrame, threshold: float = 0.5, k_prefix: int = 2
 ) -> DataFrame:
     """EXACT Jaccard >= threshold self-join via prefix filtering —
     the AllPairs/PPJoin candidate scheme (Bayardo et al., WWW'07;
@@ -138,23 +138,45 @@ def prefix_filter_jaccard_pairs(
     the self-join runs on PREFIX tokens only, never the full
     inverted index.
 
-    Under any global total token order, a pair with J(a,b) >= t must
-    share a token among the first ``p_x = |x| - ceil(t*|x|) + 1``
-    tokens of BOTH sides (if all of a's prefix misses b, the at most
-    ``ceil(t*|a|) - 1`` suffix tokens cannot cover the >= ceil(t*|a|)
-    required common tokens — pigeonhole, symmetric in b).  Ordering
-    rare-first (document frequency asc) makes prefix posting lists
-    the SHORTEST ones, so candidate volume collapses: frequent tokens
-    — the quadratic blowup in the naive index — are pushed out of
-    every prefix.  Candidates then take a size gate
-    (min >= ceil(t*max), since J <= min/max) and an exact
-    intersection count, so the output is provably identical to the
-    quadratic spelling; the oracle IS that spelling.
+    Under any global total token order, a pair with J(a,b) >= t and
+    required overlap ``α = ceil(t/(1+t) * (|a|+|b|))`` must share at
+    least ``k`` tokens among the first ``p_x = |x| - ceil(t*|x|) + k``
+    tokens of BOTH sides (pigeonhole on the k-th smallest common
+    token: >= α-k common tokens order above it, so its position is
+    <= |x| - α + k <= p_x, the last step because the size gate
+    min >= ceil(t*max) makes ceil(t*|x|) <= α).  Ordering rare-first
+    (document frequency asc) makes prefix posting lists the SHORTEST
+    ones, so candidate volume collapses: frequent tokens — the
+    quadratic blowup in the naive index — are pushed out of every
+    prefix.  ``k_prefix = 2`` (round-10, the round-9 scale-ramp ask)
+    kills the dominant slack of the k=1 scheme: a pair colliding on a
+    SINGLE rare token — the population that grows with the square of
+    posting-list length, i.e. linearly-in-corpus per token — never
+    becomes a candidate; measured on the sf0.1 fixture this cuts
+    candidates 1.26M -> 60k against a 21.4k-pair answer (zero false
+    negatives, as the theorem requires).
+
+    Two further PPJoin elements (Xiao et al., WWW'08):
+
+    * **positional filter** — for the smallest shared token at
+      positions (i, j), overlap <= 1 + min(|a|-i, |b|-j) (everything
+      shared sits at/after it on both sides); candidates whose bound
+      misses α are dropped before verification.
+    * **compact verification** — the exact intersection is
+      ``size(array_intersect(...))`` over per-doc sorted token
+      ARRAYS joined to the candidate list: one bounded array value
+      ships per candidate side, replacing the k=1-era re-join of the
+      exploded token index (25x the rows) against candidates.
+
+    The output is provably identical to the quadratic spelling; the
+    oracle IS that spelling.
 
     Scale: df-rank and prefix-cut windows partition by doc_id
-    (high-cardinality); the only data-squared risk — the candidate
-    join — is bounded by prefix-list lengths; verification joins the
-    token index against the (already small) candidate set twice.
+    (high-cardinality); the candidate join is bounded by prefix-list
+    lengths AND the >= k shared-token requirement; verification is
+    one equi-join per side against the doc->array table (broadcast
+    at test SFs, plain shuffle equi-join at 100 TB — it ships the
+    same bytes the token index would, without the row explosion).
 
     Fixture caveat: prefix filtering prunes in proportion to
     vocabulary size, and the RAW driver fixture's 31-word vocabulary
@@ -180,9 +202,17 @@ def prefix_filter_jaccard_pairs(
     )
     prefix = ranked.filter(
         F.col("_pos")
-        <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        <= F.col("_sz")
+        - F.ceil(F.lit(threshold) * F.col("_sz"))
+        + k_prefix
     )
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    # Required overlap α for J >= t: overlap >= t/(1+t) * (|a|+|b|).
+    alpha = F.ceil(
+        F.lit(threshold)
+        / (1.0 + threshold)
+        * (F.col("sz_a") + F.col("sz_b"))
+    )
     cand = (
         pa.join(
             pb,
@@ -196,24 +226,59 @@ def prefix_filter_jaccard_pairs(
                 )
             ),
         )
-        .select(
+        .groupBy(
             F.col("pa.doc_id").alias("doc_a"),
             F.col("pb.doc_id").alias("doc_b"),
-            F.col("pa._sz").alias("sz_a"),
-            F.col("pb._sz").alias("sz_b"),
         )
-        .distinct()
+        .agg(
+            F.min("pa._sz").alias("sz_a"),
+            F.min("pb._sz").alias("sz_b"),
+            # both docs rank by the same global (_df, tok) key, so the
+            # smallest SHARED token attains both position minima
+            F.min("pa._pos").alias("_i"),
+            F.min("pb._pos").alias("_j"),
+            F.count(F.lit(1)).alias("_nshared"),
+        )
+        .filter(
+            # k <= α is the theorem's precondition; for tiny docs where
+            # α < k (e.g. single-token docs at low t) only α shared
+            # tokens are guaranteed, so the requirement clamps to α
+            (F.col("_nshared") >= F.least(F.lit(k_prefix), alpha))
+            # positional filter: overlap <= 1 + min(|a|-i, |b|-j)
+            & (
+                1
+                + F.least(
+                    F.col("sz_a") - F.col("_i"),
+                    F.col("sz_b") - F.col("_j"),
+                )
+                >= alpha
+            )
+        )
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
     )
-    ta, tb = toks.alias("ta"), toks.alias("tb")
+    arrs = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("_arr")
+    )
     common = (
-        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
-        .join(
-            tb,
-            (F.col("tb.doc_id") == F.col("doc_b"))
-            & (F.col("tb.tok") == F.col("ta.tok")),
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"), F.col("_arr").alias("_aa")
+            ),
+            "doc_a",
         )
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"), F.col("_arr").alias("_ab")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("_aa", "_ab")).alias("n_common"),
+        )
     )
     return (
         common.select(

@@ -87,27 +87,31 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 def _cc_star_fixpoint(
     edges: DataFrame, max_rounds: int
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, bool]:
     """Alternate large-star/small-star to the star fixpoint; return
-    (star edge set, rounds run).  Exact convergence: same count AND
-    empty symmetric difference vs the previous canonical edge set."""
+    (star edge set, rounds run, converged).  Exact convergence: same
+    count AND empty symmetric difference vs the previous canonical
+    edge set.  ``converged`` disambiguates "fixpoint reached exactly
+    at the round cap" from "cap exhausted mid-flight" — the labels
+    derived from an UNconverged edge set are not guaranteed to be
+    true component ids (round-9 ADVICE)."""
     e = _canon_edges(
         edges.select(F.col(edges.columns[0]).alias("a"),
                      F.col(edges.columns[1]).alias("b"))
     ).localCheckpoint(eager=True)
     n_prev = e.count()
     rounds = 0
-    while rounds < max_rounds:
-        if n_prev == 0:
-            break
+    converged = n_prev == 0
+    while rounds < max_rounds and not converged:
         nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
         rounds += 1
         n_nxt = nxt.count()
         if n_nxt == n_prev and nxt.exceptAll(e).isEmpty():
             e = nxt
+            converged = True
             break
         e, n_prev = nxt, n_nxt
-    return e, rounds
+    return e, rounds, converged
 
 
 def connected_components(
@@ -129,7 +133,17 @@ def connected_components_with_rounds(
     """:func:`connected_components` plus the number of star rounds the
     fixpoint took — what tests/test_graph_cc.py pins to the log bound."""
     node_col = nodes.columns[0]
-    stars, rounds = _cc_star_fixpoint(edges, max_rounds)
+    stars, rounds, converged = _cc_star_fixpoint(edges, max_rounds)
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: round cap {max_rounds} exhausted "
+            "before the large-star/small-star fixpoint; returned labels "
+            "may not be true component ids — raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # At the fixpoint every component is a star centered at its min
     # node: members appear as v (> center u).  min() per member is a
     # no-op on a perfect star but keeps the output well-defined if
@@ -1012,9 +1026,11 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     expression over the exact moments, ulp-collapsed.
     """
     u0, v0 = edges.columns[:2]
-    e = edges.select(
-        F.col(u0).alias("u"), F.col(v0).alias("v")
-    ).localCheckpoint(eager=True)
+    # no localCheckpoint here: round-10 fresh-JVM probe measured the
+    # r9 eager checkpoint at 3.37 s warm vs recompute-from-source —
+    # materializing a frame scanned 4x cost more than the lineage it
+    # saved (the edge derivation is one cheap aggregation); see PERF.md
+    e = edges.select(F.col(u0).alias("u"), F.col(v0).alias("v"))
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))

@@ -108,7 +108,12 @@ def decontam_flag_stream(
         for chunk in pdfs:
             for b, s in zip(chunk["b_id"], chunk["score"]):
                 seen.setdefault(int(b), float(s))
-            seq += 1
+        # one bump per fn invocation (= per key per micro-batch), NOT
+        # per pandas chunk: Spark may hand the iterator several chunks,
+        # and a per-chunk bump would make seq depend on chunking — a
+        # replay nondeterminism (round-9 ADVICE).  seq is therefore a
+        # true batch counter for the key.
+        seq += 1
         items = sorted(seen.items())
         state.update(
             ([b for b, _ in items], [s for _, s in items], seq)

@@ -182,6 +182,24 @@ def test_prefix_filter_equals_quadratic(spark):
     assert got == want and len(want) >= 2
 
 
+def test_prefix_filter_tiny_docs_alpha_clamp(spark):
+    # single/two-token docs where required overlap α < k_prefix=2: the
+    # shared-token requirement must clamp to α or identical one-token
+    # docs would be lost (round-10 k-prefix scheme edge case)
+    texts = ["solo", "solo", "pair twin", "pair twin", "pair other"]
+    docs = _docs(spark, texts)
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in prefix_filter_jaccard_pairs(docs, 0.5).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in jaccard_pairs(docs, 0.5).collect()
+    }
+    assert got == want
+    assert (0, 1, 1.0) in got  # the identical single-token pair
+
+
 def test_prefix_filter_prunes_candidates(spark):
     # docs sharing ONLY the corpus-wide most frequent token must not
     # become candidates: rare-first ordering pushes it out of prefixes
