@@ -161,6 +161,8 @@ HEADLINE = [
     "ivfpq_assign_delta",          # frozen-codebook delta routing
     "cluster_split_assign",        # leakage-free cluster-keyed splits
     "heaps_law_fit",               # global running vocab-growth OLS
+    # round 10:
+    "cc_delta_assign",             # incremental CC delta maintenance
 ]
 
 #: The ROUND-COMPARABLE series (round-7 verdict, item 1): the in-suite
@@ -189,6 +191,10 @@ ISOLATED = [
     "ann_ivfpq_topk",
     "ewma_smooth",
     "quantile_normalized_scores",
+    # round-9 headliners that entered before the 'new' tier existed
+    # (round-9 verdict item 4 names them for the r10 series)
+    "trained_budget_trim",
+    "train_quality_classifier",
     # controls
     "rollup_minute",
     "bronze_telemetry",
@@ -474,17 +480,40 @@ def main() -> None:
             r = w / pw
             if (r > 1.5 or r < 1 / 1.5) and max(w, pw) >= 1.0:
                 movers.append((abs(math.log(r)), name))
+    # 'new' tier (round-9 verdict item 4): a query benched for the
+    # FIRST time this round has no prev_warm row, so the drift tier —
+    # which only catches round-over-round movers — would miss it for
+    # one round (trained_budget_trim entered round 9 with no iso row).
+    # Every first-appearance headliner gets a fresh-JVM child the
+    # round it lands, slowest first.  Keyed on prev_warm regardless of
+    # SF: query NAMES are SF-independent, so a same-name row at any SF
+    # means "not new".
+    new_tier = sorted(
+        (
+            n
+            for n in warm
+            if n not in prev_warm and n not in ISOLATED
+        ),
+        key=lambda n: -warm[n],
+    )[: max(0, ISO_MAX_CHILDREN - len(ISOLATED))] if prev_warm else []
     drift = [
         n
         for _, n in sorted(movers, reverse=True)[
-            : max(0, ISO_MAX_CHILDREN - len(ISOLATED))
+            : max(0, ISO_MAX_CHILDREN - len(ISOLATED) - len(new_tier))
         ]
+        if n not in new_tier
     ]
     fill = sorted(
-        (n for n in HEADLINE if n not in ISOLATED and n not in drift),
+        (
+            n
+            for n in HEADLINE
+            if n not in ISOLATED and n not in drift and n not in new_tier
+        ),
         key=lambda n: -warm[n],
-    )[: max(0, ISO_MAX_CHILDREN - len(ISOLATED) - len(drift))]
-    iso = run_isolated_series(sf_dir, ISOLATED + drift + fill)
+    )[: max(0, ISO_MAX_CHILDREN - len(ISOLATED) - len(new_tier) - len(drift))]
+    iso = run_isolated_series(sf_dir, ISOLATED + new_tier + drift + fill)
+    for n in new_tier:
+        iso[n]["tier"] = "new"
     for n in drift:
         iso[n]["tier"] = "drift"
     for n in fill:

@@ -243,6 +243,106 @@ def cluster_split_assign(components: DataFrame) -> DataFrame:
     return components.select("doc_id", "component_id", assign.alias("split"))
 
 
+def contract_delta_edges(
+    components: DataFrame, delta_edges: DataFrame
+) -> DataFrame:
+    """Map a delta edge list through an existing labeling: endpoints
+    become their current component ids (unknown endpoints — genuinely
+    new docs — label themselves), and edges that land INSIDE one
+    existing component vanish.  What survives is the contracted
+    multigraph whose connected components are exactly the merges the
+    delta causes — its size is bounded by the delta, never the corpus,
+    which is the whole point of :func:`cc_delta_update`.
+
+    Exposed as a public step so tests can pin the bounded-work claim
+    (the iterative fixpoint never sees untouched components).
+    """
+    a0, b0 = delta_edges.columns[:2]
+    e = delta_edges.select(F.col(a0).alias("a"), F.col(b0).alias("b"))
+    lab_a = components.select(
+        F.col("doc_id").alias("a"), F.col("component_id").alias("_la")
+    )
+    lab_b = components.select(
+        F.col("doc_id").alias("b"), F.col("component_id").alias("_lb")
+    )
+    return (
+        e.join(lab_a, "a", "left")
+        .join(lab_b, "b", "left")
+        .select(
+            F.coalesce("_la", "a").alias("a"),
+            F.coalesce("_lb", "b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+
+
+def cc_delta_update(
+    components: DataFrame,
+    delta_edges: DataFrame,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Incremental connected-components maintenance — the streaming /
+    delta twin of :func:`connected_components` (round-9 verdict item
+    5): fold a DELTA of newly-discovered near-dup edges into an
+    existing (doc_id, component_id) labeling WITHOUT re-running the
+    fixpoint over the full graph.
+
+    Same delta pattern as ``ivfpq_assign_delta`` (frozen state + new
+    arrivals): the existing labeling is the frozen state; only the
+    subgraph the delta touches does iterative work.
+
+    1. **Contract** (:func:`contract_delta_edges`): delta endpoints →
+       current labels; intra-component edges drop.  O(|delta|).
+    2. **Re-converge the touched subgraph**: large-star/small-star on
+       the contracted edges alone.  Labels are min doc ids, so the
+       min over merged components' labels IS the global min doc id of
+       the merged component — the invariant that makes the result
+       bit-identical to a full recompute.
+    3. **Publish**: one narrow left join of the full labeling against
+       the (old label → merged root) moves, plus labels for genuinely
+       new docs.  Linear, non-iterative — at 100 TB this is the same
+       single pass any label publication costs; the savings is the
+       fixpoint running on |delta|-bounded data instead of the corpus.
+    """
+    contracted = contract_delta_edges(components, delta_edges)
+    touched = (
+        contracted.select(F.col("a").alias("n"))
+        .unionAll(contracted.select(F.col("b").alias("n")))
+        .distinct()
+    )
+    # star fixpoint over the touched labels only: (old label/new doc
+    # -> merged root)
+    moves = connected_components(
+        touched, contracted, max_rounds=max_rounds
+    ).select(
+        F.col("doc_id").alias("_old"),
+        F.col("component_id").alias("_new"),
+    )
+    updated = (
+        components.join(
+            moves, components["component_id"] == moves["_old"], "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("_new", "component_id").alias("component_id"),
+        )
+    )
+    # genuinely new docs: delta endpoints absent from the labeling
+    a0, b0 = delta_edges.columns[:2]
+    new_nodes = (
+        delta_edges.select(F.col(a0).alias("doc_id"))
+        .unionAll(delta_edges.select(F.col(b0).alias("doc_id")))
+        .distinct()
+        .join(components.select("doc_id"), "doc_id", "left_anti")
+    )
+    new_labeled = new_nodes.join(
+        moves, new_nodes["doc_id"] == moves["_old"], "left"
+    ).select(
+        "doc_id", F.coalesce("_new", "doc_id").alias("component_id")
+    )
+    return updated.unionAll(new_labeled)
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract query + oracle
 # ---------------------------------------------------------------------------
@@ -276,6 +376,31 @@ def q_cluster_best_reps(spark, sf_dir: str) -> DataFrame:
 
 def q_cluster_split_assign(spark, sf_dir: str) -> DataFrame:
     return cluster_split_assign(q_dedup_clusters(spark, sf_dir))
+
+
+#: Which near-dup edges arrive "late" in the cc_delta_assign replay:
+#: every edge whose newer endpoint is a multiple of 7 — a deterministic
+#: ~14% delta, engine-independent.
+CC_DELTA_MOD = 7
+
+
+def q_cc_delta_assign(spark, sf_dir: str) -> DataFrame:
+    """Incremental-CC contract: near-dup edges split into a base set
+    (labeled by a full fixpoint) and a late-arriving delta (folded in
+    by :func:`cc_delta_update`).  The oracle is the FULL recompute
+    over all edges — the delta path must be indistinguishable from it.
+    """
+    from ..tables import load_table
+    from .dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = simhash_near_dup_pairs(
+        docs, max_hamming=CLUSTER_HAMMING_MAX
+    ).select("doc_a", "doc_b")
+    base = edges.filter(F.col("doc_b") % CC_DELTA_MOD != 0)
+    delta = edges.filter(F.col("doc_b") % CC_DELTA_MOD == 0)
+    comps0 = connected_components(docs.select("doc_id"), base)
+    return cc_delta_update(comps0, delta)
 
 
 PAGERANK_ITERS = 5
@@ -695,6 +820,7 @@ def q_neardup_triangles(spark, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_clusters": q_dedup_clusters,
+    "cc_delta_assign": q_cc_delta_assign,
     "cluster_split_assign": q_cluster_split_assign,
     "cluster_best_representatives": q_cluster_best_reps,
     "neardup_pagerank": q_neardup_pagerank,
@@ -867,6 +993,9 @@ FROM (SELECT doc_id, component_id,
 
 ORACLES = {
     "dedup_clusters": _cluster_oracle(),
+    # the delta path's contract IS equivalence to the full recompute,
+    # so its oracle is literally the full-fixpoint recursive CTE
+    "cc_delta_assign": _cluster_oracle(),
     "cluster_split_assign": _cluster_split_oracle(),
     "cluster_best_representatives": _best_reps_oracle(),
     "neardup_pagerank": _pagerank_oracle(),
