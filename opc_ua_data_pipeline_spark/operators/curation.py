@@ -143,7 +143,10 @@ def source_budget_trim(
     """
     from .distwindow import keyed_running_totals
 
-    scored = quality_classifier(docs)
+    # narrow scored projection materialized ONCE (round 10): the rank
+    # pass reads its input three ways (sketch/window/counts) and would
+    # re-run the per-token classifier per branch.  persist() at scale.
+    scored = quality_classifier(docs).localCheckpoint(eager=True)
     ranked = keyed_running_totals(
         scored,
         key_cols=["source"],
@@ -387,7 +390,13 @@ def trained_budget_trim(
         "source",
         F.size(_toks()).alias("n_tokens"),
         trained_score_col(w).alias("quality_score"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ materialize the 4-column scored projection ONCE (round 10):
+    # the rank pass below reads its input three ways (cutpoint
+    # sketch, window branch, counts branch) and would re-run the
+    # per-token scoring expression per branch — the
+    # quantile_normalize_scores precedent (curation.py, r8).  Narrow
+    # by construction; persist() at cluster scale.
     ranked = keyed_running_totals(
         scored,
         key_cols=["source"],
@@ -683,7 +692,9 @@ def score_decile_profile(docs: DataFrame) -> DataFrame:
     """
     from .distwindow import keyed_running_totals, ntile_expr
 
-    scored = quality_classifier(docs)
+    # materialized once for the same three-branch reason as
+    # source_budget_trim (round 10); persist() at cluster scale
+    scored = quality_classifier(docs).localCheckpoint(eager=True)
     t = keyed_running_totals(
         scored,
         [],
@@ -890,6 +901,11 @@ def classifier_auc(docs: DataFrame, pos_lang: str = "en") -> DataFrame:
         .filter(F.col("s").isNotNull())
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("c"), F.sum("p").alias("np"))
+        # distinct-score-sized; the rank pass below reads it three
+        # ways (sketch/window/counts) and would re-run the corpus
+        # scan + classifier + groupBy per branch (round 10; the
+        # quantile_normalize_scores precedent).  persist() at scale.
+        .localCheckpoint(eager=True)
     )
     cum = keyed_running_totals(per, [], ["s"], weights={"cumc": "c"})
     r2 = 2 * F.col("cumc") - F.col("c") + 1

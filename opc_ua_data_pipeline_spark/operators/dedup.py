@@ -193,7 +193,14 @@ def prefix_filter_jaccard_pairs(
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     ordered = toks.join(dfreq, "tok")
     w = Window.partitionBy("doc_id").orderBy("_df", "tok")
-    w_all = Window.partitionBy("doc_id")
+    # _sz shares w's partition AND order spec (with an explicit
+    # full-partition frame) instead of an order-less sibling window:
+    # same value, but both expressions now plan into ONE WindowExec —
+    # one sort of the token index instead of two (round 10, guide
+    # §2.4: two operations keyed the same way share one exchange/sort).
+    w_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ranked = ordered.select(
         "doc_id",
         "tok",

@@ -21,9 +21,9 @@ min-label propagation whose rounds scaled with graph DIAMETER:
   a path of n nodes needs ~log n rounds here, n before.
 
 Convergence is detected EXACTLY: the canonical (min,max) edge set is
-compared to the previous round's via count + exceptAll-isEmpty — two
-driver actions per O(log n) round, replacing a driver count on every
-one of up-to-diameter rounds.  Each round's edge set is
+compared to the previous round's via count + exceptAll-isEmpty — a
+cheap count per O(log n) round, with the exceptAll equality proof
+only on candidate-final rounds where counts already match.  Each round's edge set is
 ``localCheckpoint``'ed to truncate the exponentially-growing lineage
 (at 1000-executor scale, swap for ``checkpoint``/persist to survive
 executor loss).
@@ -91,10 +91,10 @@ def _cc_star_fixpoint(
     """Alternate large-star/small-star to the star fixpoint; return
     (star edge set, rounds run, converged).  Exact convergence: same
     count AND empty symmetric difference vs the previous canonical
-    edge set.  ``converged`` disambiguates "fixpoint reached exactly
-    at the round cap" from "cap exhausted mid-flight" — the labels
-    derived from an UNconverged edge set are not guaranteed to be
-    true component ids (round-9 ADVICE)."""
+    edge set.  ``converged`` disambiguates "fixpoint reached
+    exactly at the round cap" from "cap exhausted mid-flight" — the
+    labels derived from an UNconverged edge set are not guaranteed to
+    be true component ids (round-9 ADVICE)."""
     e = _canon_edges(
         edges.select(F.col(edges.columns[0]).alias("a"),
                      F.col(edges.columns[1]).alias("b"))
@@ -105,6 +105,12 @@ def _cc_star_fixpoint(
     while rounds < max_rounds and not converged:
         nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
         rounds += 1
+        # Count first (cheap agg over the checkpointed leaf), run the
+        # exceptAll equality proof only on candidate-final rounds where
+        # counts already match — a round-10 probe of the one-action
+        # symmetric-difference check (exceptAll both ways every round)
+        # measured SLOWER: it pays 4 shuffles per round where this
+        # short-circuit pays one tiny count on non-final rounds.
         n_nxt = nxt.count()
         if n_nxt == n_prev and nxt.exceptAll(e).isEmpty():
             e = nxt
@@ -304,7 +310,17 @@ def cc_delta_update(
        single pass any label publication costs; the savings is the
        fixpoint running on |delta|-bounded data instead of the corpus.
     """
-    contracted = contract_delta_edges(components, delta_edges)
+    # Materialize the labeling once (round 10): it is read FOUR ways
+    # below (two contract joins, the publish join, the new-node
+    # anti-join), and when it arrives as an unmaterialized plan (the
+    # full base fixpoint in q_cc_delta_assign) each reference re-runs
+    # that plan.  Node-sized — persist() at cluster scale.
+    components = components.localCheckpoint(eager=True)
+    # |delta|-bounded; read by the touched-node union (2 scans) and
+    # the star fixpoint seed.
+    contracted = contract_delta_edges(components, delta_edges).localCheckpoint(
+        eager=True
+    )
     touched = (
         contracted.select(F.col("a").alias("n"))
         .unionAll(contracted.select(F.col("b").alias("n")))
@@ -312,11 +328,15 @@ def cc_delta_update(
     )
     # star fixpoint over the touched labels only: (old label/new doc
     # -> merged root)
-    moves = connected_components(
-        touched, contracted, max_rounds=max_rounds
-    ).select(
-        F.col("doc_id").alias("_old"),
-        F.col("component_id").alias("_new"),
+    moves = (
+        connected_components(touched, contracted, max_rounds=max_rounds)
+        .select(
+            F.col("doc_id").alias("_old"),
+            F.col("component_id").alias("_new"),
+        )
+        # touched-node-sized and read twice (publish + new-node label);
+        # without this each read re-runs the touched/contracted joins
+        .localCheckpoint(eager=True)
     )
     updated = (
         components.join(
@@ -394,9 +414,18 @@ def q_cc_delta_assign(spark, sf_dir: str) -> DataFrame:
     from .dedup import simhash_near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = simhash_near_dup_pairs(
-        docs, max_hamming=CLUSTER_HAMMING_MAX
-    ).select("doc_a", "doc_b")
+    # materialize the near-dup edge list ONCE (round 10): base, delta
+    # and cc_delta_update's new-node union otherwise re-execute the
+    # 4-band self-join pipeline per reference — the committed before-
+    # plan (plans/r10/cc_delta_assign_before.txt) inlines it 4x and
+    # runs 109k chars; fresh-JVM cold was 68.9 s, mostly re-codegen of
+    # those copies.  The pair list is near-dup-sized (tiny); persist()
+    # at cluster scale.
+    edges = (
+        simhash_near_dup_pairs(docs, max_hamming=CLUSTER_HAMMING_MAX)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     base = edges.filter(F.col("doc_b") % CC_DELTA_MOD != 0)
     delta = edges.filter(F.col("doc_b") % CC_DELTA_MOD == 0)
     comps0 = connected_components(docs.select("doc_id"), base)
@@ -1151,43 +1180,57 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     orientation) will be exercised at scale.
 
     Exactness: degrees are integers, the five moments accumulate in
-    DECIMAL(38,0) over the 2m directed slots, and r is one double
-    expression over the exact moments, ulp-collapsed.
+    DECIMAL(38,0), and r is one double expression over the exact
+    moments, ulp-collapsed.
+
+    Round-10 shape (guide §2.3/§2.4 — shuffle fewer bytes, remove
+    passes): over the 2m directed slots, node x appears as the 'j'
+    endpoint exactly d(x) times, so Σjd = Σ_x d(x)², Σjd² = Σ_x d(x)³,
+    and by orientation symmetry sk ≡ sj, skk ≡ sjj — four of the five
+    moments come from ONE tiny aggregate over the degree table, no
+    slot join at all.  Only the cross-moment needs edges:
+    Σ_slots jd·kd = 2·Σ_{(u,v)∈E} d(u)·d(v), one join over the m
+    UN-doubled edges (the r9 plan joined the 2m-row directed union
+    twice).  n = Σ_x d(x) = 2m.  Every replaced sum is the same
+    multiset in the same DECIMAL(38,0) grid — bit-identical moments,
+    bit-identical r (oracle unchanged, re-verified).
     """
     u0, v0 = edges.columns[:2]
-    # no localCheckpoint here: round-10 fresh-JVM probe measured the
-    # r9 eager checkpoint at 3.37 s warm vs recompute-from-source —
-    # materializing a frame scanned 4x cost more than the lineage it
-    # saved (the edge derivation is one cheap aggregation); see PERF.md
     e = edges.select(F.col(u0).alias("u"), F.col(v0).alias("v"))
+    # ONE scan of the edge derivation for degrees (explode instead of
+    # the union's two scans).  NOT checkpointed: the three deg reads
+    # share one identical groupBy exchange, which ReuseExchange dedups
+    # (the r9/r10 probes both measured eager materialization slower
+    # than recompute on this vertex-sized frame).
     deg = (
-        e.select(F.col("u").alias("x"))
-        .unionAll(e.select(F.col("v").alias("x")))
+        e.select(F.explode(F.array("u", "v")).alias("x"))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    directed = e.unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    d_dec = F.col("d").cast("decimal(38,0)")
+    moments = deg.agg(
+        F.coalesce(F.sum("d"), F.lit(0).cast("long")).alias("n"),
+        F.sum(d_dec * F.col("d")).alias("sj"),
+        F.sum(d_dec * F.col("d") * F.col("d")).alias("sjj"),
     )
     dx = deg.select(F.col("x").alias("u"), F.col("d").alias("jd"))
     dy = deg.select(F.col("x").alias("v"), F.col("d").alias("kd"))
-    m = (
-        directed.join(dx, "u")
+    half = (
+        e.join(dx, "u")
         .join(dy, "v")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("jd").cast("decimal(38,0)")).alias("sj"),
-            F.sum(F.col("kd").cast("decimal(38,0)")).alias("sk"),
-            F.sum(
-                (F.col("jd") * F.col("kd")).cast("decimal(38,0)")
-            ).alias("sjk"),
-            F.sum(
-                (F.col("jd") * F.col("jd")).cast("decimal(38,0)")
-            ).alias("sjj"),
-            F.sum(
-                (F.col("kd") * F.col("kd")).cast("decimal(38,0)")
-            ).alias("skk"),
+            F.sum((F.col("jd") * F.col("kd")).cast("decimal(38,0)")).alias(
+                "sjk_half"
+            )
         )
+    )
+    m = moments.crossJoin(F.broadcast(half)).selectExpr(
+        "n",
+        "sj",
+        "sj AS sk",
+        "CAST(2 AS DECIMAL(38,0)) * sjk_half AS sjk",
+        "sjj",
+        "sjj AS skk",
     )
     return m.selectExpr(
         "CAST(n AS BIGINT) AS n_edge_slots",

@@ -249,6 +249,13 @@ def rfm_segments(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
     cuts = sample_cutpoints(
         per_user, ["recency_days", "frequency", "_mon"]
     )
+    # The three rank passes CHAIN (pass 2's input is pass 1's output),
+    # and each pass reads its input twice (window branch + counts
+    # branch) — unmaterialized, pass 1's plan would execute 1+2+4
+    # times across the chain and the final plan would carry four
+    # inlined copies of it.  Checkpoint between passes keeps every
+    # pass's input a leaf (round 10); user-table-sized, persist() at
+    # cluster scale.
     t = keyed_running_totals(
         per_user,
         [],
@@ -256,7 +263,7 @@ def rfm_segments(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
         rank_col="_r_rank",
         n_col="_r_n",
         cuts=cuts.get("recency_days"),
-    )
+    ).localCheckpoint(eager=True)
     t = keyed_running_totals(
         t,
         [],
@@ -264,7 +271,7 @@ def rfm_segments(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
         rank_col="_f_rank",
         n_col="_f_n",
         cuts=cuts.get("frequency"),
-    )
+    ).localCheckpoint(eager=True)
     t = keyed_running_totals(
         t,
         [],
@@ -332,7 +339,12 @@ def conversion_latency_quantiles(events: DataFrame) -> DataFrame:
     lat = purchases.select(
         "user_id",
         (F.unix_micros("pt") - F.unix_micros("st")).alias("latency_us"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ materialize ONCE (round 10): the two-pass rank below reads its
+    # input three ways (cutpoint sketch, window branch, counts branch)
+    # and would re-run the two fact-table aggregations per branch —
+    # the quantile_normalize_scores/rfm_segments precedent.  The frame
+    # is converted-user-sized (2 cols); persist() at cluster scale.
     ranked = keyed_running_totals(
         lat,
         [],

@@ -350,7 +350,13 @@ def verify_heavy_hitters(
         docs.select(_toks().alias("ts"))
         .select(F.explode(_bigram_arr(F.col("ts"))).alias("bg"))
     )
-    total = bigrams.agg(F.count(F.lit(1)).alias("n_total"))
+    # n_total without a second explode pass (round 10): _bigram_arr
+    # emits exactly max(size-1, 0) bigrams per doc, so the exploded
+    # row count equals the sum of per-doc array sizes — one narrow
+    # scan instead of a full tokenize+explode.  Same LONG value.
+    total = docs.select(
+        F.greatest(F.size(_toks()) - 1, F.lit(0)).alias("_nb")
+    ).agg(F.sum("_nb").cast("long").alias("n_total"))
     counts = (
         bigrams.join(F.broadcast(cands), "bg")
         .groupBy("bg")

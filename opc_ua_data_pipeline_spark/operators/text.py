@@ -931,6 +931,11 @@ def heaps_law_fit(docs: DataFrame) -> DataFrame:
         docs.select("doc_id", F.size(_toks()).alias("nt"))
         .join(newt, "doc_id", "left")
         .select("doc_id", "nt", F.coalesce("nv", F.lit(0)).alias("nv"))
+        # doc-count-sized 3-int spine, materialized ONCE (round 10):
+        # the global prefix-sum pass reads it three ways and would
+        # re-run the corpus explode + two groupBys + join per branch.
+        # persist() at cluster scale.
+        .localCheckpoint(eager=True)
     )
     cum = keyed_running_totals(
         spine,

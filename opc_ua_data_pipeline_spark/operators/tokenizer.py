@@ -12,12 +12,14 @@ The Spark shape is exactly that:
 * the top-``VOCAB_K`` word table is constant-size; each of the
   ``N_MERGES`` iterations computes pair counts over it (a vocab-sized
   groupBy), picks the argmax pair deterministically, and rewrites the
-  symbol sequences via a broadcast 1-row join — per-iteration cost is
-  INDEPENDENT of corpus size;
+  symbol sequences with the collected pair as plain literals —
+  per-iteration cost is INDEPENDENT of corpus size;
 * nothing iterates on the driver except the loop counter and the
-  N_MERGES 1-row argmax results (the output merge table itself);
-  ``localCheckpoint`` truncates lineage per iteration, the same
-  pattern as the k-means loop.
+  N_MERGES 1-row argmax results (the output merge table itself); the
+  word table's lineage grows by one replace() per merge over a
+  ``localCheckpoint``'ed k-row base, so recompute stays bounded and
+  no per-iteration materialization job is paid (round-10 change; the
+  r9 spelling checkpointed every iteration).
 
 Determinism: pair argmax breaks ties on (count DESC, lhs ASC,
 rhs ASC); the merge rewrite is SQL ``replace`` on the space-delimited
@@ -108,23 +110,24 @@ def bpe_merges(
         merges.append(
             (it, row["lhs"], row["rhs"], row["lhs"] + row["rhs"], row["total"])
         )
-        # rewrite via a broadcast 1-row join: no string literals are
-        # spliced into SQL (corpus symbols may contain quotes), and
-        # the rewrite stays fully distributed
-        words = (
-            words.crossJoin(F.broadcast(top1))
-            .select(
-                "word",
-                "cnt",
-                F.trim(
-                    F.expr(
-                        "replace(concat(' ', seq, ' '), "
-                        "concat(' ', lhs, ' ', rhs, ' '), "
-                        "concat(' ', lhs, rhs, ' '))"
-                    )
-                ).alias("seq"),
-            )
-            .localCheckpoint(eager=True)
+        # rewrite with the COLLECTED pair as Column literals (round 10):
+        # the r9 spelling crossJoin(broadcast(top1)) + localCheckpoint
+        # paid a broadcast build and a materialization job per
+        # iteration on a k-row frame whose lineage grows by one
+        # replace() per merge — recompute is cheaper than either.
+        # F.lit() goes through Literal, never the SQL parser, so corpus
+        # symbols with quotes remain safe; the replace() semantics and
+        # values are identical to the joined spelling.
+        words = words.select(
+            "word",
+            "cnt",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                    F.lit(f" {row['lhs']} {row['rhs']} "),
+                    F.lit(f" {row['lhs']}{row['rhs']} "),
+                )
+            ).alias("seq"),
         )
     return spark.createDataFrame(
         merges,

@@ -1071,7 +1071,11 @@ def padding_waste_report(
 
     base = docs.select(
         "doc_id", F.size(_toks()).cast("long").alias("n_tokens")
-    )
+    ).localCheckpoint(eager=True)
+    # ^ 2-column doc-sized frame read FIVE ways (the cutpoint sketch
+    # plus two branches per policy) — materialized once (round 10)
+    # instead of re-tokenizing the corpus per branch; persist() at
+    # cluster scale.
     # both policies' bucket cutpoints in ONE sketch job (round-8:
     # sample_cutpoints amortizes the per-rank-pass driver job)
     cuts = sample_cutpoints(base, ["doc_id", "n_tokens"])
