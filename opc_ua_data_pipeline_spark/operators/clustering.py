@@ -34,8 +34,57 @@ K_CLUSTERS = 4
 KMEANS_ITERS = 2
 
 
+def _sq_dist_to(centroid_vals: list, emb=None) -> "F.Column":
+    """Squared L2 of an embedding column (default ``embedding``) to one
+    centroid given as plain Python doubles — the SAME zip_with +
+    left-fold aggregate as the joined spelling (identical IEEE
+    sequence), with the centroid inlined as an array literal."""
+    arr = F.array(*[F.lit(float(v)) for v in centroid_vals])
+    sq = F.zip_with(
+        F.col("embedding") if emb is None else emb,
+        arr,
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    return F.aggregate(sq, F.lit(0.0), lambda acc, d: acc + d)
+
+
+def _cand_structs(cent_rows: list, emb=None) -> "F.Column":
+    """The (dist, cluster) candidate struct array over a COLLECTED
+    codebook — ordering of structs is field-lexicographic with NULLS
+    FIRST, i.e. exactly ORDER BY dist ASC, cluster ASC."""
+    return F.array(
+        *[
+            F.struct(
+                _sq_dist_to(r["centroid"], emb).alias("dist"),
+                F.lit(r["cluster"]).alias("cluster"),
+            )
+            for r in sorted(cent_rows, key=lambda r: r["cluster"])
+        ]
+    )
+
+
+def _nearest_struct(cent_rows: list, emb=None) -> "F.Column":
+    """argmin_(dist, cluster) over a COLLECTED codebook as one column
+    expression: array_min over the candidate structs — the old
+    window's ORDER BY dist ASC, cluster ASC with rank()=1 (an
+    all-NULL-dist row picks the lowest cluster id, as before)."""
+    return F.array_min(_cand_structs(cent_rows, emb))
+
+
 def _assign(corpus: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, embedding) × (cluster, centroid) → nearest cluster."""
+    """(vec_id, embedding) × (cluster, centroid) → nearest cluster.
+
+    Round-10 probe: an argmin-as-expression spelling (array_min over
+    k collected-codebook (dist, cluster) structs, no crossJoin, no
+    window) measured 4.6x SLOWER on the corpus path (kmeans iso warm
+    1.8 → 8.4 s): higher-order functions evaluate interpreted, and
+    the struct argmin re-evaluates per consumed field, so the k×d
+    fold work multiplies instead of amortizing through the join's
+    materialized dist column.  The crossJoin + per-vec_id window is
+    the measured-faster shape on corpus-sized input; the expression
+    form survives only where its operand is delta-sized
+    (ivfpq_assign_delta) or a streaming projection (annindex).
+    """
     sq = F.zip_with(
         F.col("embedding"),
         F.col("centroid"),
@@ -104,15 +153,22 @@ def seed_centroids(corpus: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
 
 
 def _kmeans_loop(
-    corpus: DataFrame, k: int, n_iter: int
-) -> tuple[DataFrame, DataFrame]:
+    corpus: DataFrame, k: int, n_iter: int, assign_final: bool = True
+) -> tuple[DataFrame | None, DataFrame]:
     """Run ``n_iter`` Lloyd iterations; return (final assignment,
     the centroid table USED for that final assignment) — the latter
     is the codebook ADC scoring needs.  The recompute after the last
-    assign is skipped: nothing consumes it."""
+    assign is skipped: nothing consumes it.  ``assign_final=False``
+    additionally skips the LAST assignment pass and returns
+    ``(None, cent)`` — for the many trainers that only consume the
+    codebook (`_, cent = _kmeans_loop(...)`), the r9 spelling paid a
+    full corpus assignment + eager checkpoint whose result was thrown
+    away (round 10, guide §1.2: don't compute things you discard)."""
     cent = seed_centroids(corpus, k).localCheckpoint(eager=True)
     assigned = None
     for it in range(n_iter):
+        if it == n_iter - 1 and not assign_final:
+            return None, cent
         assigned = _assign(corpus, cent).localCheckpoint(eager=True)
         if it < n_iter - 1:
             cent = _recompute(assigned).localCheckpoint(eager=True)
@@ -233,6 +289,7 @@ def pq_adc_topk(
     """
     assert dim % n_subspaces == 0
     d_sub = dim // n_subspaces
+
     wide = (
         corpus.select("vec_id", F.col("label").alias("c_cell"))
         if route_by_label
@@ -250,6 +307,10 @@ def pq_adc_topk(
     # pq_encode): the eager localCheckpoints inside each Lloyd chain
     # would serialize the 4 trainings; thread-submitted jobs overlap
     # on the scheduler with bit-identical results.
+    # (Round-10 probe: recomputing the codes as collected-codebook
+    # argmin expressions over one corpus pass — instead of joining the
+    # loop's checkpointed assignments — measured ~2x slower; see
+    # _assign's docstring.  The join assembly stays.)
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=n_subspaces) as ex:
@@ -613,7 +674,12 @@ def kmeans_silhouette(
     DECIMAL(18,9) BEFORE the per-cluster mean, so no float sum ever
     depends on row order.
     """
-    _, cent = _kmeans_loop(corpus, k, n_iter)
+    # assign_final=False (round 10): the loop's final assignment was
+    # computed, checkpointed and thrown away — only the codebook is
+    # consumed here.  (The round-10 sorted-candidate-array spelling of
+    # the top-2 measured slightly slower interpreted; the crossJoin +
+    # window stays — see _assign's docstring.)
+    _, cent = _kmeans_loop(corpus, k, n_iter, assign_final=False)
     sq = F.zip_with(
         F.col("embedding"),
         F.col("centroid"),
@@ -756,14 +822,17 @@ def ivfpq_assign_delta(
     def train(s: int) -> DataFrame:
         if s < 0:  # the coarse quantizer over the full vector
             _, cent = _kmeans_loop(
-                base.select("vec_id", "embedding"), coarse_k, coarse_iters
+                base.select("vec_id", "embedding"),
+                coarse_k,
+                coarse_iters,
+                assign_final=False,
             )
             return cent
         sub = base.select(
             "vec_id",
             F.slice("embedding", s * d_sub + 1, d_sub).alias("embedding"),
         )
-        _, cent = _kmeans_loop(sub, k, n_iter)
+        _, cent = _kmeans_loop(sub, k, n_iter, assign_final=False)
         return cent
 
     # 5 independent frozen-codebook trainings; thread-submitted so the
@@ -774,19 +843,27 @@ def ivfpq_assign_delta(
     with ThreadPoolExecutor(max_workers=n_subspaces + 1) as ex:
         cents = list(ex.map(train, range(-1, n_subspaces)))
 
-    out = _assign(new, cents[0]).select(
-        "vec_id", F.col("cluster").alias("cell")
-    )
+    # all five frozen-codebook assignments in ONE narrow pass over the
+    # delta (round 10): the codebooks are collected k-row models, so
+    # cell + 4 codes are argmin expressions — replaces four
+    # delta-sized vec_id equi-joins; values identical (same argmin,
+    # same tie-break)
+    cols = [
+        F.col("vec_id"),
+        _nearest_struct(cents[0].collect())
+        .getField("cluster")
+        .alias("cell"),
+    ]
     for s in range(n_subspaces):
-        sub_new = new.select(
-            "vec_id",
-            F.slice("embedding", s * d_sub + 1, d_sub).alias("embedding"),
+        cols.append(
+            _nearest_struct(
+                cents[s + 1].collect(),
+                emb=F.slice("embedding", s * d_sub + 1, d_sub),
+            )
+            .getField("cluster")
+            .alias(f"code_{s}")
         )
-        codes = _assign(sub_new, cents[s + 1]).select(
-            "vec_id", F.col("cluster").alias(f"code_{s}")
-        )
-        out = out.join(codes, "vec_id")
-    return out
+    return new.select(*cols)
 
 
 def q_ivfpq_assign_delta(spark: SparkSession, sf_dir: str) -> DataFrame:

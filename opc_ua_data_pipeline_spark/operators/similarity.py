@@ -265,6 +265,10 @@ def nearest_centroid(corpus: DataFrame) -> DataFrame:
         )
         .select(F.col("label").alias("c_label"), "centroid")
     )
+    # (Round-10 probe: a collected-centroid argmin expression measured
+    # slower here — interpreted HOF re-evaluation per consumed field;
+    # see clustering._assign's docstring.  The broadcast crossJoin +
+    # window stays.)
     sq = F.zip_with(
         F.col("embedding"),
         F.col("centroid"),

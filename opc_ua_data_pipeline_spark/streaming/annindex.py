@@ -61,7 +61,10 @@ def frozen_codebooks(
     def train(s: int):
         if s < 0:
             _, cent = _kmeans_loop(
-                base.select("vec_id", "embedding"), coarse_k, coarse_iters
+                base.select("vec_id", "embedding"),
+                coarse_k,
+                coarse_iters,
+                assign_final=False,
             )
         else:
             _, cent = _kmeans_loop(
@@ -73,6 +76,7 @@ def frozen_codebooks(
                 ),
                 k,
                 n_iter,
+                assign_final=False,
             )
         return [
             (int(r["cluster"]), [float(x) for x in r["centroid"]])
