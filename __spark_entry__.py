@@ -100,78 +100,22 @@ _PYTEST_ONLY = {
 
 # The driver's correctness pass verifies the FIRST 50 registry entries
 # per round; registration order rotates each round BY ROW AGE (the
-# round-7 verdict's policy).  Round 9 finishes the rotation: (a) the
-# three queries brand-new in round 9, (b) the three whose
-# implementation changed in round 9 (the large-star/small-star
-# connected-components rewrite feeds dedup_clusters and
-# cluster_best_representatives, oracles unchanged; weighted_sample's
-# NULL-key exclusion, oracle updated), then (c) ALL 34 remaining round-4-era rows (the
-# round-8 verdict's item 1 list, verbatim), and (d) the 8 oldest
-# round-5-era rows to fill the window.  After this round no contract
-# query's most recent green driver row predates round 5 — the
-# round-7 "Done" criterion.  Slots 51+ queue the remaining rows
-# oldest-first (round-5 era onward); everything past slot 50 carries
-# dual-SF dtype-strict local artifacts (CORRECTNESS_LOCAL_r09_*).
+# round-7 verdict's policy).  Round 11 executes the rotation round 10
+# deferred (r10 verdict item 4): the window is cc_delta_assign (added
+# mid-build after round 9, never yet driver-verified) plus the 39-row
+# slot-51+ queue (last driver-green round 5, association_rules round
+# 6) plus the 10 oldest remaining round-6-era rows.  Slots 51+ queue
+# everything else oldest-green-first (r6 → r7 → r8 → r10); all 212
+# contract rows also carry dual-SF dtype-strict local artifacts
+# (CORRECTNESS_LOCAL_r11_*).
 _PRIORITY = [
-    # (a) brand-new in round 9
-    "train_quality_classifier",
-    "trained_budget_trim",
-    "ivfpq_assign_delta",
-    # (b) implementation changed in round 9 (CC rewrite; the
-    # weighted-sample NULL-key exclusion — engines disagreed on NULL
-    # ordering, latent until NULL-key data)
-    "dedup_clusters",
-    "cluster_best_representatives",
-    "weighted_sample",
-    # (a2) also brand-new in round 9 (added after the first r9 pass)
-    "cluster_split_assign",
-    "heaps_law_fit",
-    # (c) the 34 remaining round-4-era rows
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "bmp_features",
-    "bronze_telemetry",
-    "curation_pipeline",
-    "dup_span_scrub",
-    "embedding_neardup_pairs",
-    "embedding_quantize_sq8",
-    "hll_rollup_merge",
-    "kmeans_assignments",
-    "label_centroids",
-    "last_running_time",
-    "nearest_centroid",
-    "ngram_contamination",
-    "pack_sequences",
-    "passage_dedup",
-    "pii_scrub",
-    "progress_clamp",
-    "repetition_stats",
-    "rollup_sliding",
-    "semantic_dedup",
-    "shard_assign",
-    "split_assign",
-    "text_corpus_stats",
-    "text_fingerprints",
-    "text_language_id",
-    "text_quality_scores",
-    "text_token_stats",
-    "text_unigram_logprob",
-    "text_vocab_stats",
-    "threshold_alarms",
-    "time_range_scan",
-    "wav_features",
-    # (d) oldest round-5-era rows filling the window
-    "ann_ivfpq_recall",
-    "ann_lsh_recall",
-    "approx_distinct_users",
-    "approx_value_percentiles",
-    "asof_last_purchase",
-    "bpe_merges",
-    "bpe_segmentation",
-    "brand_nation_margin",
-    # --- slot 51+: remaining rows queue oldest-first for the
-    # round-10 window (round-5 era onward)
+    # --- round-11 window (slots 1-50): cc_delta_assign (brand-new in
+    # the inherited r9 mid-build commits, never driver-verified), the
+    # full slot-51+ queue the r9/r10 verdicts deferred (last green r5
+    # except association_rules r6), then the 10 alphabetically-first
+    # remaining r6-era rows.  After this window no contract row's
+    # latest green predates round 6 (the r10 verdict item-4 criterion).
+    "cc_delta_assign",
     "cdc_dedup_ratio",
     "cdc_neardup_pairs",
     "clicked_never_purchased",
@@ -211,6 +155,180 @@ _PRIORITY = [
     "value_percentiles",
     "zorder_keys",
     "association_rules",
+    "benford_digit_check",
+    "bracket_revenue",
+    "candlestick_merge",
+    "copurchase_triangles",
+    "dedup_verified_near_dups",
+    "dsir_importance",
+    "editdist_near_dup_pairs",
+    "event_path_trigrams",
+    "gopher_quality_flags",
+    "image_phash_pairs",
+    # --- slots 51+: the remaining queue, oldest-green-first
+    # (r6 era, then r7, r8, r10)
+    "kmv_distinct_users",
+    "kmv_source_overlap",
+    "lead_lag_correlation",
+    "link_prediction_topk",
+    "lone_fault_suppliers",
+    "metric_operator_mi",
+    "multi_touch_attribution",
+    "neardup_triangles",
+    "operator_error_ztest",
+    "pareto_front",
+    "pmi_collocations",
+    "repeated_ngram_ratio",
+    "sliding_p95_histogram",
+    "sliding_wau_sketch",
+    "table_fingerprint",
+    "table_profile",
+    "theil_sen_trend",
+    "topk_per_key",
+    "window_funnel_depth",
+    "alarm_feed",
+    "behavioral_entropy",
+    "brier_decomposition",
+    "classifier_auc",
+    "classifier_calibration",
+    "conversion_latency_quantiles",
+    "curriculum_stages",
+    "cusum_changepoints",
+    "degree_assortativity",
+    "deviation_alarms",
+    "dup_span_stats",
+    "edge_alarms",
+    "error_burst_windows",
+    "event_burstiness",
+    "ewma_smooth",
+    "hampel_despike",
+    "heavy_hitter_bigrams",
+    "k_anonymity_audit",
+    "kmeans_silhouette",
+    "ks_drift",
+    "latched_error",
+    "latest_per_metric",
+    "latest_value",
+    "local_clustering",
+    "lttb_downsample",
+    "lttb_time_bucketed",
+    "metric_operator_chi2",
+    "multiset_containment_pairs",
+    "prefix_jaccard_pairs",
+    "query_likelihood_topk",
+    "revenue_gini",
+    "rollup_minute",
+    "score_decile_profile",
+    "seasonal_anomalies",
+    "seasonal_decompose",
+    "sorted_neighborhood_pairs",
+    "source_budget_trim",
+    "spearman_correlation",
+    "survival_curve",
+    "value_rank_profile",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    "winsorized_values",
+    "zipf_slope",
+    "zscore_anomalies",
+    "alarm_list_trunc",
+    "ann_ivfpq_topk",
+    "bloom_contamination",
+    "bm25_topk",
+    "chunk_documents",
+    "corpus_report",
+    "decontam_recall",
+    "dq_report",
+    "dup_span_coverage",
+    "embedding_decontamination",
+    "embedding_normalize",
+    "embedding_rp_project",
+    "enrichment_join",
+    "event_transition_matrix",
+    "gapfill_interpolate",
+    "hard_negative_pairs",
+    "heavy_hitters_cms",
+    "hybrid_search_rrf",
+    "idle_rich_customers",
+    "key_skew_profile",
+    "line_dedup",
+    "market_share",
+    "media_features",
+    "minhash_candidate_pairs",
+    "neardup_pagerank",
+    "order_count_distribution",
+    "pack_stats",
+    "padding_waste_report",
+    "parts_supplier_breadth",
+    "pq_adc_topk",
+    "pq_codes",
+    "promo_revenue_share",
+    "quality_classifier",
+    "quantile_normalized_scores",
+    "quantile_sketch_rollup",
+    "returned_item_losses",
+    "rfm_segments",
+    "rollup_hourly",
+    "simhash",
+    "simhash_near_dup_pairs",
+    "small_quantity_revenue",
+    "text_bigram_logprob",
+    "tfidf_top_terms",
+    "time_bucket_gapfill",
+    "tokenizer_fertility",
+    "top_supplier_revenue",
+    "vocab_coverage",
+    "wire_roundtrip",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_recall",
+    "ann_lsh_recall",
+    "ann_lsh_topk",
+    "approx_distinct_users",
+    "approx_value_percentiles",
+    "asof_last_purchase",
+    "bmp_features",
+    "bpe_merges",
+    "bpe_segmentation",
+    "brand_nation_margin",
+    "bronze_telemetry",
+    "cluster_best_representatives",
+    "cluster_split_assign",
+    "curation_pipeline",
+    "dedup_clusters",
+    "dup_span_scrub",
+    "embedding_neardup_pairs",
+    "embedding_quantize_sq8",
+    "heaps_law_fit",
+    "hll_rollup_merge",
+    "ivfpq_assign_delta",
+    "kmeans_assignments",
+    "label_centroids",
+    "last_running_time",
+    "nearest_centroid",
+    "ngram_contamination",
+    "pack_sequences",
+    "passage_dedup",
+    "pii_scrub",
+    "progress_clamp",
+    "repetition_stats",
+    "rollup_sliding",
+    "semantic_dedup",
+    "shard_assign",
+    "split_assign",
+    "text_corpus_stats",
+    "text_fingerprints",
+    "text_language_id",
+    "text_quality_scores",
+    "text_token_stats",
+    "text_unigram_logprob",
+    "text_vocab_stats",
+    "threshold_alarms",
+    "time_range_scan",
+    "train_quality_classifier",
+    "trained_budget_trim",
+    "wav_features",
+    "weighted_sample",
 ]
 
 

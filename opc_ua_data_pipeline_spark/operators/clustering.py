@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.materialize import materialize
+
 from ..functions.ranking import bounded_rank
 from ..tables import load_table
 
@@ -51,7 +53,18 @@ def _sq_dist_to(centroid_vals: list, emb=None) -> "F.Column":
 def _cand_structs(cent_rows: list, emb=None) -> "F.Column":
     """The (dist, cluster) candidate struct array over a COLLECTED
     codebook — ordering of structs is field-lexicographic with NULLS
-    FIRST, i.e. exactly ORDER BY dist ASC, cluster ASC."""
+    FIRST, i.e. exactly ORDER BY dist ASC, cluster ASC.
+
+    An empty codebook is rejected up front (round-10 ADVICE): the old
+    crossJoin spelling degraded to an empty frame there, but
+    ``F.array()`` of zero typeless elements fails analysis and
+    ``array_min`` would yield NULL — fail loudly instead of either."""
+    if not cent_rows:
+        raise ValueError(
+            "_cand_structs: empty collected codebook — the argmin "
+            "expression form needs at least one centroid (k-means "
+            "seeding always yields >= 1 on non-empty input)"
+        )
     return F.array(
         *[
             F.struct(
@@ -164,14 +177,14 @@ def _kmeans_loop(
     codebook (`_, cent = _kmeans_loop(...)`), the r9 spelling paid a
     full corpus assignment + eager checkpoint whose result was thrown
     away (round 10, guide §1.2: don't compute things you discard)."""
-    cent = seed_centroids(corpus, k).localCheckpoint(eager=True)
+    cent = seed_centroids(corpus, k).transform(materialize)
     assigned = None
     for it in range(n_iter):
         if it == n_iter - 1 and not assign_final:
             return None, cent
-        assigned = _assign(corpus, cent).localCheckpoint(eager=True)
+        assigned = _assign(corpus, cent).transform(materialize)
         if it < n_iter - 1:
-            cent = _recompute(assigned).localCheckpoint(eager=True)
+            cent = _recompute(assigned).transform(materialize)
     return assigned, cent
 
 
@@ -806,6 +819,12 @@ def ivfpq_assign_delta(
     By construction (and pinned by tests/test_ivfpq_delta.py) the
     delta assignments equal a FULL re-assignment of all arrivals
     under the same frozen codebooks, restricted to the new ids.
+
+    Uniqueness assumption (round-10 ADVICE): ``vec_id`` is a key of
+    ``arrivals`` — the argmin-expression assignment emits one row per
+    input row (the old per-vec_id window would have collapsed
+    duplicates; no caller feeds duplicates: the anti-join output of a
+    keyed table is keyed).
     """
     assert dim % n_subspaces == 0
     d_sub = dim // n_subspaces
@@ -816,7 +835,7 @@ def ivfpq_assign_delta(
     new = (
         arrivals.join(base.select("vec_id"), "vec_id", "left_anti")
         .select("vec_id", "embedding")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     def train(s: int) -> DataFrame:

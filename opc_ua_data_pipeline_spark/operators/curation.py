@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.materialize import materialize
+
 from ..tables import load_table
 from .text import (
     _TOKS,
@@ -146,7 +148,7 @@ def source_budget_trim(
     # narrow scored projection materialized ONCE (round 10): the rank
     # pass reads its input three ways (sketch/window/counts) and would
     # re-run the per-token classifier per branch.  persist() at scale.
-    scored = quality_classifier(docs).localCheckpoint(eager=True)
+    scored = quality_classifier(docs).transform(materialize)
     ranked = keyed_running_totals(
         scored,
         key_cols=["source"],
@@ -267,7 +269,7 @@ def _clf_train_loop(
     a single narrow aggregate.  At that scale you'd train on a
     hash-gated deterministic sample (sampling.py) — same machinery.
     """
-    feat = _clf_feature_frame(docs).localCheckpoint(eager=True)
+    feat = _clf_feature_frame(docs).transform(materialize)
     w = [0.0, 0.0, 0.0, 0.0, 0.0]  # bias, w1..w4
     rows: list[tuple] = []
     for t in range(n_iter + 1):
@@ -390,7 +392,7 @@ def trained_budget_trim(
         "source",
         F.size(_toks()).alias("n_tokens"),
         trained_score_col(w).alias("quality_score"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # ^ materialize the 4-column scored projection ONCE (round 10):
     # the rank pass below reads its input three ways (cutpoint
     # sketch, window branch, counts branch) and would re-run the
@@ -694,7 +696,7 @@ def score_decile_profile(docs: DataFrame) -> DataFrame:
 
     # materialized once for the same three-branch reason as
     # source_budget_trim (round 10); persist() at cluster scale
-    scored = quality_classifier(docs).localCheckpoint(eager=True)
+    scored = quality_classifier(docs).transform(materialize)
     t = keyed_running_totals(
         scored,
         [],
@@ -905,7 +907,7 @@ def classifier_auc(docs: DataFrame, pos_lang: str = "en") -> DataFrame:
         # ways (sketch/window/counts) and would re-run the corpus
         # scan + classifier + groupBy per branch (round 10; the
         # quantile_normalize_scores precedent).  persist() at scale.
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     cum = keyed_running_totals(per, [], ["s"], weights={"cumc": "c"})
     r2 = 2 * F.col("cumc") - F.col("c") + 1
@@ -963,7 +965,7 @@ def quantile_normalize_scores(docs: DataFrame) -> DataFrame:
     # not the full-width fact materialization round 7 removed from
     # distwindow — and measured 3.8 s -> ~1.5 s warm at sf0.1.  At
     # cluster scale, persist() is the executor-loss-tolerant form.
-    scored = scored.localCheckpoint(eager=True)
+    scored = scored.transform(materialize)
     # one cutpoint-sketch job shared by BOTH rank passes (they order
     # by the same column over the same frame)
     cuts = sample_cutpoints(scored, ["quality_score"]).get("quality_score")

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.materialize import materialize
+
 from ..tables import load_table, spread_compute
 
 N_SEEDS = 16  # minhash signature length
@@ -158,10 +160,15 @@ def prefix_filter_jaccard_pairs(
 
     Two further PPJoin elements (Xiao et al., WWW'08):
 
-    * **positional filter** — for the smallest shared token at
-      positions (i, j), overlap <= 1 + min(|a|-i, |b|-j) (everything
-      shared sits at/after it on both sides); candidates whose bound
-      misses α are dropped before verification.
+    * **positional / accumulated-overlap filter** — with s shared
+      prefix tokens whose largest sits at positions (il, jl),
+      overlap <= s + min(|a|-il, |b|-jl): the s smallest shared tokens
+      are exactly the prefix-shared ones, and everything else shared
+      sits strictly after (il, jl) on both sides.  This is PPJoin's
+      accumulated ubound (round 11) — it degenerates to the round-10
+      positional filter 1 + min(|a|-i, |b|-j) at s=1 and is strictly
+      tighter for s >= 2; candidates whose bound misses α are dropped
+      before verification.
     * **compact verification** — the exact intersection is
       ``size(array_intersect(...))`` over per-doc sorted token
       ARRAYS joined to the candidate list: one bounded array value
@@ -241,9 +248,9 @@ def prefix_filter_jaccard_pairs(
             F.min("pa._sz").alias("sz_a"),
             F.min("pb._sz").alias("sz_b"),
             # both docs rank by the same global (_df, tok) key, so the
-            # smallest SHARED token attains both position minima
-            F.min("pa._pos").alias("_i"),
-            F.min("pb._pos").alias("_j"),
+            # LARGEST shared prefix token attains both position maxima
+            F.max("pa._pos").alias("_il"),
+            F.max("pb._pos").alias("_jl"),
             F.count(F.lit(1)).alias("_nshared"),
         )
         .filter(
@@ -251,12 +258,25 @@ def prefix_filter_jaccard_pairs(
             # α < k (e.g. single-token docs at low t) only α shared
             # tokens are guaranteed, so the requirement clamps to α
             (F.col("_nshared") >= F.least(F.lit(k_prefix), alpha))
-            # positional filter: overlap <= 1 + min(|a|-i, |b|-j)
+            # accumulated-overlap bound (round 11, PPJoin's ubound,
+            # Xiao et al. WWW'08 §4): with s = |shared prefix tokens|
+            # and (il, jl) the positions of the LARGEST of them,
+            # overlap <= s + min(|a|-il, |b|-jl) — every shared token
+            # > the largest shared prefix token sits strictly after
+            # (il, jl) on both sides (a suffix token is larger than
+            # every prefix token of its own doc), and every shared
+            # token <= it must be in BOTH prefixes (same argument), so
+            # the "<=" side counts exactly s.  Uniformly at least as
+            # tight as the round-10 positional filter 1+min(|a|-i,
+            # |b|-j) over the FIRST shared position (equal at s=1,
+            # tighter by >= s-1 otherwise); property-checked against
+            # brute force on 20k random doc pairs, zero false
+            # negatives.
             & (
-                1
+                F.col("_nshared")
                 + F.least(
-                    F.col("sz_a") - F.col("_i"),
-                    F.col("sz_b") - F.col("_j"),
+                    F.col("sz_a") - F.col("_il"),
+                    F.col("sz_b") - F.col("_jl"),
                 )
                 >= alpha
             )
@@ -448,7 +468,7 @@ def minhash_candidate_pairs(df: DataFrame) -> DataFrame:
             + f") AS bk_{b}"
             for b in range(n_bands)
         ],
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     parts = []
     for b in range(n_bands):
         a, c = bk.alias("a"), bk.alias("c")
@@ -564,7 +584,7 @@ def simhash_near_dup_pairs(
             ).alias(f"sb_{b}")
             for b in range(n_bands)
         ],
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     parts = []
     for b in range(n_bands):
         a, c = sh.alias("a"), sh.alias("c")

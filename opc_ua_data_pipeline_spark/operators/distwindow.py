@@ -70,6 +70,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from ..functions.materialize import materialize
+
 #: Rows per (key, bucket) window partition.  Big enough that edge
 #: replication is noise, small enough that a partition (bucket_rows +
 #: carries rows) always fits one task comfortably.
@@ -269,9 +271,7 @@ def _attach_pid(
     # execution; materialize so the window branch and the counts
     # branch see the SAME ids (round-6 post-mortem in PERF.md).  At
     # cluster scale swap for persist() to survive executor loss.
-    return ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
-        eager=True
-    )
+    return ranged.withColumn(_PID, F.spark_partition_id()).transform(materialize)
 
 
 def _join_back(

@@ -50,29 +50,39 @@ def pareto_front(events: DataFrame, key_col: str = "event_type") -> DataFrame:
         F.to_date("ts").alias("_day"),
         F.unix_micros("ts").alias("_t"),
     )
-    # pass 1a: suffix max over strictly-later micros WITHIN (key, day).
+    # pass 1a: suffix max over strictly-later micros WITHIN (key, day),
+    # spelled as a DESCENDING running range frame (round 11): under
+    # ORDER BY _t DESC, "UNBOUNDED PRECEDING .. 1 PRECEDING" is exactly
+    # {_t' >= _t + 1}, the same strictly-later set — but Spark grows an
+    # unbounded-PRECEDING frame incrementally (O(rows) per partition)
+    # where the ascending unbounded-FOLLOWING spelling re-scans the
+    # partition tail per row (O(rows²); the de-skewed day partitions
+    # kept that bounded, the reversed frame removes it outright).
     # The same-instant max uses a RANGE(0,0) peers frame over the SAME
-    # partition + order (equal _t implies equal day), so Catalyst fuses
-    # both into ONE Window pass — one exchange + sort of the fact side,
-    # not two (locked in tests/test_plans.py).
+    # partition + order (equal _t implies equal day; a peers frame is
+    # direction-insensitive), so Catalyst still fuses both into ONE
+    # Window pass — one exchange + sort of the fact side, not two
+    # (locked in tests/test_plans.py).
     w_later = (
         Window.partitionBy("key", "_day")
-        .orderBy("_t")
-        .rangeBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("_t").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
     )
     w_same = (
         Window.partitionBy("key", "_day")
-        .orderBy("_t")
+        .orderBy(F.col("_t").desc())
         .rangeBetween(Window.currentRow, Window.currentRow)
     )
     local = x.withColumn("m_local", F.max("value").over(w_later)).withColumn(
         "m_same", F.max("value").over(w_same)
     )
-    # pass 1b: per-(key, day) max, suffix-maxed over LATER days only
+    # pass 1b: per-(key, day) max, suffix-maxed over LATER days only —
+    # same reversed running-frame spelling (one row per (key, day), so
+    # the ROWS frame under _day DESC is exactly the later-days set)
     w_days = (
         Window.partitionBy("key")
-        .orderBy("_day")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("_day").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     bounds = (
         x.groupBy("key", "_day")

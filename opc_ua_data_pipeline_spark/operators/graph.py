@@ -20,10 +20,14 @@ min-label propagation whose rounds scaled with graph DIAMETER:
   (near-dup graphs: a handful), vs diameter rounds for propagation —
   a path of n nodes needs ~log n rounds here, n before.
 
-Convergence is detected EXACTLY: the canonical (min,max) edge set is
-compared to the previous round's via count + exceptAll-isEmpty — a
-cheap count per O(log n) round, with the exceptAll equality proof
-only on candidate-final rounds where counts already match.  Each round's edge set is
+Convergence is detected EXACTLY — and one full round earlier than
+the round-10 count+exceptAll compare-to-previous scheme — by testing
+the round's output directly for the fixpoint SHAPE: the alternation's
+fixpoints are precisely the canonical star forests (proof sketch in
+:func:`_is_star_forest`; property-checked on 3000 random graphs
+against brute-force CC).  One tiny aggregate + isEmpty per round
+replaces computing a whole extra (identical) round just to observe
+the edge set stopped moving.  Each round's edge set is
 ``localCheckpoint``'ed to truncate the exponentially-growing lineage
 (at 1000-executor scale, swap for ``checkpoint``/persist to survive
 executor loss).
@@ -37,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.materialize import materialize
 
 
 def _canon_edges(pairs: DataFrame) -> DataFrame:
@@ -85,39 +91,81 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _is_star_forest(e: DataFrame) -> bool:
+    """Exact fixpoint test for a CANONICAL edge set: the alternating
+    large-star/small-star iteration's fixpoints are precisely the
+    canonical star forests.
+
+    * star forest ⟹ fixpoint: every member's only neighbor is its
+      (smaller) center and every center's min-neighborhood is itself,
+      so both rewrites re-emit the same edges;
+    * fixpoint ⟹ star forest: a member under two centers is rewritten
+      by small-star (the two centers hook together), a node that is
+      both center and member is rewritten by large-star (its members
+      hook onto its own center) — either way the set moves;
+    * canonical (u < v) + star forest ⟹ every center is its
+      component's minimum, so member→center IS the CC labeling.
+
+    The test is one union + groupBy + isEmpty over the (checkpointed,
+    near-dup-sized) round output: a node appearing twice in the member
+    column, or in both columns, is a violation.  Replaces the round-10
+    count + exceptAll compare-to-previous scheme, which could only see
+    the fixpoint by computing one extra full (identical) round —
+    2 joins, 2 groupBys and a distinct per fixpoint, saved here.
+    """
+    viol = (
+        e.select(F.col("v").alias("n"), F.lit(1).alias("_m"))
+        .unionAll(e.select(F.col("u").alias("n"), F.lit(0).alias("_m")))
+        .groupBy("n")
+        .agg(F.sum("_m").alias("_memb"), F.count(F.lit(1)).alias("_tot"))
+        .filter(
+            (F.col("_memb") > 1)
+            | ((F.col("_memb") > 0) & (F.col("_tot") > F.col("_memb")))
+        )
+    )
+    return viol.isEmpty()
+
+
 def _cc_star_fixpoint(
     edges: DataFrame, max_rounds: int
 ) -> tuple[DataFrame, int, bool]:
     """Alternate large-star/small-star to the star fixpoint; return
-    (star edge set, rounds run, converged).  Exact convergence: same
-    count AND empty symmetric difference vs the previous canonical
-    edge set.  ``converged`` disambiguates "fixpoint reached
-    exactly at the round cap" from "cap exhausted mid-flight" — the
-    labels derived from an UNconverged edge set are not guaranteed to
-    be true component ids (round-9 ADVICE)."""
+    (star edge set, rounds run, converged).  Exact convergence: the
+    round output is a star forest (:func:`_is_star_forest` — the
+    fixpoint shape, tested directly, so an already-converged input
+    runs ZERO rounds and no confirming round is ever computed).
+    ``converged`` disambiguates "fixpoint reached exactly at the round
+    cap" from "cap exhausted mid-flight" — the labels derived from an
+    UNconverged edge set are not guaranteed to be true component ids
+    (round-9 ADVICE)."""
     e = _canon_edges(
         edges.select(F.col(edges.columns[0]).alias("a"),
                      F.col(edges.columns[1]).alias("b"))
-    ).localCheckpoint(eager=True)
-    n_prev = e.count()
+    ).transform(materialize)
     rounds = 0
-    converged = n_prev == 0
+    converged = _is_star_forest(e)
     while rounds < max_rounds and not converged:
-        nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).transform(materialize)
         rounds += 1
-        # Count first (cheap agg over the checkpointed leaf), run the
-        # exceptAll equality proof only on candidate-final rounds where
-        # counts already match — a round-10 probe of the one-action
-        # symmetric-difference check (exceptAll both ways every round)
-        # measured SLOWER: it pays 4 shuffles per round where this
-        # short-circuit pays one tiny count on non-final rounds.
-        n_nxt = nxt.count()
-        if n_nxt == n_prev and nxt.exceptAll(e).isEmpty():
-            e = nxt
-            converged = True
-            break
-        e, n_prev = nxt, n_nxt
+        converged = _is_star_forest(e)
     return e, rounds, converged
+
+
+def _star_membership(
+    edges: DataFrame, max_rounds: int
+) -> tuple[DataFrame, int, bool]:
+    """Star-fixpoint CC labels as the MEMBER table only: one row
+    (node, label=component min) per node whose label differs from
+    itself.  Centers and isolated nodes are absent — they label
+    themselves, which every caller expresses as coalesce(label, node).
+    Near-dup-bounded (never corpus-sized), so the consumers' joins
+    stay broadcast-scale.  min() per member is a no-op on a converged
+    forest but keeps the output well-defined at the round cap."""
+    stars, rounds, converged = _cc_star_fixpoint(edges, max_rounds)
+    memb = stars.groupBy(F.col("v").alias("node")).agg(
+        F.min("u").alias("label")
+    )
+    return memb, rounds, converged
 
 
 def connected_components(
@@ -139,7 +187,7 @@ def connected_components_with_rounds(
     """:func:`connected_components` plus the number of star rounds the
     fixpoint took — what tests/test_graph_cc.py pins to the log bound."""
     node_col = nodes.columns[0]
-    stars, rounds, converged = _cc_star_fixpoint(edges, max_rounds)
+    memb, rounds, converged = _star_membership(edges, max_rounds)
     if not converged:
         import warnings
 
@@ -150,13 +198,6 @@ def connected_components_with_rounds(
             RuntimeWarning,
             stacklevel=2,
         )
-    # At the fixpoint every component is a star centered at its min
-    # node: members appear as v (> center u).  min() per member is a
-    # no-op on a perfect star but keeps the output well-defined if
-    # max_rounds cut the loop short of the fixpoint.
-    memb = stars.groupBy(F.col("v").alias("node")).agg(
-        F.min("u").alias("label")
-    )
     labels = (
         nodes.select(F.col(node_col).alias("node"))
         .join(memb, "node", "left")
@@ -315,28 +356,36 @@ def cc_delta_update(
     # anti-join), and when it arrives as an unmaterialized plan (the
     # full base fixpoint in q_cc_delta_assign) each reference re-runs
     # that plan.  Node-sized — persist() at cluster scale.
-    components = components.localCheckpoint(eager=True)
-    # |delta|-bounded; read by the touched-node union (2 scans) and
-    # the star fixpoint seed.
-    contracted = contract_delta_edges(components, delta_edges).localCheckpoint(
-        eager=True
-    )
-    touched = (
-        contracted.select(F.col("a").alias("n"))
-        .unionAll(contracted.select(F.col("b").alias("n")))
-        .distinct()
-    )
-    # star fixpoint over the touched labels only: (old label/new doc
-    # -> merged root)
+    components = components.transform(materialize)
+    # |delta|-bounded; read once, by the star fixpoint (which canonizes
+    # and checkpoints it as round 0 — no separate materialization).
+    contracted = contract_delta_edges(components, delta_edges)
+    # Star fixpoint over the contracted subgraph, published as the
+    # MEMBER table directly (round 11): the publish joins below
+    # coalesce misses to the existing label, so rows where the label
+    # does not change — centers and untouched nodes, exactly the rows
+    # the round-10 touched-node distinct-union + labels join
+    # manufactured — are dead weight.  _star_membership emits only the
+    # (old label/new doc -> merged root) rows that matter.
+    moves, _, converged = _star_membership(contracted, max_rounds)
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"cc_delta_update: round cap {max_rounds} exhausted before "
+            "the contracted-subgraph fixpoint; returned labels may not "
+            "be true component ids — raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     moves = (
-        connected_components(touched, contracted, max_rounds=max_rounds)
-        .select(
-            F.col("doc_id").alias("_old"),
-            F.col("component_id").alias("_new"),
+        moves.select(
+            F.col("node").alias("_old"), F.col("label").alias("_new")
         )
         # touched-node-sized and read twice (publish + new-node label);
-        # without this each read re-runs the touched/contracted joins
-        .localCheckpoint(eager=True)
+        # without this each read re-runs the contracted fixpoint's
+        # membership aggregate
+        .transform(materialize)
     )
     updated = (
         components.join(
@@ -407,29 +456,113 @@ CC_DELTA_MOD = 7
 def q_cc_delta_assign(spark, sf_dir: str) -> DataFrame:
     """Incremental-CC contract: near-dup edges split into a base set
     (labeled by a full fixpoint) and a late-arriving delta (folded in
-    by :func:`cc_delta_update`).  The oracle is the FULL recompute
-    over all edges — the delta path must be indistinguishable from it.
+    exactly as :func:`cc_delta_update` does).  The oracle is the FULL
+    recompute over all edges — the delta path must be
+    indistinguishable from it.
+
+    Round 11: the pipeline runs MEMBERSHIP-ONLY until one final
+    publish pass.  Round 10 materialized the docs-sized
+    (doc_id, component_id) base labeling (localCheckpoint write+read of
+    a corpus-sized frame) and read it four ways inside cc_delta_update
+    (two contract joins, publish join, new-node anti-join).  But every
+    consumer only needs ``coalesce(member_label, node)``, and the star
+    fixpoint's member table is NEAR-DUP-bounded, never corpus-sized:
+
+    * contract: delta endpoints map through the base member table
+      (absent ⇒ the endpoint is a center/singleton ⇒ labels itself);
+    * moves: the contracted fixpoint's member table IS the
+      old-label → merged-root map (unchanged labels need no row);
+    * publish: ONE narrow pass over docs — two small-table left joins
+      (AQE broadcasts them at runtime from the checkpointed sizes),
+      ``coalesce(move, coalesce(member, doc_id))``.
+
+    The round-10 new-node anti-join branch is provably empty here
+    (every delta endpoint comes from ``documents``), so the fused
+    publish emits exactly one row per doc — value-identical to
+    ``cc_delta_update(connected_components(docs, base), delta)``,
+    re-proved against the full-recompute oracle (checkq sf0.01 +
+    dual-SF local_correctness).  At 100 TB this removes a corpus-sized
+    materialization, a corpus-sized join input and the anti-join scan.
     """
     from ..tables import load_table
     from .dedup import simhash_near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    # materialize the near-dup edge list ONCE (round 10): base, delta
-    # and cc_delta_update's new-node union otherwise re-execute the
-    # 4-band self-join pipeline per reference — the committed before-
-    # plan (plans/r10/cc_delta_assign_before.txt) inlines it 4x and
-    # runs 109k chars; fresh-JVM cold was 68.9 s, mostly re-codegen of
-    # those copies.  The pair list is near-dup-sized (tiny); persist()
+    # materialize the near-dup edge list ONCE (round 10): base and
+    # delta otherwise re-execute the 4-band self-join pipeline per
+    # reference — the committed r10 before-plan inlines it 4x (109k
+    # chars; fresh-JVM cold was 68.9 s, mostly re-codegen of those
+    # copies).  The pair list is near-dup-sized (tiny); persist()
     # at cluster scale.
     edges = (
         simhash_near_dup_pairs(docs, max_hamming=CLUSTER_HAMMING_MAX)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     base = edges.filter(F.col("doc_b") % CC_DELTA_MOD != 0)
     delta = edges.filter(F.col("doc_b") % CC_DELTA_MOD == 0)
-    comps0 = connected_components(docs.select("doc_id"), base)
-    return cc_delta_update(comps0, delta)
+    memb0, _, conv0 = _star_membership(base, 50)
+    if not conv0:
+        import warnings
+
+        warnings.warn(
+            "q_cc_delta_assign: base fixpoint round cap exhausted",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # read three ways below (two contract joins + publish)
+    memb0 = memb0.transform(materialize)
+    contracted = (
+        delta.join(
+            memb0.select(
+                F.col("node").alias("doc_a"), F.col("label").alias("_la")
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            memb0.select(
+                F.col("node").alias("doc_b"), F.col("label").alias("_lb")
+            ),
+            "doc_b",
+            "left",
+        )
+        .select(
+            F.coalesce("_la", "doc_a").alias("a"),
+            F.coalesce("_lb", "doc_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    moves, _, conv1 = _star_membership(contracted, 50)
+    if not conv1:
+        import warnings
+
+        warnings.warn(
+            "q_cc_delta_assign: delta fixpoint round cap exhausted",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return (
+        docs.select("doc_id")
+        .join(
+            memb0.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("_l0")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("_l0", "doc_id").alias("_lbl"))
+        .join(
+            moves.select(
+                F.col("node").alias("_lbl"), F.col("label").alias("_l1")
+            ),
+            "_lbl",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("_l1", "_lbl").alias("component_id")
+        )
+    )
 
 
 PAGERANK_ITERS = 5
@@ -463,7 +596,7 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     sym = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionAll(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     ncnt = deg.agg(F.count(F.lit(1)).alias("n"))
@@ -478,7 +611,7 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
             .cast("double")
             .alias("pr"),
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for _ in range(iters):
         contribs = sym.join(pr, sym.u == pr.node).select(
@@ -503,7 +636,7 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
                 .cast("double")
                 .alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return pr.select(F.col("node").alias("doc_id"), F.col("pr").alias("pagerank"))
 
@@ -558,7 +691,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     # per alias (measured: 84 exchanges -> 14).
     e = edges.select(
         F.col(u0).alias("u"), F.col(v0).alias("v")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))
@@ -663,7 +796,7 @@ def link_prediction_topk(
     # same materialize-once rationale as triangle_stats
     e = edges.select(
         F.col(u0).alias("u"), F.col(v0).alias("v")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     a, b = sym.alias("a"), sym.alias("b")
@@ -736,7 +869,7 @@ def association_rules(
     items = (
         lineitem.select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n_orders = items.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
@@ -1120,7 +1253,7 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     u0, v0 = edges.columns[:2]
     e = edges.select(
         F.col(u0).alias("u"), F.col(v0).alias("v")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     deg = (
         e.select(F.col("u").alias("x"))
         .unionAll(e.select(F.col("v").alias("x")))

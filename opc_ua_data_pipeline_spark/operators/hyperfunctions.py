@@ -193,12 +193,24 @@ def gapfill_interpolate(tel: DataFrame) -> DataFrame:
     joined = spine.join(observed, ["metric", "bucket"], "left")
     w = Window.partitionBy("metric").orderBy("bucket")
     back = w.rowsBetween(Window.unboundedPreceding, 0)
-    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    # forward anchors via a REVERSED-order running frame (round 11):
+    # the natural spelling — first(ignorenulls) over
+    # rowsBetween(0, unboundedFollowing) — hits Spark's
+    # UnboundedFollowing frame processor, which re-scans the rest of
+    # the partition for EVERY row: O(rows²) per metric.  At sf0.01
+    # that was ~195 s for a 172k-row spine (~34k rows/metric); the
+    # descending unboundedPreceding frame computes the identical
+    # "nearest observed at-or-after" incrementally in O(rows).
+    rev = (
+        Window.partitionBy("metric")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     obs_bucket = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
     prev_v = F.last("avg_value", ignorenulls=True).over(back)
     prev_t = F.last(obs_bucket, ignorenulls=True).over(back)
-    next_v = F.first("avg_value", ignorenulls=True).over(fwd)
-    next_t = F.first(obs_bucket, ignorenulls=True).over(fwd)
+    next_v = F.last("avg_value", ignorenulls=True).over(rev)
+    next_t = F.last(obs_bucket, ignorenulls=True).over(rev)
     dt = F.unix_timestamp(F.col("bucket")) - F.unix_timestamp(prev_t)
     dT = F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)
     interp = prev_v + (next_v - prev_v) * (

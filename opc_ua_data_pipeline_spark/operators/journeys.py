@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.materialize import materialize
+
 from ..functions.ranking import bounded_rank
 from ..tables import load_table
 
@@ -242,7 +244,7 @@ def rfm_segments(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
     # passes (each = quantile sample + window branch + counts branch)
     # would otherwise re-run the fact-table groupBy ~9x.  Narrow,
     # user-table-sized — persist() at cluster scale.
-    per_user = per_user.localCheckpoint(eager=True)
+    per_user = per_user.transform(materialize)
     # all three axes' bucket cutpoints in ONE sketch job (round-8:
     # sample_cutpoints amortizes the per-rank-pass driver job — this
     # operator paid it three times)
@@ -263,7 +265,7 @@ def rfm_segments(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
         rank_col="_r_rank",
         n_col="_r_n",
         cuts=cuts.get("recency_days"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     t = keyed_running_totals(
         t,
         [],
@@ -271,7 +273,7 @@ def rfm_segments(events: DataFrame, buckets: int = RFM_BUCKETS) -> DataFrame:
         rank_col="_f_rank",
         n_col="_f_n",
         cuts=cuts.get("frequency"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     t = keyed_running_totals(
         t,
         [],
@@ -339,7 +341,7 @@ def conversion_latency_quantiles(events: DataFrame) -> DataFrame:
     lat = purchases.select(
         "user_id",
         (F.unix_micros("pt") - F.unix_micros("st")).alias("latency_us"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # ^ materialize ONCE (round 10): the two-pass rank below reads its
     # input three ways (cutpoint sketch, window branch, counts branch)
     # and would re-run the two fact-table aggregations per branch —

@@ -356,7 +356,13 @@ def verify_heavy_hitters(
     # scan instead of a full tokenize+explode.  Same LONG value.
     total = docs.select(
         F.greatest(F.size(_toks()) - 1, F.lit(0)).alias("_nb")
-    ).agg(F.sum("_nb").cast("long").alias("n_total"))
+    ).agg(
+        # coalesce (round-10 ADVICE): SUM over zero rows is NULL where
+        # the pre-r10 count(*) was 0 — unobservable today (counts is
+        # then empty too) but the "same LONG value" identity should
+        # hold for the empty corpus as well
+        F.coalesce(F.sum("_nb"), F.lit(0)).cast("long").alias("n_total")
+    )
     counts = (
         bigrams.join(F.broadcast(cands), "bg")
         .groupBy("bg")

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.materialize import materialize
+
 from ..functions.ranking import bounded_rank
 from ..tables import load_table
 
@@ -935,7 +937,7 @@ def heaps_law_fit(docs: DataFrame) -> DataFrame:
         # the global prefix-sum pass reads it three ways and would
         # re-run the corpus explode + two groupBys + join per branch.
         # persist() at cluster scale.
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     cum = keyed_running_totals(
         spine,

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.materialize import materialize
+
 from ..tables import load_table
 from .text import _TOKS, _toks
 
@@ -79,7 +81,7 @@ def bpe_merges(
             ),
             F.lit(" " + EOW),
         ).alias("seq"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     merges: list[tuple] = []
     for it in range(1, n_merges + 1):

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.materialize import materialize
+
 from ..tables import load_table
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"  # DuckDB side
@@ -1071,7 +1073,7 @@ def padding_waste_report(
 
     base = docs.select(
         "doc_id", F.size(_toks()).cast("long").alias("n_tokens")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # ^ 2-column doc-sized frame read FIVE ways (the cutpoint sketch
     # plus two branches per policy) — materialized once (round 10)
     # instead of re-tokenizing the corpus per branch; persist() at

@@ -1,8 +1,12 @@
-"""Capture .explain('formatted') for named queries to plans/r10/.
+"""Capture .explain('formatted') for named queries to plans/<round>/.
 
 Usage: python planx.py before|after name [name...]
-Writes plans/r10/<name>_<tag>.txt.  Read-only on the data; builds the
-plan without executing it (explain is driver-side).
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<name>_<tag>.txt (default round:
+r11).  NOTE (round-10 ADVICE): plan CONSTRUCTION is not free of
+execution — many query builders contain eager localCheckpoints (and the
+driver-iterated loops they feed), so building these plans runs real
+Spark jobs against $SPARK_GRAFT_SF_DIR; only the FINAL frame's plan is
+captured without executing it.
 """
 
 from __future__ import annotations
@@ -15,10 +19,14 @@ from opc_ua_data_pipeline_spark.session import get_spark
 
 
 def main() -> int:
+    if len(sys.argv) < 3 or sys.argv[1] not in ("before", "after"):
+        print(__doc__)
+        return 2
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(__file__), "plans", "r10")
+    rnd = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r11")
+    out_dir = os.path.join(os.path.dirname(__file__), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("planx")
 
