@@ -862,27 +862,20 @@ def ivfpq_assign_delta(
     with ThreadPoolExecutor(max_workers=n_subspaces + 1) as ex:
         cents = list(ex.map(train, range(-1, n_subspaces)))
 
-    # all five frozen-codebook assignments in ONE narrow pass over the
-    # delta (round 10): the codebooks are collected k-row models, so
-    # cell + 4 codes are argmin expressions — replaces four
-    # delta-sized vec_id equi-joins; values identical (same argmin,
-    # same tie-break)
-    cols = [
-        F.col("vec_id"),
-        _nearest_struct(cents[0].collect())
-        .getField("cluster")
-        .alias("cell"),
-    ]
+    # VARIANT B (A/B probe): the round-9 four-join spelling
+    out = _assign(new, cents[0]).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
     for s in range(n_subspaces):
-        cols.append(
-            _nearest_struct(
-                cents[s + 1].collect(),
-                emb=F.slice("embedding", s * d_sub + 1, d_sub),
-            )
-            .getField("cluster")
-            .alias(f"code_{s}")
+        sub_new = new.select(
+            "vec_id",
+            F.slice("embedding", s * d_sub + 1, d_sub).alias("embedding"),
         )
-    return new.select(*cols)
+        codes = _assign(sub_new, cents[s + 1]).select(
+            "vec_id", F.col("cluster").alias(f"code_{s}")
+        )
+        out = out.join(codes, "vec_id")
+    return out
 
 
 def q_ivfpq_assign_delta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,7 +12,7 @@ Beyond", SOCC 2014) — the round-8 verdict's ask, replacing the
 min-label propagation whose rounds scaled with graph DIAMETER:
 
 * ``large-star``: every node u hooks each LARGER neighbor onto
-  m(u) = min(Γ(u) ∪ {u}) — one groupBy(min) + one equi-join;
+  m(u) = min(Γ(u) ∪ {u}) — one whole-partition window min;
 * ``small-star``: edges orient toward their smaller endpoint; every
   node hooks its smaller neighbors (and itself) onto their minimum;
 * alternating the two converges the edge set to STARS centered at
@@ -39,7 +39,7 @@ component id — set-semantics UNION guarantees termination.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.materialize import materialize
@@ -58,19 +58,30 @@ def _canon_edges(pairs: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Hook every node's LARGER neighbors onto min(Γ(u) ∪ {u})."""
+    """Hook every node's LARGER neighbors onto m(u) = min(Γ(u) ∪ {u}).
+
+    The per-neighborhood minimum comes from ONE whole-partition window
+    over the symmetrized list (round 11) instead of the r10
+    groupBy(min) + self-equi-join: the window needs a single exchange
+    of the edge list where the agg+join spelling paid two (agg shuffle
+    + re-shuffle of sym for the join), and every row gets exactly its
+    group's min either way.  Output EDGE SET unchanged; see the
+    in-body comment on duplicates."""
     sym = e.select("u", "v").unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("mn"))
-        .select("u", F.least("mn", "u").alias("m"))
-    )
-    return _canon_edges(
-        sym.join(mins, "u")
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    # Output rows are canonical BY CONSTRUCTION (m <= u < v, so no
+    # self-loops and the orientation is fixed) but possibly duplicated
+    # — the composition's only consumer is _small_star, whose window
+    # min is duplicate-insensitive and whose final canon dedups, so
+    # paying a distinct exchange here bought nothing (round 11: 3
+    # exchanges per fixpoint round, was 4 after the window rewrite, 6
+    # in round 10).
+    return (
+        sym.select("u", "v", m.alias("m"))
         .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .select(F.col("m").alias("u"), F.col("v").alias("v"))
     )
 
 
@@ -78,15 +89,22 @@ def _small_star(e: DataFrame) -> DataFrame:
     """Orient edges toward the smaller endpoint; hook each node's
     smaller neighbors (and itself) onto their minimum.  Input is
     always canonical (u = min, v = max, from _canon_edges), so the
-    orientation is a plain column swap."""
+    orientation is a plain column swap.
+
+    Same one-window spelling as :func:`_large_star`; the r10 form's
+    extra per-group (u, m) row (the "and itself" hook) is emitted by
+    the group's OWN minimum row (exactly one row per group has
+    v == m, since canonical edges are distinct) — a branch in one
+    projection instead of a second pass + union."""
     d = e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    m = F.min("v").over(Window.partitionBy("u"))
     return _canon_edges(
-        d.join(mins, "u")
-        .filter(F.col("v") != F.col("m"))
-        .select(F.col("v").alias("a"), F.col("m").alias("b"))
-        .unionAll(
-            mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        d.select("u", "v", m.alias("m"))
+        .select(
+            F.when(F.col("v") != F.col("m"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("a"),
+            F.col("m").alias("b"),
         )
     )
 
